@@ -1,0 +1,624 @@
+"""readtape_tpu command-line interface.
+
+Mirrors the reference CLI surface (readtape.c:748-1022): same option names
+and semantics, so existing decode scripts work unchanged:
+
+  readtape_tpu [options] <basefilename>[.csv|.tbin|.tap]
+
+Outputs (like the reference): <base>.tap or <base>.nnn.bin data files split at
+tapemarks / IBM labels, <base>.log, interpreted <base>.<opts>.txt, and
+<base>.peakstats.csv.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from .formats import tbin as tb
+from .formats.csvfmt import read_csv
+from .formats.parms import (MODE_GCR, MODE_NRZI, MODE_PE, MODE_WW,
+                            builtin_parmsets, load_parms)
+from .formats.simh import TapWriter, read_tap
+from .out.labels import describe_label, parse_label
+from .out.textfile import TextFile, TxtOptions
+from .version import __version__
+
+CHARTYPES = ["ascii", "ebcdic", "bcd", "b5500", "sixbit", "sds", "sdsm",
+             "flexo", "adage", "adagetape", "cdc", "univac"]
+MODE_NAME = {MODE_PE: "PE", MODE_NRZI: "NRZI", MODE_GCR: "GCR",
+             MODE_WW: "Whirlwind"}
+
+USAGE = """use: readtape_tpu <options> <basefilename>[.ext]
+  (same options as LenShustek/readtape; see README)
+options include:
+  -ntrks=n -order= -pe -nrzi -gcr -whirlwind -ips=n -bpi=n -zeros
+  -differentiate -even -revparity=n -invert -fluxdir=d -reverse -skip=n
+  -blklimit=n -subsample=n -showibg=n -tap -deskew -skew=n,n -correct
+  -addparity -tbin -nolog -nolabels -textfile -hex -octal -octal2
+  -ascii -ebcdic -bcd -b5500 -sixbit -sds -sdsm -flexo -adage -adagetape
+  -cdc -univac -linesize=n -dataspace=n -linefeed -tapread -outf= -outp=
+  -sumt= -sumc= -m -nm -v[n] -q -f
+"""
+
+
+class Options:
+    def __init__(self):
+        self.mode = MODE_PE
+        self.mode_given = False
+        self.ntrks = -1
+        self.order = None
+        self.bpi = -1.0
+        self.ips = -1.0
+        self.find_zeros = False
+        self.differentiate = False
+        self.even = False
+        self.revparity = 0
+        self.invert = False
+        self.fluxdir = "neg"
+        self.reverse = False
+        self.skip = 0
+        self.blklimit = 2 ** 31 - 1
+        self.subsample = 1
+        self.showibg = 5000
+        self.tap = False
+        self.tapread = False
+        self.deskew = False
+        self.skew = None
+        self.correct = False
+        self.addparity = False
+        self.tbin_only = False
+        self.logging = True
+        self.labels = True
+        self.txt = False
+        self.numtype = "none"
+        self.chartype = "none"
+        self.linesize = 0
+        self.dataspace = 0
+        self.linefeed = False
+        self.outf = None
+        self.outp = ""
+        self.sumt = None
+        self.sumc = None
+        self.multiple_tries = True
+        self.multiple_given = False
+        self.verbose = False
+        self.verbose_level = 0
+        self.quiet = False
+        self.filelist = False
+
+
+def parse_option(o: Options, option: str) -> bool:
+    if not option.startswith("-"):
+        return False
+    a = option[1:].lower()
+
+    def val(prefix):
+        return a[len(prefix):] if a.startswith(prefix) else None
+
+    if (v := val("ntrks=")) is not None:
+        o.ntrks = int(v)
+    elif (v := val("order=")) is not None:
+        o.order = option.split("=", 1)[1]       # keep case (WW types)
+    elif a == "nrzi":
+        o.mode, o.mode_given = MODE_NRZI, True
+    elif a == "pe":
+        o.mode, o.mode_given = MODE_PE, True
+    elif a == "gcr":
+        o.mode, o.mode_given = MODE_GCR, True
+        if o.ips < 0:
+            o.ips = 25
+    elif a == "whirlwind":
+        o.mode, o.mode_given = MODE_WW, True
+        o.bpi = 100
+        if not o.multiple_given:
+            o.multiple_tries = False
+    elif a == "zeros":
+        o.find_zeros = True
+    elif a == "differentiate":
+        o.differentiate = True
+    elif (v := val("bpi=")) is not None:
+        o.bpi = float(v)
+    elif (v := val("ips=")) is not None:
+        o.ips = float(v)
+    elif (v := val("skip=")) is not None:
+        o.skip = int(v)
+    elif (v := val("blklimit=")) is not None:
+        o.blklimit = int(v)
+    elif (v := val("subsample=")) is not None:
+        o.subsample = int(v)
+    elif (v := val("showibg=")) is not None:
+        o.showibg = int(v)
+    elif a == "tap":
+        o.tap = True
+    elif a == "tapread":
+        o.tapread = True
+    elif a == "even":
+        o.even = True
+    elif (v := val("revparity=")) is not None:
+        o.revparity = int(v)
+    elif a == "invert":
+        o.invert = True
+    elif (v := val("fluxdir=")) is not None:
+        assert v in ("pos", "neg", "auto"), f"bad fluxdir: {v}"
+        o.fluxdir = v
+    elif a == "reverse":
+        o.reverse = True
+    elif a == "deskew":
+        o.deskew = True
+    elif a == "adjskew":
+        pass                                    # experimental no-op (as in ref)
+    elif (v := val("skew=")) is not None:
+        o.skew = tuple(int(x) for x in v.split(","))
+        o.deskew = True
+    elif a == "addparity":
+        o.addparity = True
+    elif a == "correct":
+        o.correct = True
+    elif a == "nocorrect":
+        o.correct = False
+    elif a == "tbin":
+        o.tbin_only = True
+    elif (v := val("outf=")) is not None:
+        o.outf = option.split("=", 1)[1]
+    elif (v := val("outp=")) is not None:
+        o.outp = option.split("=", 1)[1]
+    elif (v := val("sumt=")) is not None:
+        o.sumt = option.split("=", 1)[1]
+    elif (v := val("sumc=")) is not None:
+        o.sumc = option.split("=", 1)[1]
+    elif a == "textfile":
+        o.txt = True
+    elif a == "hex":
+        o.numtype = "hex"
+    elif a == "octal2":
+        o.numtype, o.dataspace = "octal2", 2
+    elif a == "octal":
+        o.numtype = "octal"
+    elif a in CHARTYPES:
+        o.chartype = a
+    elif (v := val("linesize=")) is not None:
+        o.linesize = int(v)
+    elif (v := val("dataspace=")) is not None:
+        o.dataspace = int(v)
+    elif a == "linefeed":
+        o.linefeed = True
+    elif a == "nolog":
+        o.logging = False
+    elif a == "nolabels":
+        o.labels = False
+    elif a == "nm":
+        o.multiple_tries, o.multiple_given = False, True
+    elif a == "m":
+        o.multiple_tries, o.multiple_given = True, True
+    elif a == "l":
+        o.logging = True
+    elif a == "q":
+        o.quiet = True
+        o.verbose = False
+    elif a == "f":
+        o.filelist = True
+    elif a == "v" or (a.startswith("v") and a[1:].isdigit()):
+        o.verbose = True
+        o.verbose_level = int(a[1:]) if len(a) > 1 else 1
+    elif a in ("h", "?"):
+        print(USAGE)
+        sys.exit(1)
+    else:
+        raise SystemExit(f"bad option: {option}\n\n{USAGE}")
+    return True
+
+
+class Logger:
+    def __init__(self, path, quiet, summary_path=None):
+        self.f = open(path, "w") if path else None
+        self.quiet = quiet
+        self.summary_path = summary_path
+        self.sum_active = False
+
+    def __call__(self, msg=""):
+        print(msg, end="" if msg.endswith("\n") else "\n")
+        if self.f:
+            self.f.write(msg if msg.endswith("\n") else msg + "\n")
+        if self.sum_active and self.summary_path:
+            with open(self.summary_path, "a") as sf:
+                sf.write(msg if msg.endswith("\n") else msg + "\n")
+
+    def info(self, msg=""):
+        if not self.quiet:
+            self(msg)
+
+    def close(self):
+        if self.f:
+            self.f.close()
+            self.f = None
+
+
+def parse_track_order(order: str, mode: int, ntrks_hint: int):
+    """Non-WW -order= string like 01234567P -> head_to_trk permutation
+    (readtape.c:877-919). WW strings are handled by the WW decoder."""
+    n = len(order)
+    head_to_trk = []
+    for ch in order:
+        if ch.upper() == "P":
+            head_to_trk.append(n - 1)
+        else:
+            head_to_trk.append(int(ch))
+    if sorted(head_to_trk) != list(range(n)):
+        raise SystemExit(f"bad -order: {order}")
+    return tuple(head_to_trk)
+
+
+def run_tapread(o: Options, basefile: str, ext: str, log):
+    path = basefile + (ext if ext else ".tap")
+    if not os.path.exists(path) and ext:
+        path = basefile + ext
+    recs = read_tap(path)
+    ntrks = o.ntrks if o.ntrks > 0 else 9
+    topt = TxtOptions(o.numtype, o.chartype, o.linesize or 64,
+                      o.dataspace, o.linefeed, verbose=False)
+    outbase = o.outf or (o.outp + os.path.basename(basefile))
+    txt = TextFile(outbase + f".{topt.suffix}txt", topt, __version__,
+                   ntrks=ntrks, tapread=True)
+    log(f"processing {path}\n")
+    for rec in recs:
+        if rec.kind == "tapemark":
+            txt.tapemark()
+        elif rec.kind == "gap":
+            txt.message("erased gap\n")
+        elif rec.kind == "eom":
+            break
+        else:
+            txt.output_record(rec.data, 1 if rec.error else 0, 0)
+    txt.close()
+    log(f'created interpreted file "{txt.path}"\n')
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    o = Options()
+    files = []
+    for arg in argv:
+        if arg.startswith("-") and parse_option(o, arg):
+            continue
+        files.append(arg)
+    if len(files) != 1:
+        print(USAGE, file=sys.stderr)
+        return 4
+
+    cmdfile = files[0]
+    base, ext = os.path.splitext(cmdfile)
+    if ext.lower() not in (".tap", ".csv", ".tbin", ".txt"):
+        base, ext = cmdfile, ""
+
+    if o.filelist or ext.lower() == ".txt":
+        ok = True
+        with open(base + ".txt") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split()
+                oo = Options()
+                oo.__dict__.update(o.__dict__)
+                fn = None
+                for p in parts:
+                    if p.startswith("-"):
+                        parse_option(oo, p)
+                    else:
+                        fn = p
+                if fn:
+                    r = process_file(oo, *os.path.splitext(fn)
+                                     if os.path.splitext(fn)[1].lower() in
+                                     (".tap", ".csv", ".tbin") else (fn, ""))
+                    print(f"{fn}: {'ok' if r else 'bad'}")
+                    ok = ok and r
+        return 0 if ok else 1
+    result = process_file(o, base, ext)
+    if o.quiet:
+        print(f"{base}: {'ok' if result else 'bad'}")
+    return 0
+
+
+def process_file(o: Options, basefile: str, ext: str) -> bool:
+    outbase = o.outf or (o.outp + os.path.basename(basefile))
+    log = Logger(outbase + ".log" if o.logging and not o.tapread else None,
+                 o.quiet, o.sumt)
+    if o.tapread or ext.lower() == ".tap":
+        run_tapread(o, basefile, ext, log)
+        return True
+
+    start_time = time.time()
+    log.info("readtape_tpu: a TPU-native decoder for digitized magnetic "
+             "tape data")
+    log.info(f"version {__version__} running on {time.ctime()}")
+
+    # ---- ingest ----
+    hdr = None
+    tbin_file = None
+    t0 = 0.0
+    if not o.tbin_only and ext.lower() != ".tbin" and \
+            os.path.exists(basefile + ".csv"):
+        t0, deltat, volts = read_csv(basefile + ".csv")
+        samples = np.clip(volts * (32767.0 / 6.0), -32767, 32767
+                          ).astype(np.int16)
+        maxvolts = 6.0
+        ntrks = volts.shape[1]
+        log.info(f'reading file "{basefile}.csv"')
+    else:
+        path = basefile + ".tbin"
+        if not os.path.exists(path):
+            raise SystemExit(f"no input file {basefile}(.csv/.tbin)")
+        hdr, samples = tb.read_tbin(path)
+        tbin_file = path
+        deltat = hdr.tdelta_ns * 1e-9
+        maxvolts = hdr.maxvolts
+        ntrks = hdr.ntrks
+        t0 = hdr.tstart_ns * 1e-9
+        log.info(f'reading file "{path}"')
+        log.info("\n.tbin file header:")
+        if hdr.mode != tb.MODE_UNKNOWN and not o.mode_given:
+            o.mode = hdr.mode
+            log.info(f"  using .tbin mode = {MODE_NAME.get(o.mode, '?')}")
+        if o.bpi < 0 and hdr.bpi:
+            o.bpi = hdr.bpi
+            log.info(f"  using .tbin bpi = {hdr.bpi:.0f}")
+        if o.ips < 0 and hdr.ips:
+            o.ips = hdr.ips
+            log.info(f"  using .tbin ips = {hdr.ips:.0f}")
+        if o.ntrks <= 0:
+            o.ntrks = ntrks
+        if hdr.trkorder and o.order is None:
+            o.order = hdr.trkorder
+        if hdr.descr:
+            log.info(f"   description: {hdr.descr}")
+        log.info(f"  max voltage: {maxvolts:.1f}V")
+        log.info(f"  time between samples: {hdr.tdelta_ns/1000:.3f} usec")
+
+    if o.ntrks <= 0:
+        o.ntrks = ntrks
+    if o.subsample > 1:
+        samples = samples[o.subsample - 1::o.subsample]
+        deltat *= o.subsample
+    if o.skip:
+        samples = samples[o.skip:]
+        t0 += o.skip * deltat
+
+    # ---- parms ----
+    parmsets = load_parms(basefile, o.mode)
+    for extra in parmsets.extra_options:
+        parse_option(o, extra)
+    for w in parmsets.warnings:
+        log.info(f"  --->{w}")
+    if parmsets.source != "builtin":
+        log.info(f"\nreading parmsets from file {parmsets.source}")
+    else:
+        log.info(f"\nno .parms file was found, so we're using internal "
+                 f"defaults for the {MODE_NAME[o.mode]} parameter sets:")
+    log.info(parmsets.describe())
+
+    if o.ips < 0:
+        o.ips = 50.0
+    if o.mode == MODE_GCR:
+        if o.bpi != 9042:
+            log.info("BPI was reset to 9042 for GCR 6250")
+        o.bpi = 9042
+    head_to_trk = None
+    if o.order and o.mode != MODE_WW:
+        if tbin_file and hdr and not (hdr.flags & tb.TBIN_NO_REORDER):
+            log.info("  -order was ignored because the track ordering was "
+                     "changed to canonical when the .tbin file was created")
+        else:
+            head_to_trk = parse_track_order(o.order, o.mode, o.ntrks)
+            if o.ntrks <= 0:
+                o.ntrks = len(head_to_trk)
+
+    from .decode.pipeline import DecodeOptions, TapeDecoder, decode_tape
+    dopts = DecodeOptions(
+        mode=o.mode, ntrks=o.ntrks, bpi=max(o.bpi, 0), ips=o.ips,
+        deltat=deltat, maxvolts=maxvolts, parmsets=parmsets,
+        multiple_tries=o.multiple_tries, do_correct=o.correct,
+        expected_parity=0 if o.even else 1, revparity=o.revparity,
+        invert=o.invert, differentiate=o.differentiate,
+        find_zeros=o.find_zeros, deskew=o.deskew, skew=o.skew,
+        add_parity=o.addparity, head_to_trk=head_to_trk,
+        reverse=o.reverse, fluxdir=o.fluxdir,
+        ww_order=o.order or "CMLcml", blklimit=o.blklimit, t0_seconds=t0)
+
+    if o.bpi <= 0:
+        dec = TapeDecoder(samples, dopts)
+        std, raw = dec.detect_density(dec.segments())
+        dopts = DecodeOptions(**{**dopts.__dict__, "bpi": std,
+                                 "parmsets": parmsets})
+        log.info(f"  density was set to {std:.0f} BPI (detected "
+                 f"{raw:.0f} BPI)")
+
+    log.info("\nexecution-time configuration:")
+    log.info(f"  {o.ntrks} track {MODE_NAME[o.mode]} encoding, "
+             f"{'no' if o.mode == MODE_WW else 'even' if o.even else 'odd'} "
+             f"parity, {dopts.bpi:.0f} BPI at {o.ips:.0f} IPS "
+             f"({1e6/(dopts.bpi*o.ips):.2f} usec/bit)")
+    log.info(f"  sampling rate is {1.0/deltat:,.0f} Hz "
+             f"({deltat*1e6:.2f} usec), or about "
+             f"{dopts.spb:.0f} samples per bit")
+
+    # ---- decode ----
+    blocks, stats = decode_tape(samples, dopts, log=log)
+
+    # ---- outputs ----
+    write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
+                  len(samples))
+    log.close()
+    return stats["nerrblocks"] == 0 and stats["nunusable"] == 0
+
+
+def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
+                  nsamples):
+    txt = None
+    if o.txt or o.numtype != "none" or o.chartype != "none":
+        topt = TxtOptions(o.numtype, o.chartype, o.linesize,
+                          o.dataspace, o.linefeed, verbose=True)
+        txt = TextFile(outbase + f".{topt.suffix}txt", topt, __version__,
+                       ntrks=o.ntrks)
+        log.info(f'creating file "{txt.path}"')
+
+    tapw = None
+    binf = None
+    numfiles = 0
+    numfilebytes = 0
+    numblks = 0
+    numoutbytes = 0
+    hdr1_name = None
+    hdr1_active = False
+
+    def open_bin(name=None):
+        nonlocal binf, numfiles, numfilebytes
+        close_bin()
+        numfiles += 1
+        path = (name + ".bin") if name else f"{outbase}.{numfiles:03d}.bin"
+        log.info(f'creating file "{path}"')
+        binf = open(path, "wb")
+        numfilebytes = 0
+
+    def close_bin():
+        nonlocal binf
+        if binf:
+            binf.close()
+            binf = None
+
+    if o.tap:
+        tapw = TapWriter(outbase + ".tap")
+        log.info(f'creating file "{outbase}.tap"')
+
+    for blk in blocks:
+        if blk.kind == "tapemark":
+            log.info(f"  tapemark at time {blk.t_start:.8f}, "
+                     f"{numblks} blocks written so far")
+            if txt:
+                txt.tapemark(blk.t_start)
+            if tapw:
+                tapw.write_tapemark()
+            elif not hdr1_active:
+                close_bin()
+            hdr1_active = False
+            continue
+        if blk.kind == "badblock":
+            log(f"ERROR: unusable block, tracks mismatched with lengths "
+                f"{blk.detail.get('minbits')} to {blk.detail.get('maxbits')},"
+                f" {blk.tries} tries, parmset {blk.parmset}, "
+                f"at time {blk.t_end:.8f}")
+            continue
+        # data block
+        labeled = False
+        if o.labels and not tapw:
+            info = parse_label(blk.data)
+            if info:
+                log.info(describe_label(info, blk.errcount))
+                if info.kind == "HDR1":
+                    name = f"{outbase}-{numfiles+1:03d}-{info.dataset_filename}"
+                    open_bin(name.rstrip())
+                    hdr1_active = True
+                if info.kind == "EOF1":
+                    close_bin()
+                labeled = True
+        if not labeled or tapw:
+            if o.labels and tapw is None and parse_label(blk.data):
+                pass
+            if tapw:
+                tapw.write_block(blk.data, error=blk.errcount > 0)
+                numoutbytes += len(blk.data)
+            else:
+                if binf is None:
+                    open_bin()
+                binf.write(blk.data)
+                numfilebytes += len(blk.data)
+                numoutbytes += len(blk.data)
+            if txt:
+                errinfo = format_block_errors(blk)
+                txt.output_record(blk.data, blk.errcount, blk.warncount,
+                                  blocknum=numblks + 1, timenow=blk.t_end,
+                                  errinfo=errinfo)
+            numblks += 1
+            if o.verbose or numblks == 1 or (
+                    not o.quiet and (blk.errcount or blk.warncount)):
+                ag = blk.detail.get("alltrk_min_agc", 0)
+                ag2 = blk.detail.get("alltrk_max_agc", 0)
+                sp = blk.detail.get("avg_bit_spacing", 0) * dopts.deltat
+                speed = 1.0 / (sp * dopts.bpi) if sp > 0 else 0.0
+                log(f"wrote block {numblks:3d}, {len(blk.data):4d} bytes, "
+                    f"{blk.tries} {'tries' if blk.tries > 1 else 'try'}, "
+                    f"parmset {blk.parmset}, AGC {ag:.2f}-{ag2:.2f}, "
+                    f"{format_block_errors(blk)}, avg speed {speed:.2f} IPS "
+                    f"at time {blk.t_end:.8f}")
+
+    if tapw:
+        tapw.write_eom()
+        tapw.close()
+    close_bin()
+    if txt:
+        txt.close()
+
+    elapsed = time.time() - start_time
+    log.info("")
+    log.sum_active = True
+    log.info(f'summary for file "{outbase}":')
+    log.info(f"  {nsamples:,} samples were processed in {elapsed:.0f} "
+             f"seconds ({0 if numblks == 0 else elapsed/numblks:.3f} "
+             f"seconds/block)")
+    log.info(f"  decoded {stats['ntapemarks']} tape marks and "
+             f"{stats['nblocks']} blocks with {numoutbytes:,} bytes")
+    log.info(f"  {stats['nerrblocks']} blocks had errors, "
+             f"{stats['nwarnblocks']} had warnings, "
+             f"{stats['nmismatched']} had mismatched tracks, "
+             f"{stats['ncorrected']} had bits corrected")
+    if stats["nunusable"]:
+        log.info(f"  {stats['nunusable']} blocks were unusable and were "
+                 "not written")
+    log.sum_active = False
+    if o.multiple_tries:
+        log.info(f"  {stats['ngoodmultiple']} good blocks had to try more "
+                 "than one parmset")
+        for i, (t, c) in enumerate(zip(stats["tried"], stats["chosen"])):
+            if t > 0:
+                log.info(f"  parmset {i} was tried {t:4d} times and used "
+                         f"{c:4d} times, or {100.0*c/t:5.1f}%")
+    if o.sumc:
+        with open(o.sumc, "a") as f:
+            f.write(f'="{outbase}",,,,{0.0:.2f}, {stats["ntapemarks"]}, '
+                    f'{stats["nblocks"]}, {numoutbytes}, '
+                    f'{stats["nerrblocks"]}, {stats["nwarnblocks"]}, 0,"y"\n')
+
+
+def format_block_errors(blk) -> str:
+    d = blk.detail
+    parts = []
+    if blk.errcount > 0:
+        s = f"{blk.errcount} err{'s' if blk.errcount > 1 else ''}"
+        if d.get("track_mismatch"):
+            s += f", {d['track_mismatch']} bit track mismatch"
+        if d.get("vparity_errs"):
+            s += f", {d['vparity_errs']} parity"
+        if d.get("crc_errs"):
+            s += f", {d['crc_errs']} CRC"
+        if d.get("lrc_errs"):
+            s += ", 1 LRC"
+        if d.get("ecc_errs"):
+            s += f", {d['ecc_errs']} ECC"
+        parts.append(s)
+    else:
+        parts.append("ok")
+    if blk.warncount > 0:
+        s = f"{blk.warncount} warning{'s' if blk.warncount > 1 else ''}"
+        if d.get("corrected_bits"):
+            s += f", {d['corrected_bits']} corrected bits"
+        if d.get("gcr_bad_dgroups"):
+            s += f", {d['gcr_bad_dgroups']} bad dgroups"
+        parts.append(s)
+    return ", ".join(parts)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

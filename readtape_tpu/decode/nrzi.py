@@ -1,0 +1,400 @@
+"""NRZI decoder (7-track 200/556/800 BPI, 9-track 800 BPI).
+
+NRZI has one *global* bit clock synchronized to transitions on any track
+(decoder.h:260-264). The reference interleaves per-sample peak detection with
+a per-bit "zerocheck" (decode_nrzi.c:232-314). Here the per-track transition
+lists are fully precomputed (stage 1+2), and a single scan over *bit slots*
+replays the global clock: each step consumes the transitions that became
+visible (detection-ordered, like the C), appends their 1-bits, runs the
+zerocheck branch logic, adjusts the clock, and advances.
+
+Block postprocess (tapemark/noise/mismatch/CRC/LRC/parity,
+decode_nrzi.c:35-113) is fully vectorized; the 9-track CRC recurrence is
+GF(2)-linear, so it is evaluated as a gather over precomputed powers of its
+transition matrix instead of a sequential loop.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common as cm
+from .common import F32, I32, FLT_MAX
+
+BIG_S = np.int32(2 ** 30)          # s_det sentinel for unused slots
+NEG_T = np.float32(-1e30)
+
+# block-status codes (mirrors enum bstate_t, decoder.h:318-325)
+BS_NONE, BS_TAPEMARK, BS_NOISE, BS_BADBLOCK, BS_BLOCK = 0, 1, 2, 3, 4
+
+
+# ---------------------------------------------------------------------------
+# CRC as a linear map: crc' = L(crc ^ frame); L = rotate-right-9 after the
+# conditional 0xf0 flip (decode_nrzi.c:62-66). L is GF(2)-linear and
+# invertible, so crc_final = XOR_i L^(n-i)(frame_i) ^ 0x1af.
+# ---------------------------------------------------------------------------
+
+def _crc_step_int(t: int) -> int:
+    if t & 2:
+        t ^= 0xF0
+    lsb = t & 1
+    t >>= 1
+    if lsb:
+        t |= 0x100
+    return t
+
+
+@lru_cache(None)
+def _crc_power_table():
+    """Masks for L^k, k in [0, cycle): out bit j = parity(x & mask[k][j])."""
+    basis = [_crc_step_int(1 << b) for b in range(9)]   # L as columns
+
+    def mat_from_cols(cols):
+        # mask[j] = bits b where col b has bit j set
+        masks = [0] * 9
+        for b, c in enumerate(cols):
+            for j in range(9):
+                if (c >> j) & 1:
+                    masks[j] |= 1 << b
+        return masks
+
+    def apply_mat(masks, x):
+        out = 0
+        for j in range(9):
+            out |= (bin(x & masks[j]).count("1") & 1) << j
+        return out
+
+    ident = mat_from_cols([1 << b for b in range(9)])
+    L = mat_from_cols(basis)
+    tables = [ident]
+    cur = L
+    while cur != ident:
+        tables.append(cur)
+        cur = mat_from_cols([apply_mat(cur, _crc_step_int(1 << b))
+                             for b in range(9)])
+        if len(tables) > 4096:
+            raise RuntimeError("CRC matrix cycle not found")
+    return np.asarray(tables, np.int32)        # [cycle, 9]
+
+
+def crc9_of_frames(frames: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """CRC over frames[0:n] (frames: int32 [M]). Vectorized."""
+    table = jnp.asarray(_crc_power_table())    # [C, 9]
+    C = table.shape[0]
+    M = frames.shape[0]
+    i = jnp.arange(M, dtype=I32)
+    k = jnp.mod(n - i, C)                       # L^(n-i)
+    masks = table[k]                            # [M, 9]
+    contrib = cm.parity9(frames[:, None] & masks)       # [M, 9] bits
+    bits = contrib << jnp.arange(9, dtype=I32)[None, :]
+    per_frame = jnp.sum(bits, axis=-1).astype(I32)      # value of L^(n-i)(f)
+    per_frame = jnp.where(i < n, per_frame, 0)
+    # XOR-reduce
+    def body(c, x):
+        return c ^ x, None
+    out, _ = jax.lax.scan(body, jnp.int32(0), per_frame)
+    return out ^ 0x1AF
+
+
+def xor_reduce_masked(frames, keep):
+    vals = jnp.where(keep, frames, 0)
+    def body(c, x):
+        return c ^ x, None
+    out, _ = jax.lax.scan(body, jnp.int32(0), vals)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the global bit-slot scan
+# ---------------------------------------------------------------------------
+
+def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
+                   clk_window, clk_alpha, pulse_adj, midbit,
+                   expected_parity, do_correct,
+                   maxb: int, max_slots: int,
+                   stat_leftbin, stat_binwidth):
+    """One parmset lane. trans_*: [T, K] admitted transitions per track
+    (s_det ascending, BIG_S fill). Returns the per-track bit buffers and the
+    block-result scalars."""
+    T, K = trans_s.shape
+    trk = jnp.arange(T)
+
+    any_trans = jnp.sum(counts) > 0
+    first_k = jnp.argmin(trans_s[:, 0])        # earliest detection, low trk wins
+    t_first = trans_t[first_k, 0]
+    t_lastclock0 = t_first - spb
+    midbit0 = t_lastclock0 + midbit * spb
+
+    init = dict(
+        t_lastclock=t_lastclock0,
+        t_last_midbit=midbit0,
+        clkavg=cm.clkavg_init(spb),
+        post_counter=I32(0),
+        kvis=jnp.zeros(T, I32),
+        dc=jnp.zeros(T, I32),
+        bits=jnp.zeros((T, maxb), jnp.int8),
+        t_firstbit=jnp.zeros(T, F32),
+        t_lastbit=jnp.zeros(T, F32),
+        missed_midbits=I32(0),
+        corrected_bits=I32(0),
+        faked_tracks=I32(0),
+        consume_overflow=jnp.bool_(False),
+        hist=jnp.zeros((T, 50), I32),
+        trksums=jnp.zeros(T, I32),
+        done=~any_trans,
+        ended_by_post=jnp.bool_(False),
+    )
+
+    def consume(st, s_z):
+        """Append 1-bits for transitions with s_det < s_z (detection order);
+        apply midbit warnings, peak statistics, and post-area clock
+        realignment (nrzi_addbit:171-175)."""
+        kvis2 = jax.vmap(lambda row: jnp.searchsorted(row, s_z))(trans_s)
+        n_new = kvis2 - st["kvis"]
+        bits = st["bits"]
+        dc = st["dc"]
+        b = st["clkavg"]["t_bitspaceavg"]
+        newmax_t = jnp.full(T, NEG_T)
+        out = dict(st)
+        for j in range(3):
+            has = n_new > j
+            kj = jnp.minimum(st["kvis"] + j, K - 1)
+            tj = trans_t[trk, kj]
+            idx = jnp.where(has, jnp.minimum(dc + j, maxb - 1), maxb)
+            bits = bits.at[trk, idx].set(1, mode="drop")
+            # first/last bit times
+            was_first = has & (dc + j == 0)
+            out["t_firstbit"] = jnp.where(was_first, tj, out["t_firstbit"])
+            out["t_lastbit"] = jnp.where(has, tj, out["t_lastbit"])
+            newmax_t = jnp.where(has, jnp.maximum(newmax_t, tj), newmax_t)
+            # midbit warning (nrzi_top/bot:189,204): peak before last midbit
+            miss = has & (tj < st["t_last_midbit"]) & (st["post_counter"] == 0)
+            out["missed_midbits"] = out["missed_midbits"] + jnp.sum(miss)
+            # peak statistics (nrzi_top/bot:187,202)
+            stat_ok = has & (st["post_counter"] == 0)
+            val = tj - st["t_lastclock"]
+            bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
+            bkt_c = jnp.clip(bkt, 0, 49)
+            out["hist"] = out["hist"].at[trk, jnp.where(stat_ok, bkt_c, 50)].add(
+                1, mode="drop")
+            out["trksums"] = out["trksums"] + jnp.where(
+                stat_ok & (bkt >= 1) & (bkt <= 48), 1, 0)
+        out["bits"] = bits
+        out["dc"] = jnp.minimum(dc + n_new, maxb)
+        out["kvis"] = kvis2
+        out["consume_overflow"] = st["consume_overflow"] | jnp.any(n_new > 3)
+        # post-area realignment by newly-seen 1 bits
+        t_max = jnp.max(newmax_t)
+        realign = ((st["post_counter"] > 0) & (t_max > NEG_T / 2) &
+                   (st["t_lastclock"] < t_max - (2 - midbit) * b))
+        out["t_lastclock"] = jnp.where(realign, t_max - 2 * b,
+                                       st["t_lastclock"])
+        return out
+
+    def slot(st, _):
+        def live(st):
+            b0 = st["clkavg"]["t_bitspaceavg"]
+            s_z0 = jnp.floor(st["t_lastclock"] + 2 * b0).astype(I32) + 1
+            st = consume(st, jnp.minimum(s_z0, S))
+            # realignment may have pushed the boundary later: recompute once
+            s_z = jnp.floor(st["t_lastclock"] + 2 * b0).astype(I32) + 1
+            st = consume(st, jnp.minimum(s_z, S))
+            past_end = s_z >= S
+
+            # ---- zerocheck (decode_nrzi.c:232-314) ----
+            b = st["clkavg"]["t_bitspaceavg"]
+            left = st["t_last_midbit"]
+            right = st["t_lastclock"] + (1 + midbit) * b
+            k = st["kvis"]
+            lastpeak = jnp.where(k >= 1, trans_t[trk, jnp.maximum(k - 1, 0)], NEG_T)
+            prevlast = jnp.where(k >= 2, trans_t[trk, jnp.maximum(k - 2, 0)], NEG_T)
+            last_in = (lastpeak > left) & (lastpeak < right)
+            prev_in = (prevlast > left) & (prevlast < right)
+
+            dup = last_in & prev_in                      # noisy double peak
+            b2 = (~last_in) & prev_in
+            later = (~last_in) & (~prev_in) & (lastpeak > right)
+            zero = (~last_in) & (~prev_in) & (~later)
+
+            dc = st["dc"]
+            bits = st["bits"]
+            # dup: delete the extra appended 1
+            dc = jnp.where(dup, dc - 1, dc)
+            # later: insert 0 before the (future) 1 just appended
+            i0 = jnp.where(later, jnp.maximum(dc - 1, 0), maxb)
+            bits = bits.at[trk, i0].set(0, mode="drop")
+            i1 = jnp.where(later, jnp.minimum(dc, maxb - 1), maxb)
+            bits = bits.at[trk, i1].set(1, mode="drop")
+            dc = jnp.where(later, jnp.minimum(dc + 1, maxb), dc)
+            # plain zero: append a 0
+            i2 = jnp.where(zero, jnp.minimum(dc, maxb - 1), maxb)
+            bits = bits.at[trk, i2].set(0, mode="drop")
+            dc = jnp.where(zero, jnp.minimum(dc + 1, maxb), dc)
+
+            tz = st["t_lastclock"] + b                   # zero-bit time
+            zlike = later | zero
+            t_firstbit = jnp.where(zlike & (st["dc"] == 0) & (dc > st["dc"]),
+                                   tz, st["t_firstbit"])
+            t_lastbit = jnp.where(later, lastpeak,
+                                  jnp.where(zero, tz, st["t_lastbit"]))
+
+            numbits = jnp.sum((last_in | b2).astype(I32))
+            numlater = jnp.sum(later.astype(I32))
+            avg_pos = jnp.sum(jnp.where(last_in, lastpeak,
+                                        jnp.where(b2, prevlast, 0.0)))
+            post = st["post_counter"]
+            clk = st["clkavg"]
+            t_lc = st["t_lastclock"]
+            have = numbits > 0
+
+            # --- have-transitions path ---
+            post_h = jnp.where(post == 1, 0, post)       # cancel a fresh post
+            avg = avg_pos / jnp.maximum(numbits, 1).astype(F32)
+            expected = t_lc + b
+            adjusted = jnp.where(post_h > 0, avg,
+                                 expected + pulse_adj * (avg - expected))
+            delta = adjusted - t_lc
+            clk_h = cm.adjust_clock(clk, delta, clk_window, clk_alpha, spb)
+            clk_h = jax.tree.map(
+                lambda n, o: jnp.where(post_h == 0, n, o), clk_h, clk)
+            t_lc_h = adjusted
+            post_h = jnp.where(post_h > 0, post_h + 1, post_h)
+
+            # --- no-transitions path ---
+            post_n = jnp.where((numlater == 0) & (post == 0), 1,
+                               jnp.where(post > 0, post + 1, post))
+            t_lc_n = t_lc + b
+
+            post2 = jnp.where(have, post_h, post_n)
+            t_lc2 = jnp.where(have, t_lc_h, t_lc_n)
+            clk2 = jax.tree.map(lambda hn, nn: jnp.where(have, hn, nn),
+                                clk_h, clk)
+
+            # --- optional error correction (release-binary semantics:
+            # last_complete_byte is 0 outside DEBUG builds; readtape.c
+            # nrzi_zerocheck:245,302) ---
+            corrected = st["corrected_bits"]
+            faked = st["faked_tracks"]
+            if do_correct:
+                frame0 = jnp.sum(bits[:, 0].astype(I32) <<
+                                 (T - 1 - trk)).astype(I32)
+                par_bad = cm.parity9(frame0) != expected_parity
+                agc_now = jnp.where(k >= 1,
+                                    trans_agc[trk, jnp.maximum(k - 1, 0)],
+                                    1.0)
+                hi = jnp.max(agc_now)
+                badtrk = jnp.argmax(agc_now)
+                next_hi = jnp.max(agc_now.at[badtrk].set(-1.0))
+                do_fix = have & par_bad & (hi >= cm.NRZI_BADTRK_FACTOR * next_hi)
+                flip = bits[badtrk, 0] ^ 1
+                bits = bits.at[jnp.where(do_fix, badtrk, T), 0].set(
+                    flip, mode="drop")
+                corrected = corrected + do_fix.astype(I32)
+                faked = faked | jnp.where(
+                    do_fix, (1 << (T - 1 - badtrk)).astype(I32), 0)
+
+            out = dict(st)
+            out.update(bits=bits, dc=dc, t_firstbit=t_firstbit,
+                       t_lastbit=t_lastbit, post_counter=post2,
+                       t_lastclock=t_lc2, t_last_midbit=right, clkavg=clk2,
+                       corrected_bits=corrected, faked_tracks=faked)
+            ended = post2 >= 8
+            out["ended_by_post"] = st["ended_by_post"] | ended
+            out["done"] = ended | past_end
+            return out
+
+        st2 = jax.lax.cond(st["done"], lambda s: s, live, st)
+        return st2, None
+
+    final, _ = jax.lax.scan(slot, init, None, length=max_slots)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# end-of-block processing (nrzi_end_of_block + nrzi_postprocess)
+# ---------------------------------------------------------------------------
+
+def nrzi_finish(st, ntrks: int, expected_parity, revparity, maxb: int):
+    """Vectorized block classification + CRC/LRC/parity checks for one lane.
+    Returns a dict of results_t-like fields plus the frame array."""
+    T = ntrks
+    trk = jnp.arange(T)
+    dc = st["dc"]
+    minbits = jnp.min(dc)
+    maxbits = jnp.max(dc)
+    started = jnp.sum(st["kvis"]) > 0
+
+    spacing = (st["t_lastbit"] - st["t_firstbit"]) / jnp.maximum(dc, 1).astype(F32)
+    avg_bit_spacing = jnp.mean(spacing)
+
+    frames = jnp.sum(st["bits"].astype(I32) <<
+                     (T - 1 - trk)[:, None], axis=0)      # [maxb]
+
+    if T == 9:
+        is_tm = (minbits == 9) & (frames[0] == 0x26) & (frames[8] == 0x26)
+    else:
+        is_tm = ((minbits == 9) & (frames[0] == 0x1E) &
+                 ((frames[3] == 0x1E) | (frames[4] == 0x1E)))
+    is_noise = (~is_tm) & (maxbits <= cm.NRZI_MIN_BLOCK)
+    mismatch = maxbits - minbits
+    is_bad = (~is_tm) & (~is_noise) & (mismatch > cm.NRZI_MAX_MISMATCH)
+    is_block = (~is_tm) & (~is_noise) & (~is_bad)
+
+    # postprocess (decode_nrzi.c:35-75): strip the 8 post frames
+    has_post = minbits > 8
+    n = jnp.maximum(minbits - 8, 0)
+    idx = jnp.arange(maxb, dtype=I32)
+    keep = idx < n
+
+    exp_par = jnp.where((revparity > 0) & (maxbits - 8 == revparity),
+                        1 - expected_parity, expected_parity)
+    par = cm.parity9(frames)
+    vparity_errs = jnp.sum(jnp.where(keep & is_block & has_post,
+                                     (par != exp_par).astype(I32), 0))
+    lrc_data = xor_reduce_masked(frames, keep)
+    crc_errs = jnp.int32(0)
+    lrc_errs = jnp.int32(0)
+    stored_crc = jnp.int32(0)
+    stored_lrc = jnp.int32(0)
+    if T == 9:
+        crc_calc = crc9_of_frames(frames, n)
+        mb = jnp.maximum(minbits, 9)
+        stored_crc = frames[mb - 6] | frames[mb - 5] | frames[mb - 4]
+        stored_lrc = frames[mb - 1]
+        lrc_calc = lrc_data ^ crc_calc
+        crc_errs = (is_block & has_post & (crc_calc != stored_crc)).astype(I32)
+        lrc_errs = (is_block & has_post & (lrc_calc != stored_lrc)).astype(I32)
+    else:
+        mb = jnp.maximum(minbits, 9)
+        stored_lrc = frames[mb - 6] | frames[mb - 5] | frames[mb - 4]
+        lrc_errs = (is_block & has_post & (lrc_data != stored_lrc)).astype(I32)
+
+    blktype = jnp.where(~started, BS_NONE,
+               jnp.where(is_tm, BS_TAPEMARK,
+                jnp.where(is_noise, BS_NOISE,
+                 jnp.where(is_bad, BS_BADBLOCK, BS_BLOCK))))
+    out_min = jnp.where(is_block & has_post, minbits - 8, minbits)
+    out_max = jnp.where(is_block & has_post, maxbits - 8, maxbits)
+
+    errcount = (jnp.where(is_bad, mismatch, 0) + vparity_errs +
+                crc_errs + lrc_errs)
+    warncount = st["missed_midbits"] + st["corrected_bits"]
+
+    return dict(
+        blktype=blktype, minbits=out_min, maxbits=out_max,
+        track_mismatch=jnp.where(is_bad, mismatch, 0),
+        vparity_errs=vparity_errs, crc_errs=crc_errs, lrc_errs=lrc_errs,
+        stored_crc=stored_crc, stored_lrc=stored_lrc,
+        errcount=errcount, warncount=warncount,
+        missed_midbits=st["missed_midbits"],
+        corrected_bits=st["corrected_bits"],
+        faked_tracks=st["faked_tracks"],
+        avg_bit_spacing=avg_bit_spacing,
+        frames=frames,
+        hist=st["hist"], trksums=st["trksums"],
+        consume_overflow=st["consume_overflow"],
+    )

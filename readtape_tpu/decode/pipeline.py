@@ -1,0 +1,497 @@
+"""Decode pipeline orchestrator.
+
+Host-side driver that turns a sample tensor into decoded blocks:
+
+  1. permute heads -> tracks, estimate signal height, find segments (gaps),
+  2. per segment: run the device decode for ALL active parmsets at once
+     (the batched replacement for the reference's retry-with-reseek loop,
+     readtape.c:1755-1795),
+  3. apply the reference's best-decoding selection over the "tried" prefix
+     (readtape.c:1799-1843) -- the prefix emulates the C's early stop at the
+     first perfect decode so parmset usage statistics match,
+  4. emit blocks/tapemarks in tape order.
+
+Calibration passes (density detection, deskew) reuse the same machinery on
+the leading segments, exactly as the reference rewinds and re-reads
+(readtape.c:1656-1717) -- except nothing is re-read: the tensor is resident.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import tbin as tb
+from ..formats.parms import ParmSets, builtin_parmsets
+from . import common as cm
+from . import nrzi as nrzi_mod
+from . import segment as seg
+from . import stage1, trackscan
+from .common import F32, I32, ParmArrays
+
+BS_NAMES = {0: "BS_NONE", 1: "BS_TAPEMARK", 2: "BS_NOISE",
+            3: "BS_BADBLOCK", 4: "BS_BLOCK"}
+
+DIFFERENTIATE_THRESHOLD = 0.05
+DIFFERENTIATE_SCALE = 0.4
+
+
+@dataclass
+class DecodeOptions:
+    mode: int = tb.MODE_NRZI
+    ntrks: int = 9
+    bpi: float = 800.0
+    ips: float = 50.0
+    deltat: float = 1.28e-6
+    maxvolts: float = 6.0
+    parmsets: ParmSets = None
+    multiple_tries: bool = True
+    do_correct: bool = False
+    expected_parity: int = 1          # 1 = odd (default), 0 = even
+    revparity: int = 0
+    invert: bool = False
+    differentiate: bool = False
+    find_zeros: bool = False
+    deskew: bool = False
+    skew: tuple = None                # per-track delays in samples, or None
+    add_parity: bool = False
+    head_to_trk: tuple = None         # permutation; None = identity
+    reverse: bool = False
+    fluxdir: str = "neg"              # ww: "pos" | "neg" | "auto"
+    ww_order: str = "CMLcml"
+    blklimit: int = 2 ** 31 - 1
+    t0_seconds: float = 0.0
+
+    def __post_init__(self):
+        if self.parmsets is None:
+            self.parmsets = builtin_parmsets(self.mode)
+
+    @property
+    def spb(self) -> float:
+        """samples per bit"""
+        return 1.0 / (self.bpi * self.ips * self.deltat)
+
+
+@dataclass
+class BlockResult:
+    kind: str                 # "data" | "tapemark" | "noise" | "badblock"
+    data: bytes = b""
+    parmset: int = 0
+    tries: int = 1
+    errcount: int = 0
+    warncount: int = 0
+    detail: dict = field(default_factory=dict)
+    t_start: float = 0.0      # seconds (absolute tape time)
+    t_end: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# device segment decode (NRZI); PE/GCR/WW live in their own modules and are
+# dispatched from decode_tape below.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "S", "T", "P", "E", "K", "maxb", "max_slots", "Ws", "w_group",
+    "do_correct", "differentiate", "spb_int"))
+def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+                         pa: ParmArrays, spb, expected_parity, revparity,
+                         rise_floor, min_floor,
+                         stat_leftbin, stat_binwidth,
+                         *, S, T, P, E, K, maxb, max_slots,
+                         Ws, w_group, do_correct, differentiate, spb_int):
+    """v_i16: [T, S] int16. Returns per-parmset results (stacked [P, ...])."""
+    v = v_i16.astype(F32) * (maxvolts / 32767.0) * invert_sign
+    if differentiate:
+        prev = jnp.concatenate([jnp.zeros((T, 1), F32), v[:, :-1]], axis=1)
+        d = v - prev
+        d = jnp.where((d < DIFFERENTIATE_THRESHOLD) &
+                      (d > -DIFFERENTIATE_THRESHOLD), 0.0, d)
+        v = d * (DIFFERENTIATE_SCALE * spb_int)
+    # per-track deskew delay: v[t, i] <- v[t, max(0, i - delay_t)]
+    idx = jnp.maximum(jnp.arange(S)[None, :] - skew_delay[:, None], 0)
+    v = jnp.take_along_axis(v, idx, axis=1)
+
+    # stage 1 per distinct window width
+    evs = {}
+    for W in sorted(set(Ws)):
+        evs[W] = stage1.extract_events(v, W, E, rise_floor, min_floor)
+
+    # assemble per-parmset event batch [P, T, E]
+    def stack(key):
+        return jnp.stack([evs[Ws[g]][key] for g in w_group], axis=0)
+    events = {k: stack(k) for k in
+              ("s", "valid", "wmax", "wmin", "v_left", "v_right",
+               "l_top", "prevmax", "nextmax", "l_bot", "prevmin", "nextmin")}
+    overflow = jnp.stack([evs[Ws[g]]["overflow"] for g in w_group]).any()
+
+    # stage 2: admission scan over events, vmapped over (P, T)
+    W_arr = jnp.asarray([Ws[g] for g in w_group], I32)
+
+    def lane(ev, W, rise, minp, aa, aw):
+        final, outs = trackscan.nrzi_track_scan(ev, W, rise, minp, aa, aw)
+        return final, outs
+
+    vl = jax.vmap(jax.vmap(lane, in_axes=(0, None, None, None, None, None)),
+                  in_axes=(0, 0, 0, 0, 0, 0))
+    finals, outs = vl(events, W_arr, pa.pkww_rise, pa.min_peak,
+                      pa.agc_alpha, pa.agc_window)
+
+    trans, counts = trackscan.compact_admitted(
+        outs["admit"],
+        dict(s_det=outs["s_det"], t_peak=outs["t_peak"],
+             agc_after=outs["agc_after"]),
+        K, nrzi_mod.BIG_S)
+
+    # stage 3: global bit-clock scan per parmset
+    def global_lane(ts, tt, ta, cnt, cw, ca, padj, mb):
+        st = nrzi_mod.nrzi_slot_scan(
+            ts, tt, ta, cnt, S, spb, cw, ca, padj, mb,
+            expected_parity, do_correct, maxb, max_slots,
+            stat_leftbin, stat_binwidth)
+        res = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
+        return res
+
+    res = jax.vmap(global_lane)(
+        trans["s_det"], trans["t_peak"], trans["agc_after"], counts,
+        pa.clk_window, pa.clk_alpha, pa.pulse_adj, pa.midbit)
+    # alltrk AGC stats from the per-track scans
+    res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=1)
+    res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=1)
+    res["event_overflow"] = overflow
+    return res
+
+
+# ---------------------------------------------------------------------------
+# best-decoding selection (readtape.c:1776-1843)
+# ---------------------------------------------------------------------------
+
+def pick_best(res_host: dict, P: int, multiple_tries: bool, mode: int):
+    """Emulates the sequential retry loop's stopping rule and 4-stage pick.
+    res_host fields are numpy arrays [P]. Returns (chosen_idx, tries)."""
+    bt = res_host["blktype"]
+    err = res_host["errcount"]
+    warn = res_host["warncount"]
+    minbits = res_host["minbits"]
+
+    if not multiple_tries:
+        return 0, 1
+    # the C tries parmsets in order and stops early (SKIP_NOISE=true)
+    tried = P
+    for i in range(P):
+        perfect = bt[i] == nrzi_mod.BS_BLOCK and err[i] == 0 and warn[i] == 0
+        stop = (bt[i] == nrzi_mod.BS_TAPEMARK or bt[i] == nrzi_mod.BS_NOISE
+                or perfect
+                or (mode == tb.MODE_PE and minbits[i] == 0))
+        if stop:
+            tried = i + 1
+            break
+    cand = range(tried)
+    last = tried - 1
+    if bt[last] in (nrzi_mod.BS_TAPEMARK,):
+        return last, tried
+    if bt[last] == nrzi_mod.BS_NOISE:
+        return last, tried
+    if (bt[last] == nrzi_mod.BS_BLOCK and err[last] == 0 and warn[last] == 0):
+        return last, tried
+    # try 1: no errors, min warnings
+    best, best_w = -1, None
+    for i in cand:
+        if bt[i] == nrzi_mod.BS_BLOCK and err[i] == 0:
+            if best_w is None or warn[i] < best_w:
+                best, best_w = i, warn[i]
+    if best >= 0:
+        return best, tried
+    # try 2: min errors
+    best, best_e = -1, None
+    for i in cand:
+        if bt[i] == nrzi_mod.BS_BLOCK:
+            if best_e is None or err[i] < best_e:
+                best, best_e = i, err[i]
+    if best >= 0:
+        return best, tried
+    # try 3: min track mismatch among bad blocks
+    best, best_m = -1, None
+    for i in cand:
+        if bt[i] == nrzi_mod.BS_BADBLOCK:
+            m = res_host["track_mismatch"][i]
+            if best_m is None or m < best_m:
+                best, best_m = i, m
+    if best >= 0:
+        return best, tried
+    # try 4: first noise
+    for i in cand:
+        if bt[i] == nrzi_mod.BS_NOISE:
+            return i, tried
+    return last, tried
+
+
+# ---------------------------------------------------------------------------
+# top-level decode
+# ---------------------------------------------------------------------------
+
+def _peakstat_bins(mode: int, bitspacing_secs: float):
+    """record_peakstat's bin geometry (decoder.c:136-158), in seconds."""
+    rangef = {tb.MODE_NRZI: 1.0, tb.MODE_PE: 1.2,
+              tb.MODE_GCR: 3.0, tb.MODE_WW: 0.75}.get(mode, 1.0)
+    rng = bitspacing_secs * rangef
+    binwidth = rng / 50
+    binwidth = (int(binwidth * 10e6 + 0.5) * 1e-6) / 10.0
+    leftbin = bitspacing_secs - rng / 2
+    leftbin = int(leftbin / binwidth) * binwidth
+    return leftbin, binwidth
+
+
+def permute_heads(samples: np.ndarray, head_to_trk) -> np.ndarray:
+    """[N, heads] -> [N, tracks] per the -order permutation."""
+    if head_to_trk is None:
+        return samples
+    ntrks = samples.shape[1]
+    out_cols = np.zeros(ntrks, np.int64)
+    for head, trkn in enumerate(head_to_trk):
+        out_cols[trkn] = head
+    return samples[:, out_cols]
+
+
+class TapeDecoder:
+    """Holds device state for one tape and runs decode passes over it."""
+
+    def __init__(self, samples: np.ndarray, opts: DecodeOptions):
+        self.opts = opts
+        samples = permute_heads(samples, opts.head_to_trk)
+        self.n_samples = samples.shape[0]
+        self.h_est = seg.estimate_height(samples, opts.maxvolts)
+        self.v_i16 = jnp.asarray(np.ascontiguousarray(samples.T))  # [T, N]
+        self.pa = ParmArrays.from_parmsets(opts.parmsets)
+        self.P = len(opts.parmsets)
+        self.skew = np.zeros(opts.ntrks, np.int32)
+        if opts.skew is not None:
+            self.skew[:len(opts.skew)] = opts.skew
+        self.deskew_percent = 0.0
+
+    # ---- segmentation ----
+    def segments(self):
+        opts = self.opts
+        thresh = max(0.04, 0.15 * self.h_est / 2)
+        vmax = jnp.max(jnp.abs(self.v_i16.astype(F32)), axis=0) * (
+            opts.maxvolts / 32767.0)
+        act = np.asarray(seg.activity_chunks(vmax, thresh))
+        min_gap_secs = max(20 * opts.spb * opts.deltat, 0.0015)
+        min_gap_chunks = max(2, int(min_gap_secs / (opts.deltat * seg.CHUNK)))
+        return seg.find_segments(act, min_gap_chunks, self.n_samples)
+
+    # ---- per-segment decode ----
+    def decode_segment(self, a: int, b: int):
+        opts = self.opts
+        S = seg.bucket_length(b - a)
+        T = opts.ntrks
+        v = self.v_i16[:, a:b]
+        if v.shape[1] < S:
+            v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
+        spb = opts.spb
+        Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
+                                     opts.deltat)
+                   for p in opts.parmsets.sets)
+        wset = sorted(set(Ws))
+        w_group = tuple(range(len(Ws)))
+        E = max(512, S // 4)
+        K = E
+        maxb = int(S / spb * 1.3) + 64
+        max_slots = int(S / spb * 1.25) + 48
+
+        scale = min(1.0, self.h_est / cm.PKWW_PEAKHEIGHT)
+        rise_min = min(p.pkww_rise for p in opts.parmsets.sets)
+        minp_min = min(p.min_peak for p in opts.parmsets.sets)
+        rise_floor = jnp.full(T, rise_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
+        min_floor = jnp.full(T, minp_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
+
+        lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
+        res = _nrzi_segment_device(
+            v, jnp.float32(opts.maxvolts),
+            jnp.float32(-1.0 if opts.invert else 1.0),
+            jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
+            jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
+            rise_floor, min_floor,
+            jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
+            S=S, T=T, P=self.P, E=E, K=K, maxb=maxb, max_slots=max_slots,
+            Ws=Ws, w_group=w_group, do_correct=opts.do_correct,
+            differentiate=opts.differentiate,
+            spb_int=int(spb) if opts.bpi > 0 else 20)
+        return jax.tree.map(np.asarray, res)
+
+    # ---- deskew calibration (decoder.c:243-281) ----
+    def calibrate_deskew(self, segments, max_blocks=100, min_transitions=1000):
+        opts = self.opts
+        lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
+        hist = np.zeros((opts.ntrks, 50), np.int64)
+        trksums = np.zeros(opts.ntrks, np.int64)
+        nblks = 0
+        for (a, b) in segments:
+            res = self.decode_segment(a, b)
+            if res["blktype"][0] == nrzi_mod.BS_NOISE:
+                continue
+            hist += res["hist"][0]
+            trksums += res["trksums"][0]
+            nblks += 1
+            if nblks >= max_blocks or trksums.min() >= min_transitions:
+                break
+        if trksums.min() == 0:
+            return False
+        # average peak position per track over interior buckets (us)
+        bkt = np.arange(50)
+        us = bw * 1e6 * bkt + lb * 1e6
+        interior = slice(1, 49)
+        avgsum = (hist[:, interior] *
+                  us[interior][None, :].astype(np.int64)).sum(axis=1)
+        avg = avgsum / np.maximum(trksums, 1)
+        maxavg = avg.max()
+        delays_us = np.where(trksums > 0, maxavg - avg, 0.0)
+        delays = np.minimum(
+            ((delays_us * 1e-6 + opts.deltat / 2) / opts.deltat).astype(int),
+            50)
+        self.skew = delays.astype(np.int32)
+        bitspace_us = 1e6 / (opts.bpi * opts.ips)
+        self.deskew_percent = float((maxavg - avg.min()) / bitspace_us * 100)
+        return True
+
+    # ---- density detection (decoder.c:329-394) ----
+    def detect_density(self, segments):
+        opts = self.opts
+        # decode transitions with a default window on leading segments
+        deltas = []
+        total = 0
+        for (a, b) in segments:
+            S = seg.bucket_length(b - a)
+            v = self.v_i16[:, a:b]
+            if v.shape[1] < S:
+                v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
+            vf = v.astype(F32) * (opts.maxvolts / 32767.0)
+            if opts.invert:
+                vf = -vf
+            p0 = opts.parmsets[0]
+            scale = min(1.0, self.h_est / cm.PKWW_PEAKHEIGHT)
+            rise_floor = jnp.full(opts.ntrks,
+                                  p0.pkww_rise * scale / 2 * 0.8, F32)
+            min_floor = jnp.full(opts.ntrks,
+                                 p0.min_peak * scale / 2 * 0.8, F32)
+            E = max(512, S // 4)
+            ev = stage1.extract_events(vf, 8, E, rise_floor, min_floor)
+            ev = {k: v_ for k, v_ in ev.items()
+                  if k not in ("counts", "overflow")}
+            lane = jax.vmap(trackscan.nrzi_track_scan,
+                            in_axes=(0, None, None, None, None, None))
+            _, outs = lane(ev, 8, p0.pkww_rise, p0.min_peak,
+                           p0.agc_alpha, p0.agc_window)
+            admit = np.asarray(outs["admit"])
+            t_peak = np.asarray(outs["t_peak"])
+            for trk in range(opts.ntrks):
+                t = t_peak[trk][admit[trk]] * opts.deltat
+                d = np.diff(t)
+                deltas.append(d[(d > 0) & (d <= 120e-6)])
+                total += len(deltas[-1])
+            if total >= 9999:
+                break
+        if not deltas:
+            raise RuntimeError("density detection failed: no transitions")
+        d = np.concatenate(deltas)
+        bins = (d / 0.5e-6).astype(int)
+        counts = np.bincount(bins)
+        need = len(d) * 0.05
+        ok = np.nonzero(counts > need)[0]
+        if len(ok) == 0:
+            raise RuntimeError("density detection failed")
+        mindist = ok.min()
+        density = 1.0 / (opts.ips * (mindist + 0.5) * 0.5e-6)
+        if opts.mode == tb.MODE_PE:
+            density /= 2
+        for std in (200.0, 556.0, 800.0, 1600.0, 9042.0):
+            if abs(density - std) < std * 0.20:
+                return std, density
+        raise RuntimeError(f"non-standard density {density:.0f} BPI detected; "
+                           "please specify -bpi")
+
+
+def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None):
+    """Decode a whole tape. Returns (blocks, stats dict)."""
+    if opts.mode == tb.MODE_NRZI:
+        return _decode_tape_nrzi_like(samples, opts, log)
+    raise NotImplementedError(f"mode {opts.mode}")
+
+
+def _decode_tape_nrzi_like(samples, opts, log):
+    dec = TapeDecoder(samples, opts)
+    segs = dec.segments()
+    stats = dict(nblocks=0, ntapemarks=0, nerrblocks=0, nwarnblocks=0,
+                 nunusable=0, nmismatched=0, nmidbiterr=0, ncorrected=0,
+                 ngoodmultiple=0,
+                 tried=np.zeros(dec.P, int), chosen=np.zeros(dec.P, int),
+                 deskew_percent=0.0, skew=None)
+    if opts.deskew and opts.skew is None:
+        dec.calibrate_deskew(segs)
+        stats["deskew_percent"] = dec.deskew_percent
+    stats["skew"] = dec.skew.tolist()
+
+    blocks = []
+    for (a, b) in segs:
+        if stats["nblocks"] >= opts.blklimit:
+            break
+        res = dec.decode_segment(a, b)
+        p, tries = pick_best(res, dec.P, opts.multiple_tries, opts.mode)
+        for i in range(tries):
+            stats["tried"][i] += 1
+        bt = int(res["blktype"][p])
+        t_start = opts.t0_seconds + a * opts.deltat
+        t_end = opts.t0_seconds + b * opts.deltat
+        if bt == nrzi_mod.BS_NONE:
+            continue
+        if bt != nrzi_mod.BS_NOISE:
+            stats["chosen"][p] += 1
+        if bt == nrzi_mod.BS_TAPEMARK:
+            blocks.append(BlockResult("tapemark", parmset=p, tries=tries,
+                                      t_start=t_start, t_end=t_end))
+            stats["ntapemarks"] += 1
+            continue
+        if bt == nrzi_mod.BS_NOISE:
+            continue
+        err = int(res["errcount"][p])
+        warn = int(res["warncount"][p])
+        detail = {k: np.asarray(res[k][p]).tolist()
+                  for k in ("minbits", "maxbits", "track_mismatch",
+                            "vparity_errs", "crc_errs", "lrc_errs",
+                            "missed_midbits", "corrected_bits",
+                            "faked_tracks", "avg_bit_spacing",
+                            "alltrk_max_agc", "alltrk_min_agc")}
+        if bt == nrzi_mod.BS_BADBLOCK:
+            blocks.append(BlockResult("badblock", parmset=p, tries=tries,
+                                      errcount=err, warncount=warn,
+                                      detail=detail,
+                                      t_start=t_start, t_end=t_end))
+            stats["nunusable"] += 1
+            continue
+        n = int(res["minbits"][p])
+        frames = res["frames"][p][:n]
+        data = (frames >> 1).astype(np.uint8)
+        if opts.add_parity:
+            data = data | ((frames & 1).astype(np.uint8) << (opts.ntrks - 1))
+        blocks.append(BlockResult("data", bytes(data.tobytes()), parmset=p,
+                                  tries=tries, errcount=err, warncount=warn,
+                                  detail=detail,
+                                  t_start=t_start, t_end=t_end))
+        stats["nblocks"] += 1
+        if err:
+            stats["nerrblocks"] += 1
+        if warn:
+            stats["nwarnblocks"] += 1
+        if detail["track_mismatch"]:
+            stats["nmismatched"] += 1
+        if detail["missed_midbits"]:
+            stats["nmidbiterr"] += 1
+        if detail["corrected_bits"]:
+            stats["ncorrected"] += 1
+        if err == 0 and warn == 0 and tries > 1:
+            stats["ngoodmultiple"] += 1
+    return blocks, stats

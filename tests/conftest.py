@@ -5,11 +5,17 @@ import os
 import shutil
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize can force JAX_PLATFORMS=axon (a tunneled
+# TPU); tests must run on the local virtual-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
