@@ -1,0 +1,263 @@
+"""PE decoder (9-track 1600 BPI phase encoding).
+
+PE is self-clocking per track (decode_pe.c): each track independently detects
+its preamble (>=70 zero peaks then a missed-clock 1-bit, with automatic
+polarity detection), classifies subsequent transitions as clock or data using
+the t_clkwindow / pulse-adjustment rules, bridges dropouts with fake bits,
+and strips the postamble at end of block.
+
+Because there is no cross-track coupling until block assembly, the ENTIRE
+decoder fuses into the stage-2 jump scan: one lax.scan per (parmset x track)
+lane emits that track's bit stream directly. Block assembly (tapemark
+pattern, postamble strip, parity) is vectorized afterwards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common as cm
+from . import trackscan as ts
+from .common import F32, I32
+from .nrzi import BS_BLOCK, BS_NOISE, BS_TAPEMARK
+
+
+@partial(jax.jit, static_argnames=("W", "S", "nsteps", "maxb"))
+def pe_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+                  rise_parm, min_parm, agc_alpha, agc_window,
+                  clk_window, clk_alpha, clk_factor, pulse_adj_parm,
+                  spb, maxb: int):
+    """One (parmset x track) lane. Returns the final state including the
+    emitted bit/fake buffers."""
+
+    def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
+        admit = admit_top | admit_bot
+        s_now = s.astype(F32)
+        b = st["clkavg"]["t_bitspaceavg"]
+        pc = st["peakcount"] + admit.astype(I32)
+        st2["peakcount"] = pc
+        t_this = t_peak
+
+        # ---- idle detection + fake-bit generation (decoder.c:868-877,
+        # decode_pe.c:245-258): idle was declared at an earlier sample if the
+        # gap since the last peak exceeded PE_IDLE_FACTOR bit times.
+        was_idle = st["idle"] | (
+            (s_now - 1.0 - st["t_lastpeak"]) > b * cm.PE_IDLE_FACTOR)
+        gen_fakes = (admit & was_idle & st["datablock"] &
+                     (st["datacount"] > 1))
+        numfake = jnp.floor((s_now - st["t_lastbit"]) /
+                            jnp.maximum(b, 1e-3)).astype(I32)
+        numfake = jnp.where(gen_fakes, jnp.maximum(numfake, 0), 0)
+        run = dict(start=st["datacount"], length=numfake,
+                   bit=st["lastdatabit"], valid=gen_fakes & (numfake > 0))
+        dc = jnp.minimum(st["datacount"] + run["length"], maxb)
+        t_lastbit = jnp.where(run["valid"], F32(0.0), st["t_lastbit"])
+        clknext_f = jnp.where(gen_fakes, st["lastdatabit"] != 0,
+                              st["clknext"])
+        st2["idle"] = jnp.where(admit, False, st["idle"])
+
+        # ---- preamble (decode_pe.c:127-155) ----
+        in_pre = admit & ~st["datablock"]
+        first_peak = in_pre & (pc == 1)
+        bit1_up = jnp.where(first_peak, ~admit_top, st["bit1_up"])
+        start_data = (in_pre & (pc > cm.PE_MIN_PREBITS) &
+                      (bit1_up == admit_top) &
+                      ((t_this - st["t_lastpeak"]) > st["t_clkwindow"]))
+        clknext_pre = admit_top != bit1_up
+        acc_ok = (in_pre & ~start_data & (pc >= cm.AGC_STARTBASE) &
+                  (pc <= cm.AGC_ENDBASE) & (st2["v_top"] > st2["v_bot"]))
+        acc = cm.accumulate_baseline(st2, st2["v_top"] - st2["v_bot"],
+                                     agc_window)
+        datablock = st["datablock"] | start_data
+        v_avg_height = jnp.where(
+            start_data,
+            st["v_avg_height_sum"] /
+            jnp.maximum(st["v_avg_height_count"], 1).astype(F32),
+            st["v_avg_height"])
+
+        # ---- data classification (decode_pe.c:157-201) ----
+        in_data = admit & st["datablock"]          # datablock BEFORE this peak
+        missed = (t_this + st["t_pulse_adj"]) - st["t_lastpeak"] > st["t_clkwindow"]
+        is_data = in_data & (~st["clknext"] | missed)
+        bitval = jnp.where(admit_top, bit1_up, ~bit1_up)
+
+        # pe_addbit (decode_pe.c:104-125): clock adjusts on every real data
+        # bit; t_lastbit==0 (after fake generation) re-seeds one bit back.
+        t_lb_seed = jnp.where(t_lastbit == 0.0, t_this - spb, t_lastbit)
+        clk_new = cm.adjust_clock(st["clkavg"], t_this - t_lb_seed,
+                                  clk_window, clk_alpha, spb)
+        clkavg = jax.tree.map(lambda n, o: jnp.where(is_data, n, o),
+                              clk_new, st["clkavg"])
+        t_clkwindow = jnp.where(is_data,
+                                clkavg["t_bitspaceavg"] / 2 * clk_factor,
+                                st["t_clkwindow"])
+        widx = jnp.where(is_data, jnp.minimum(dc, maxb - 1), maxb)
+        bits = st["bits"].at[widx].set(bitval.astype(jnp.int8), mode="drop")
+        faked = st["faked"].at[widx].set(0, mode="drop")
+        t_firstbit = jnp.where(is_data & (dc == 0), t_this, st["t_firstbit"])
+        dc = jnp.where(is_data, jnp.minimum(dc + 1, maxb), dc)
+        t_lastbit = jnp.where(is_data, t_this, t_lastbit)
+        lastdatabit = jnp.where(is_data, bitval, st["lastdatabit"])
+        clknext = jnp.where(in_data, is_data,
+                            jnp.where(in_pre & ~start_data, clknext_pre,
+                                      clknext_f))
+        t_pulse_adj = jnp.where(
+            in_data,
+            ((t_this - st["t_lastpeak"]) -
+             clkavg["t_bitspaceavg"] / jnp.where(missed, 1.0, 2.0)) *
+            pulse_adj_parm,
+            st["t_pulse_adj"])
+
+        # ---- AGC: pe_top/bot run adjust_agc on every data-block peak ----
+        agc_new = cm.adjust_agc(st2, agc_alpha, agc_window)
+        out = dict(st2)
+        for kk in ("agc_gain", "v_heights", "heightndx",
+                   "max_agc_gain", "min_agc_gain"):
+            out[kk] = jnp.where(in_data, agc_new[kk],
+                                jnp.where(acc_ok, acc.get(kk, st2[kk]),
+                                          st2[kk]))
+        for kk in ("v_avg_height_sum", "v_avg_height_count"):
+            out[kk] = jnp.where(acc_ok, acc[kk], st2[kk])
+        out["v_avg_height"] = v_avg_height
+        out["datablock"] = datablock
+        out["bit1_up"] = bit1_up
+        out["clknext"] = clknext
+        out["t_clkwindow"] = t_clkwindow
+        out["clkavg"] = clkavg
+        out["t_pulse_adj"] = t_pulse_adj
+        out["bits"] = bits
+        out["faked"] = faked
+        out["datacount"] = dc
+        out["t_firstbit"] = t_firstbit
+        out["t_lastbit"] = t_lastbit
+        out["lastdatabit"] = lastdatabit
+        out["corrected_bits"] = st["corrected_bits"] + jnp.where(
+            run["valid"], run["length"], 0)
+        out["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
+        out["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
+        out["t_lastpeak"] = jnp.where(admit, t_this, st["t_lastpeak"])
+        return out, dict(run_start=run["start"], run_len=run["length"],
+                         run_bit=run["bit"], run_valid=run["valid"])
+
+    init_extra = dict(
+        idle=jnp.bool_(True),
+        datablock=jnp.bool_(False),
+        clknext=jnp.bool_(False),
+        bit1_up=jnp.bool_(True),
+        clkavg=cm.clkavg_init(spb),
+        t_clkwindow=spb / 2 * clk_factor,
+        t_pulse_adj=F32(0.0),
+        t_lastbit=F32(0.0),
+        t_firstbit=F32(0.0),
+        t_lastpeak=F32(0.0),
+        datacount=I32(0),
+        lastdatabit=jnp.bool_(False),
+        corrected_bits=I32(0),
+        bits=jnp.zeros(maxb, jnp.int8),
+        faked=jnp.zeros(maxb, jnp.int8),
+    )
+    final, outs = ts.run_jump_scan(extra, init_extra, v_trk, nxt_trk,
+                                   W, S, nsteps, rise_parm, min_parm)
+
+    # apply accumulated fake-bit runs (non-overlapping by construction)
+    idx = jnp.arange(maxb + 1, dtype=I32)
+    starts = jnp.where(outs["run_valid"], outs["run_start"], maxb)
+    ends = jnp.where(outs["run_valid"],
+                     jnp.minimum(outs["run_start"] + outs["run_len"], maxb),
+                     maxb)
+    delta = jnp.zeros(maxb + 1, I32).at[starts].add(1, mode="drop")
+    delta = delta.at[ends].add(-1, mode="drop")
+    inrun = jnp.cumsum(delta[:maxb]) > 0
+    bvals = outs["run_bit"].astype(I32)
+    vdelta = jnp.zeros(maxb + 1, I32).at[starts].add(bvals, mode="drop")
+    vdelta = vdelta.at[ends].add(-bvals, mode="drop")
+    runbit = jnp.cumsum(vdelta[:maxb])
+    final["bits"] = jnp.where(inrun, runbit.astype(jnp.int8), final["bits"])
+    final["faked"] = jnp.where(inrun, jnp.int8(1), final["faked"])
+    return final
+
+
+def pe_finish(finals, T: int, expected_parity, revparity, maxb: int):
+    """Block assembly for one parmset lane: tapemark test, postamble strip,
+    parity count (decode_pe.c:33-102). finals: per-track stacked state."""
+    trk = jnp.arange(T)
+    dc = finals["datacount"]            # [T]
+    pc = finals["peakcount"]
+
+    # tapemark (9-track only): specific live/erased track pattern
+    if T == 9:
+        live = jnp.asarray([1, 0, 1, 0, 0, 1, 1, 1, 1], bool)
+        is_tm = (jnp.all(jnp.where(live, (dc <= 2) & (pc > 75), True)) &
+                 jnp.all(jnp.where(~live, pc <= 2, True)))
+    else:
+        is_tm = jnp.bool_(False)
+
+    avg_sp = jnp.mean((finals["t_lastbit"] - finals["t_firstbit"]) /
+                      jnp.maximum(dc, 1).astype(F32))
+
+    # postamble strip per track: remove trailing bits through the first 1-bit
+    # found after ignoring PE_IGNORE_POSTBITS (max PE_MAX_POSTBITS+1 removed)
+    j = jnp.arange(cm.PE_MAX_POSTBITS + 1, dtype=I32)     # [41]
+    pos = dc[:, None] - 1 - j[None, :]                    # [T, 41]
+    pos_c = jnp.clip(pos, 0, maxb - 1)
+    bit_at = jnp.take_along_axis(finals["bits"].astype(I32), pos_c, axis=1)
+    fake_at = jnp.take_along_axis(finals["faked"].astype(I32), pos_c, axis=1)
+    stop = (j[None, :] > cm.PE_IGNORE_POSTBITS) & (bit_at == 1) & (pos >= 0)
+    any_stop = jnp.any(stop, axis=1)
+    first_stop = jnp.argmax(stop, axis=1)
+    nstrip = jnp.where(any_stop, first_stop + 1,
+                       jnp.int32(cm.PE_MAX_POSTBITS + 1))
+    nstrip = jnp.where(dc > 0, jnp.minimum(nstrip, dc), 0)
+    stripped_fakes = jnp.sum(
+        jnp.where((j[None, :] < nstrip[:, None]) & (pos >= 0), fake_at, 0))
+    dc2 = dc - nstrip
+
+    minbits = jnp.min(dc2)
+    maxbits = jnp.max(dc2)
+    corrected = jnp.maximum(
+        jnp.sum(finals["corrected_bits"]) - stripped_fakes, 0)
+
+    has_data = dc > 0
+    alltrk_max = jnp.max(jnp.where(has_data, finals["max_agc_gain"], 0.0))
+    alltrk_min = jnp.min(jnp.where(has_data, finals["min_agc_gain"],
+                                   cm.FLT_MAX))
+
+    frames = jnp.sum(
+        (finals["bits"].astype(I32) << (T - 1 - trk)[:, None]) *
+        (jnp.arange(maxb)[None, :] < dc2[:, None]), axis=0)
+    faked_frames = jnp.sum(
+        (finals["faked"].astype(I32) << (T - 1 - trk)[:, None]) *
+        (jnp.arange(maxb)[None, :] < dc2[:, None]), axis=0)
+
+    is_noise = (~is_tm) & (maxbits == 0)
+    is_block = (~is_tm) & (~is_noise)
+    mismatch = jnp.where(is_block & (minbits != maxbits),
+                         maxbits - minbits, 0)
+
+    exp_par = jnp.where((revparity > 0) & (maxbits == revparity),
+                        1 - expected_parity, expected_parity)
+    par = cm.parity9(frames)
+    keep = jnp.arange(maxb) < minbits
+    vparity = jnp.sum(jnp.where(keep & is_block,
+                                (par != exp_par).astype(I32), 0))
+
+    blktype = jnp.where(is_tm, BS_TAPEMARK,
+                        jnp.where(is_noise, BS_NOISE, BS_BLOCK))
+    errcount = mismatch + vparity
+    warncount = corrected
+    return dict(
+        blktype=blktype, minbits=minbits, maxbits=maxbits,
+        track_mismatch=mismatch, vparity_errs=vparity,
+        crc_errs=jnp.int32(0), lrc_errs=jnp.int32(0),
+        errcount=errcount, warncount=warncount,
+        missed_midbits=jnp.int32(0), corrected_bits=corrected,
+        faked_tracks=jnp.int32(0),
+        avg_bit_spacing=avg_sp, frames=frames, faked_frames=faked_frames,
+        hist=jnp.zeros((T, 50), I32), trksums=jnp.zeros(T, I32),
+        consume_overflow=jnp.any(finals["incomplete"]),
+        alltrk_max_agc=alltrk_max, alltrk_min_agc=alltrk_min,
+    )

@@ -30,6 +30,7 @@ from ..formats import tbin as tb
 from ..formats.parms import ParmSets, builtin_parmsets
 from . import common as cm
 from . import nrzi as nrzi_mod
+from . import pe as pe_mod
 from . import segment as seg
 from . import stage1, trackscan
 from .common import F32, I32, ParmArrays
@@ -95,16 +96,11 @@ class BlockResult:
 # dispatched from decode_tape below.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=(
-    "S", "T", "P", "E", "K", "maxb", "max_slots", "Ws", "w_group",
-    "do_correct", "differentiate", "spb_int"))
-def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
-                         pa: ParmArrays, spb, expected_parity, revparity,
-                         rise_floor, min_floor,
-                         stat_leftbin, stat_binwidth,
-                         *, S, T, P, E, K, maxb, max_slots,
-                         Ws, w_group, do_correct, differentiate, spb_int):
-    """v_i16: [T, S] int16. Returns per-parmset results (stacked [P, ...])."""
+@partial(jax.jit, static_argnames=("S", "T", "differentiate", "spb_int"))
+def _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, *,
+                S, T, differentiate, spb_int):
+    """int16 -> float32 volts, optional differentiation (readtape.c:1383),
+    per-track deskew delay lines (decoder.c:819-830)."""
     v = v_i16.astype(F32) * (maxvolts / 32767.0) * invert_sign
     if differentiate:
         prev = jnp.concatenate([jnp.zeros((T, 1), F32), v[:, :-1]], axis=1)
@@ -112,34 +108,60 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         d = jnp.where((d < DIFFERENTIATE_THRESHOLD) &
                       (d > -DIFFERENTIATE_THRESHOLD), 0.0, d)
         v = d * (DIFFERENTIATE_SCALE * spb_int)
-    # per-track deskew delay: v[t, i] <- v[t, max(0, i - delay_t)]
     idx = jnp.maximum(jnp.arange(S)[None, :] - skew_delay[:, None], 0)
-    v = jnp.take_along_axis(v, idx, axis=1)
+    return jnp.take_along_axis(v, idx, axis=1)
 
-    # stage 1 per distinct window width
-    evs = {}
-    for W in sorted(set(Ws)):
-        evs[W] = stage1.extract_events(v, W, E, rise_floor, min_floor)
 
-    # assemble per-parmset event batch [P, T, E]
-    def stack(key):
-        return jnp.stack([evs[Ws[g]][key] for g in w_group], axis=0)
-    events = {k: stack(k) for k in
-              ("s", "valid", "wmax", "wmin", "v_left", "v_right",
-               "l_top", "prevmax", "nextmax", "l_bot", "prevmin", "nextmin")}
-    overflow = jnp.stack([evs[Ws[g]]["overflow"] for g in w_group]).any()
+def _per_w_scan(v, Ws, w_groups, rise_floor, min_floor, scan_one, P):
+    """Run a per-track jump scan for every parmset, grouped by the (static)
+    window width so parmsets sharing a width share the jump table. scan_one
+    (W, parm_indices) -> stacked results [len(idx), T, ...]. Returns results
+    re-assembled in parmset order [P, ...]."""
+    parts = {}
+    for W, idxs in w_groups.items():
+        nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
+        parts[W] = (idxs, scan_one(W, nxt, idxs))
+    order = np.zeros(P, np.int64)
+    chunks = []
+    pos = 0
+    for W, (idxs, res) in parts.items():
+        for i, pidx in enumerate(idxs):
+            order[pidx] = pos + i
+        chunks.append(res)
+        pos += len(idxs)
+    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+    return jax.tree.map(lambda x: x[order], cat)
 
-    # stage 2: admission scan over events, vmapped over (P, T)
-    W_arr = jnp.asarray([Ws[g] for g in w_group], I32)
 
-    def lane(ev, W, rise, minp, aa, aw):
-        final, outs = trackscan.nrzi_track_scan(ev, W, rise, minp, aa, aw)
-        return final, outs
+def _w_groups(Ws):
+    groups = {}
+    for i, W in enumerate(Ws):
+        groups.setdefault(W, []).append(i)
+    return groups
 
-    vl = jax.vmap(jax.vmap(lane, in_axes=(0, None, None, None, None, None)),
-                  in_axes=(0, 0, 0, 0, 0, 0))
-    finals, outs = vl(events, W_arr, pa.pkww_rise, pa.min_peak,
-                      pa.agc_alpha, pa.agc_window)
+
+def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+                         pa: ParmArrays, spb, expected_parity, revparity,
+                         rise_floor, min_floor,
+                         stat_leftbin, stat_binwidth,
+                         *, S, T, P, nsteps, K, maxb, max_slots,
+                         Ws, do_correct, differentiate, spb_int):
+    """v_i16: [T, S] int16. Returns per-parmset results (stacked [P, ...])."""
+    v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
+                    S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+
+    def scan_one(W, nxt, idxs):
+        sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
+        lane = jax.vmap(    # over tracks
+            lambda vt, nx, rise, minp, aa, aw: trackscan.nrzi_track_scan(
+                vt, nx, W, S, nsteps, rise, minp, aa, aw),
+            in_axes=(0, 0, None, None, None, None))
+        return jax.vmap(    # over the parmsets sharing this W
+            lambda rise, minp, aa, aw: lane(v, nxt, rise, minp, aa, aw)
+        )(sub.pkww_rise, sub.min_peak, sub.agc_alpha, sub.agc_window)
+
+    finals, outs = _per_w_scan(v, Ws, _w_groups(Ws), rise_floor, min_floor,
+                               scan_one, P)
 
     trans, counts = trackscan.compact_admitted(
         outs["admit"],
@@ -147,22 +169,52 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
              agc_after=outs["agc_after"]),
         K, nrzi_mod.BIG_S)
 
-    # stage 3: global bit-clock scan per parmset
-    def global_lane(ts, tt, ta, cnt, cw, ca, padj, mb):
-        st = nrzi_mod.nrzi_slot_scan(
-            ts, tt, ta, cnt, S, spb, cw, ca, padj, mb,
-            expected_parity, do_correct, maxb, max_slots,
-            stat_leftbin, stat_binwidth)
-        res = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
-        return res
+    @partial(jax.jit, static_argnames=())
+    def global_all(ts_, tt, ta, cnt):
+        def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
+            st = nrzi_mod.nrzi_slot_scan(
+                ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
+                expected_parity, do_correct, maxb, max_slots,
+                stat_leftbin, stat_binwidth)
+            return nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
+                                        maxb)
+        return jax.vmap(global_lane)(ts_, tt, ta, cnt,
+                                     pa.clk_window, pa.clk_alpha,
+                                     pa.pulse_adj, pa.midbit)
 
-    res = jax.vmap(global_lane)(
-        trans["s_det"], trans["t_peak"], trans["agc_after"], counts,
-        pa.clk_window, pa.clk_alpha, pa.pulse_adj, pa.midbit)
-    # alltrk AGC stats from the per-track scans
+    res = global_all(trans["s_det"], trans["t_peak"], trans["agc_after"],
+                     counts)
     res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=1)
     res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=1)
-    res["event_overflow"] = overflow
+    res["event_overflow"] = jnp.any(finals["incomplete"])
+    return res
+
+
+def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+                       pa: ParmArrays, spb, expected_parity, revparity,
+                       rise_floor, min_floor,
+                       *, S, T, P, nsteps, maxb, Ws,
+                       differentiate, spb_int):
+    v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
+                    S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+    spb_f = jnp.float32(spb)
+
+    def scan_one(W, nxt, idxs):
+        sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
+        lane = jax.vmap(    # over tracks
+            lambda vt, nx, *p: pe_mod.pe_track_scan(
+                vt, nx, W, S, nsteps, *p, spb_f, maxb),
+            in_axes=(0, 0) + (None,) * 8)
+        return jax.vmap(    # over the parmsets sharing this W
+            lambda *p: lane(v, nxt, *p)
+        )(sub.pkww_rise, sub.min_peak, sub.agc_alpha, sub.agc_window,
+          sub.clk_window, sub.clk_alpha, sub.clk_factor, sub.pulse_adj)
+
+    finals = _per_w_scan(v, Ws, _w_groups(Ws), rise_floor, min_floor,
+                         scan_one, P)
+    res = jax.vmap(lambda f: pe_mod.pe_finish(
+        f, T, expected_parity, revparity, maxb))(finals)
+    res["event_overflow"] = jnp.any(finals["incomplete"])
     return res
 
 
@@ -282,7 +334,15 @@ class TapeDecoder:
         act = np.asarray(seg.activity_chunks(vmax, thresh))
         min_gap_secs = max(20 * opts.spb * opts.deltat, 0.0015)
         min_gap_chunks = max(2, int(min_gap_secs / (opts.deltat * seg.CHUNK)))
-        return seg.find_segments(act, min_gap_chunks, self.n_samples)
+        # post margin = the mode's idle-detection horizon (see decoder.h:
+        # PE_IDLE_FACTOR 2.5 bits, GCR_IDLE_THRESH 6 bits; NRZI needs ~10
+        # free-running bit slots for its post counter)
+        post_bits = {tb.MODE_PE: 3.0, tb.MODE_GCR: 7.0,
+                     tb.MODE_NRZI: 13.0, tb.MODE_WW: 3.0}[opts.mode]
+        return seg.find_segments(
+            act, min_gap_chunks, self.n_samples,
+            pre_margin=int(2 * opts.spb),
+            post_margin=int(post_bits * opts.spb))
 
     # ---- per-segment decode ----
     def decode_segment(self, a: int, b: int):
@@ -296,10 +356,9 @@ class TapeDecoder:
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
                    for p in opts.parmsets.sets)
-        wset = sorted(set(Ws))
-        w_group = tuple(range(len(Ws)))
-        E = max(512, S // 4)
-        K = E
+        # scan-step budget: ~2 peaks/bit (PE) plus reject slack
+        nsteps = int(S / spb * 3.2) + 64
+        K = nsteps
         maxb = int(S / spb * 1.3) + 64
         max_slots = int(S / spb * 1.25) + 48
 
@@ -309,18 +368,31 @@ class TapeDecoder:
         rise_floor = jnp.full(T, rise_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         min_floor = jnp.full(T, minp_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
 
-        lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
-        res = _nrzi_segment_device(
-            v, jnp.float32(opts.maxvolts),
-            jnp.float32(-1.0 if opts.invert else 1.0),
-            jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
-            jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
-            rise_floor, min_floor,
-            jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
-            S=S, T=T, P=self.P, E=E, K=K, maxb=maxb, max_slots=max_slots,
-            Ws=Ws, w_group=w_group, do_correct=opts.do_correct,
-            differentiate=opts.differentiate,
-            spb_int=int(spb) if opts.bpi > 0 else 20)
+        if opts.mode == tb.MODE_NRZI:
+            lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
+            res = _nrzi_segment_device(
+                v, jnp.float32(opts.maxvolts),
+                jnp.float32(-1.0 if opts.invert else 1.0),
+                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
+                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
+                rise_floor, min_floor,
+                jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
+                S=S, T=T, P=self.P, nsteps=nsteps, K=K, maxb=maxb,
+                max_slots=max_slots, Ws=Ws, do_correct=opts.do_correct,
+                differentiate=opts.differentiate,
+                spb_int=int(spb) if opts.bpi > 0 else 20)
+        elif opts.mode == tb.MODE_PE:
+            res = _pe_segment_device(
+                v, jnp.float32(opts.maxvolts),
+                jnp.float32(-1.0 if opts.invert else 1.0),
+                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
+                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
+                rise_floor, min_floor,
+                S=S, T=T, P=self.P, nsteps=nsteps, maxb=maxb, Ws=Ws,
+                differentiate=opts.differentiate,
+                spb_int=int(spb) if opts.bpi > 0 else 20)
+        else:
+            raise NotImplementedError(f"mode {opts.mode}")
         return jax.tree.map(np.asarray, res)
 
     # ---- deskew calibration (decoder.c:243-281) ----
@@ -378,14 +450,13 @@ class TapeDecoder:
                                   p0.pkww_rise * scale / 2 * 0.8, F32)
             min_floor = jnp.full(opts.ntrks,
                                  p0.min_peak * scale / 2 * 0.8, F32)
-            E = max(512, S // 4)
-            ev = stage1.extract_events(vf, 8, E, rise_floor, min_floor)
-            ev = {k: v_ for k, v_ in ev.items()
-                  if k not in ("counts", "overflow")}
-            lane = jax.vmap(trackscan.nrzi_track_scan,
-                            in_axes=(0, None, None, None, None, None))
-            _, outs = lane(ev, 8, p0.pkww_rise, p0.min_peak,
-                           p0.agc_alpha, p0.agc_window)
+            nsteps = max(512, S // 4)
+            nxt = trackscan.loose_jump_table(vf, 8, rise_floor, min_floor)
+            lane = jax.vmap(
+                lambda vt, nx: trackscan.nrzi_track_scan(
+                    vt, nx, 8, S, nsteps, p0.pkww_rise, p0.min_peak,
+                    p0.agc_alpha, p0.agc_window))
+            _, outs = lane(vf, nxt)
             admit = np.asarray(outs["admit"])
             t_peak = np.asarray(outs["t_peak"])
             for trk in range(opts.ntrks):
@@ -417,7 +488,7 @@ class TapeDecoder:
 
 def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None):
     """Decode a whole tape. Returns (blocks, stats dict)."""
-    if opts.mode == tb.MODE_NRZI:
+    if opts.mode in (tb.MODE_NRZI, tb.MODE_PE, tb.MODE_GCR):
         return _decode_tape_nrzi_like(samples, opts, log)
     raise NotImplementedError(f"mode {opts.mode}")
 

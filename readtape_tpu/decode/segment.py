@@ -41,24 +41,26 @@ def estimate_height(samples_i16: np.ndarray, maxvolts: float) -> float:
     return max(2.0 * amp, 0.05)
 
 
-def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int):
-    """active: host bool array per CHUNK. Returns list of (start, end) sample
-    ranges partitioned at the midpoints of qualifying gaps."""
+def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
+                  pre_margin: int = 0, post_margin: int = 0):
+    """active: host bool array per CHUNK. Returns a list of (start, end)
+    sample ranges covering each active region plus margins. The post margin
+    reproduces the reference's end-of-block point: its per-mode idle
+    detection fires a few bit-times after the last transition
+    (decoder.c:868-894), so trailing gap noise is never scanned -- exactly
+    as the reference stops sampling a block at all-tracks-idle."""
     n = len(active)
     if n == 0 or not active.any():
         return []
-    # indices of active chunks
     idx = np.nonzero(active)[0]
-    # gaps between consecutive active chunks
     gaps = np.nonzero(np.diff(idx) - 1 >= min_gap_chunks)[0]
-    cuts = []
-    for g in gaps:
-        lo, hi = idx[g], idx[g + 1]
-        cuts.append(((lo + hi + 1) // 2) * CHUNK)
-    bounds = [0] + cuts + [total_samples]
+    run_starts = np.concatenate([[idx[0]], idx[gaps + 1]])
+    run_ends = np.concatenate([idx[gaps], [idx[-1]]])       # inclusive chunks
     segs = []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        segs.append((a, b))
+    for s, e in zip(run_starts, run_ends):
+        a = max(0, s * CHUNK - pre_margin)
+        b = min(total_samples, (e + 1) * CHUNK + post_margin)
+        segs.append((int(a), int(b)))
     return segs
 
 

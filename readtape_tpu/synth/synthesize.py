@@ -68,8 +68,10 @@ def default_spec(mode: int, **overrides) -> SynthSpec:
     base = {
         tb.MODE_NRZI: dict(mode=mode, ntrks=9, bpi=800, ips=50,
                            sample_rate_hz=781250.0),
+        # PE transitions come every half bit, so pulses must be narrow
+        # relative to the half-bit cell for realistic peak separation
         tb.MODE_PE: dict(mode=mode, ntrks=9, bpi=1600, ips=50,
-                         sample_rate_hz=1562500.0),
+                         sample_rate_hz=1562500.0, pulse_width_bits=0.15),
         tb.MODE_GCR: dict(mode=mode, ntrks=9, bpi=9042, ips=25,
                           sample_rate_hz=2500000.0),
         tb.MODE_WW: dict(mode=mode, ntrks=6, bpi=100, ips=30,
