@@ -224,8 +224,9 @@ def force_clock(c, delta):
 
 
 def parity9(frames: jnp.ndarray) -> jnp.ndarray:
-    """Parity of each (up to 16-bit) frame value; int array in, {0,1} out."""
+    """Bit parity of each value (up to 31 bits); int array in, {0,1} out."""
     v = frames.astype(jnp.int32)
+    v = v ^ (v >> 16)
     v = v ^ (v >> 8)
     v = v ^ (v >> 4)
     v = v ^ (v >> 2)

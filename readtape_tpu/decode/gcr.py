@@ -1,0 +1,576 @@
+"""GCR decoder (9-track "6250 BPI" = 9042 frpi group-coded recording).
+
+Per-track, GCR is NRZI with guaranteed <=2 consecutive zeros, so each track
+self-clocks: zero bits are inferred from the delta between flux transitions
+against the z1pt/z2pt thresholds, with pulse adjustment and clock tracking on
+runs of three consecutive ones, and resync (MARK2...MARK1) bursts force the
+clock (decode_gcr.c:731-865). This all fuses into the per-track jump scan.
+
+Block-level, the storage bits decode through a state machine over 5-bit
+storage groups (preamble / data A-B pairs / resync / residual / CRC /
+postamble) with 5->4 group decode, parity, ECC checks and optional
+ECC-based correction (decode_gcr.c:420-729). That runs as a scan over
+*groups* (bits/5 steps), vmapped over the parmset axis.
+
+The -zeros variants (zero-crossing detection, plain and differentiated) are
+data-parallel: crossings and excursion checks involve no AGC feedback
+(decoder.c:501 disables AGC when find_zeros), so transitions extract without
+any sequential admission at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common as cm
+from . import gcr_tables as gt
+from . import trackscan as ts
+from .common import F32, I32
+from .nrzi import BS_BADBLOCK, BS_BLOCK, BS_NOISE, BS_TAPEMARK
+
+ZEROCROSS_PEAK = 0.2
+ZEROCROSS_SLOPE = 1.5
+
+
+# ---------------------------------------------------------------------------
+# per-track bit recovery: shared step used by both the peaks jump scan and
+# the zerocross transition scan
+# ---------------------------------------------------------------------------
+
+def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
+                 clk_window, clk_alpha, spb, maxb):
+    """gcr_checkzeros + gcr_addbit for one admitted transition
+    (decode_gcr.c:731-834). st carries clkavg/pulse-adj/bit buffer."""
+    b = st["clkavg"]["t_bitspaceavg"]
+    delta = t_this - st["t_lastpeak"]
+    in_blk = admit & st["datablock"]
+
+    zero1 = in_blk & (delta - st["t_pulse_adj"] > z1pt * b)
+    zero2 = zero1 & (delta - st["t_pulse_adj"] > z2pt * b)
+    numbits = 1 + zero1.astype(I32) + zero2.astype(I32)
+
+    dc = st["datacount"]
+    bits = st["bits"]
+    lastbits = st["lastbits"]
+    rsc = st["resync_bitcount"]
+    clkavg = st["clkavg"]
+    t_peakdelta_new = jnp.where(in_blk, delta, st["t_peakdelta"])
+
+    def add_one_bit(carry, bitval, enable):
+        """One gcr_addbit (decode_gcr.c:731-787): write, shift the pattern
+        register, resync detection at 5-bit boundaries, and the mid-resync
+        force_clock."""
+        dc_, bits_, lastbits_, rsc_, clkavg_ = carry
+        i = jnp.where(enable, jnp.minimum(dc_, maxb - 1), maxb)
+        bits_ = bits_.at[i].set(jnp.int8(bitval), mode="drop")
+        dc_n = jnp.where(enable, jnp.minimum(dc_ + 1, maxb), dc_)
+        lb_n = jnp.where(enable, ((lastbits_ << 1) | bitval) & 0xFF,
+                         lastbits_)
+        at5 = enable & ((dc_n % 5) == 0)
+        rsc_ = jnp.where(at5 & ((lb_n & 0x1F) == gt.GCR_MARK2), 1,
+                jnp.where(at5 & ((lb_n & 0x1F) == gt.GCR_MARK1) & (rsc_ > 0),
+                          0, rsc_))
+        in_resync = enable & (rsc_ > 0)
+        force = in_resync & (rsc_ == 5)
+        clkavg_ = jax.tree.map(
+            lambda n, o: jnp.where(force, n, o),
+            cm.force_clock(clkavg_, t_peakdelta_new), clkavg_)
+        rsc_ = jnp.where(in_resync, rsc_ + 1, rsc_)
+        return (dc_n, bits_, lb_n, rsc_, clkavg_)
+
+    carry = (dc, bits, lastbits, rsc, clkavg)
+    carry = add_one_bit(carry, 0, zero1 & admit)
+    carry = add_one_bit(carry, 0, zero2 & admit)
+    dc1, bits, lastbits, rsc, clkavg = carry
+
+    # clock adjust on 3 consecutive one-bits (decode_gcr.c:808-810), using
+    # the previous peak delta; checked before the current 1-bit is added
+    prev2 = jnp.where(dc1 >= 2,
+                      bits[jnp.clip(dc1 - 2, 0, maxb - 1)], jnp.int8(0))
+    do_adj = in_blk & (dc1 > 3) & (numbits == 1) & (prev2 == 1)
+    clk_new = cm.adjust_clock(clkavg, st["t_peakdelta"],
+                              clk_window, clk_alpha, spb)
+    clkavg = jax.tree.map(lambda n, o: jnp.where(do_adj, n, o),
+                          clk_new, clkavg)
+    t_pulse_adj = jnp.where(
+        in_blk, pulse_adj_parm * (numbits.astype(F32) * clkavg["t_bitspaceavg"]
+                                  - delta),
+        st["t_pulse_adj"])
+
+    carry = (dc1, bits, lastbits, rsc, clkavg)
+    dc2, bits, lastbits, rsc, clkavg = add_one_bit(carry, 1, admit)
+
+    out = dict(st)
+    out["bits"] = bits
+    out["datacount"] = dc2
+    out["lastbits"] = lastbits
+    out["resync_bitcount"] = rsc
+    out["clkavg"] = clkavg
+    out["t_pulse_adj"] = t_pulse_adj
+    out["t_peakdeltaprev"] = jnp.where(in_blk, st["t_peakdelta"],
+                                       st["t_peakdeltaprev"])
+    out["t_peakdelta"] = jnp.where(in_blk, delta, st["t_peakdelta"])
+    out["datablock"] = st["datablock"] | admit
+    out["t_firstbit"] = jnp.where(admit & (st["datacount"] == 0), t_this,
+                                  st["t_firstbit"])
+    out["t_lastbit"] = jnp.where(admit, t_this, st["t_lastbit"])
+    out["t_lastpeak"] = jnp.where(admit, t_this, st["t_lastpeak"])
+    return out
+
+
+def gcr_bit_state_init(spb, maxb):
+    return dict(
+        clkavg=cm.clkavg_init(spb),
+        t_pulse_adj=F32(0.0),
+        t_peakdelta=F32(0.0),
+        t_peakdeltaprev=F32(0.0),
+        datablock=jnp.bool_(False),
+        datacount=I32(0),
+        lastbits=I32(0),
+        resync_bitcount=I32(0),
+        t_firstbit=F32(0.0),
+        t_lastbit=F32(0.0),
+        t_lastpeak=F32(0.0),
+        bits=jnp.zeros(maxb, jnp.int8),
+    )
+
+
+@partial(jax.jit, static_argnames=("W", "S", "nsteps", "maxb"))
+def gcr_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+                   rise_parm, min_parm, agc_alpha, agc_window,
+                   clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
+                   spb, maxb: int):
+    """Peak-detection GCR lane: admission + AGC + bit recovery fused."""
+
+    def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
+        admit = admit_top | admit_bot
+        first = admit & (st["datacount"] == 0)
+        st2["max_agc_gain"] = jnp.where(first, st["agc_gain"],
+                                        st["max_agc_gain"])
+        st3 = ts.nrzi_agc_policy(st2, st, admit_top, admit_bot,
+                                 agc_alpha, agc_window)
+        st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
+        st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
+        st4 = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt, pulse_adj_parm,
+                           clk_window, clk_alpha, spb, maxb)
+        return st4, {}
+
+    return ts.run_jump_scan(extra, gcr_bit_state_init(spb, maxb),
+                            v_trk, nxt_trk, W, S, nsteps,
+                            rise_parm, min_parm)
+
+
+# ---------------------------------------------------------------------------
+# zero-crossing transition extraction (-zeros): fully data-parallel
+# ---------------------------------------------------------------------------
+
+def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
+                          differentiated: bool):
+    """[T, S] -> per-track transition lists (t [T,cap], valid, is_top, counts).
+
+    Plain (decoder.c:617-649): a crossing is confirmed when the preceding
+    excursion exceeded ZEROCROSS_PEAK and the following excursion attains it
+    within ZEROCROSS_SLOPE bit times.
+    Differentiated (decoder.c:654-683): a crossing fires at the midpoint of
+    the exact-zero run separating excursions that attained the threshold.
+    """
+    T, S = v.shape
+    sign = jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0)).astype(jnp.int8)
+    nz = sign != 0
+    if differentiated:
+        # pending survives exact-zero runs (decoder.c:654-683): crossing at
+        # the first nonzero sample whose sign differs from the last nonzero
+        def ffill(x):
+            def body(c, s_):
+                c = jnp.where(s_ != 0, s_, c)
+                return c, c
+            _, out = jax.lax.scan(body, jnp.int8(0), x)
+            return out
+        prev_sign = jax.vmap(ffill)(sign)
+        shifted = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
+                                   prev_sign[:, :-1]], axis=1)
+    else:
+        # plain variant compares against the literal previous sample
+        # (decoder.c:631,645: v_prev), so exact zeros block detection
+        shifted = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
+                                   sign[:, :-1]], axis=1)
+    crossing = nz & (shifted != 0) & (sign != shifted)
+    seg_id = jnp.cumsum(crossing, axis=1)               # [T, S]
+
+    # per-segment extremum of |v| and first sample attaining the threshold
+    nseg = cap + 2
+    seg_c = jnp.minimum(seg_id, nseg - 1)
+    absv = jnp.abs(v)
+    seg_max = jnp.zeros((T, nseg), F32)
+    seg_max = jax.vmap(lambda m, i, a: m.at[i].max(a))(seg_max, seg_c, absv)
+    attain = absv >= ZEROCROSS_PEAK
+    idxs = jnp.broadcast_to(jnp.arange(S, dtype=I32), (T, S))
+    seg_attain = jnp.full((T, nseg), S, I32)
+    seg_attain = jax.vmap(lambda m, i, a: m.at[i].min(a))(
+        seg_attain, jnp.where(attain, seg_c, nseg - 1), idxs)
+
+    # compact crossing positions (ascending) to [T, cap]
+    cross_pos = jnp.where(crossing, idxs, S)
+    pos_rank = jnp.cumsum(crossing, axis=1) - 1
+    scat = jnp.where(crossing, jnp.minimum(pos_rank, cap - 1), cap)
+    cpos = jnp.full((T, cap + 1), S, I32)
+    cpos = jax.vmap(lambda o, st_, v_: o.at[st_].set(v_, mode="drop"))(
+        cpos, scat, jnp.broadcast_to(idxs, (T, S)))
+    ncross = jnp.sum(crossing, axis=1)
+    cpos = cpos[:, :cap]
+    valid = cpos < S
+    cpos_c = jnp.minimum(cpos, S - 1)
+    csign = jnp.take_along_axis(sign, cpos_c, axis=1).astype(I32)
+    cseg = jnp.take_along_axis(seg_c, cpos_c, axis=1)        # segment after
+
+    cur_max = jnp.take_along_axis(seg_max, cseg, axis=1)
+    att = jnp.take_along_axis(seg_attain, cseg, axis=1)
+    attaining = valid & (cur_max > ZEROCROSS_PEAK)
+
+    # "pending" memory: the latest ATTAINING segment before this crossing
+    # must have the opposite sign (mirrors v_top/v_bot excursion tracking
+    # with pending set/cancel across noise wiggles, decoder.c:617-683).
+    # Segment 0 (before the first crossing) seeds the memory: e.g. a
+    # differentiated pulse's leading lobe arms its own trailing crossing.
+    first_nz = jnp.argmax(nz, axis=1)
+    sign0 = jnp.take_along_axis(
+        sign.astype(I32), first_nz[:, None], axis=1)[:, 0]
+    seed = jnp.where(seg_max[:, 0] > ZEROCROSS_PEAK, sign0, 0)[:, None]
+    marks = jnp.where(attaining, csign, 0)
+    def keep_last(a, b):
+        return jnp.where(b != 0, b, a)
+    latest_incl = jax.lax.associative_scan(
+        keep_last, jnp.concatenate([seed, marks], axis=1), axis=1)
+    latest_before = latest_incl[:, :-1]
+    opposite_ok = latest_before == -csign
+
+    if differentiated:
+        # transition time = midpoint of the exact-zero run at the crossing
+        z = sign == 0
+        def zrun_t(zrow):
+            def body(c, zz):
+                c = jnp.where(zz, c + 1, I32(0))
+                return c, c
+            _, out = jax.lax.scan(body, I32(0), zrow)
+            return out
+        runs = jax.vmap(zrun_t)(z)
+        nzrun = jnp.take_along_axis(runs, jnp.maximum(cpos_c - 1, 0), axis=1)
+        t_first = (cpos_c - nzrun).astype(F32)
+        t_last = (cpos_c - 1).astype(F32)
+        t_trans = jnp.where(nzrun > 0, (t_first + t_last) / 2,
+                            cpos_c.astype(F32) - 0.5)
+        ok = valid & opposite_ok
+        det_s = cpos_c
+    else:
+        t_trans = cpos_c.astype(F32)
+        ok = (attaining & opposite_ok &
+              ((att - cpos_c).astype(F32) <= spb * ZEROCROSS_SLOPE))
+        det_s = att
+
+    is_top = csign > 0
+    return dict(t=t_trans, ok=ok, is_top=is_top, det_s=det_s, valid=valid,
+                overflow=jnp.any(ncross > cap))
+
+
+@partial(jax.jit, static_argnames=("cap", "maxb"))
+def gcr_zeros_track_scan(trans_t, trans_ok, cap: int,
+                         clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
+                         spb, maxb: int):
+    """Bit recovery over an extracted zero-crossing transition list."""
+    def step(st, x):
+        t_this, ok = x
+        st2 = gcr_bit_step(st, ok, t_this, z1pt, z2pt, pulse_adj_parm,
+                           clk_window, clk_alpha, spb, maxb)
+        return st2, None
+
+    init = gcr_bit_state_init(spb, maxb)
+    final, _ = jax.lax.scan(step, init, (trans_t, trans_ok))
+    final["peakcount"] = jnp.sum(trans_ok.astype(I32))
+    final["max_agc_gain"] = F32(0.0)
+    final["min_agc_gain"] = cm.FLT_MAX
+    final["incomplete"] = jnp.bool_(False)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# group-level postprocess (decode_gcr.c:503-674) as a scan over 5-bit groups
+# ---------------------------------------------------------------------------
+
+S_PREAMBLE, S_DATA_A, S_DATA_B, S_RESYNC = 0, 1, 2, 3
+S_RESID_A, S_RESID_B, S_CRC_A, S_CRC_B, S_POSTAMBLE = 4, 5, 6, 7, 8
+
+
+def _reorder9_vec(x, order):
+    out = jnp.zeros_like(x)
+    for i in range(9):
+        out = out | (((x >> i) & 1) << int(order[i]))
+    return out
+
+
+def _reverse8_vec(x):
+    out = jnp.zeros_like(x)
+    for i in range(8):
+        out = out | (((x >> i) & 1) << (7 - i))
+    return out
+
+
+def _times_alpha_vec(s):
+    bit7 = (s >> 7) & 1
+    return ((s << 1) & 0xFF) ^ jnp.where(bit7 == 1, 0x39, 0)
+
+
+def _divby_alpha_vec(s):
+    bit0 = s & 1
+    return (s >> 1) ^ jnp.where(bit0 == 1, 0x9C, 0)
+
+
+def gcr_correct_single(frames8):
+    """Single-track ECC correction of one 8-frame group (jnp version of
+    decode_gcr.c:291-315 with bad_tracks=0x01). frames8: [8] int32 in
+    (msb..lsb,P) order. Returns (ok, corrected)."""
+    tom = ((frames8 >> 1) & 0xFF) | ((frames8 & 1) << 8)
+    B = _reorder9_vec(tom, gt.BIT_ORDER)
+    par = cm.parity9(B)
+    S1p = jnp.int32(0xFF)
+    for i in range(8):
+        S1p = S1p ^ (par[i] << i)
+    S2p = jnp.int32(0)
+    for i in range(8):
+        S2p = _times_alpha_vec(S2p) ^ (B[i] & 0xFF)
+    S2p = _reverse8_vec(S2p)
+
+    errloc = jnp.int32(-1)
+    errloc = jnp.where(S2p == 0, 8, errloc)
+    Sxp = S1p
+    found = S2p == 0
+    for i in range(8):
+        hit = (~found) & (S2p == Sxp)
+        errloc = jnp.where(hit, i, errloc)
+        found = found | hit
+        Sxp = _divby_alpha_vec(Sxp)
+    has_err = S1p != 0
+    ok = (~has_err) | (errloc >= 0)
+    do_fix = has_err & (errloc >= 0)
+    loc = jnp.maximum(errloc, 0)
+    corr = jnp.where(do_fix, ((S1p >> jnp.arange(8)) & 1) << loc, 0)
+    B = B ^ corr
+    back = _reorder9_vec(B, gt.UNDO_ORDER)
+    out = ((back & 0xFF) << 1) | ((back >> 8) & 1)
+    return ok, jnp.where(do_fix | (~has_err), out, frames8)
+
+
+def gcr_compute_ecc_vec(frames7):
+    """ECC over 7 frames' data bytes (jnp; decode_gcr.c:127-144)."""
+    bytes7 = (frames7 >> 1) & 0xFF
+    # dblock = big-endian concatenation; split into 28-bit halves
+    lo = jnp.int32(0)
+    hi = jnp.int32(0)
+    for i in range(7):
+        shift = 8 * (6 - i)          # byte i occupies bits [shift, shift+8)
+        b = bytes7[i]
+        if shift >= 28:
+            hi = hi | (b << (shift - 28))
+        elif shift + 8 <= 28:
+            lo = lo | (b << shift)
+        else:                        # straddles the 28-bit boundary
+            lo = lo | ((b << shift) & 0xFFFFFFF)
+            hi = hi | (b >> (28 - shift))
+    lo = lo & 0xFFFFFFF
+    ecc = jnp.int32(0)
+    for i in range(8):
+        p = cm.parity9(lo & int(gt.ECC_LO[i])) ^ cm.parity9(hi & int(gt.ECC_HI[i]))
+        ecc = ecc | (p << i)
+    return ecc
+
+
+def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
+                    maxb: int):
+    """One parmset lane: bits [T=9, maxb] storage bits, dcs [9] counts.
+    Returns decoded frames + error counts (decode_gcr.c:503-674)."""
+    T = 9
+    trk = jnp.arange(T)
+    ngroups = maxb // 5
+    datamap = jnp.asarray(gt.GCR_DATAMAP)
+
+    # precompute per-group 5-bit codes for every track: [T, ngroups]
+    gbits = bits[:, :ngroups * 5].astype(I32).reshape(T, ngroups, 5)
+    weights = jnp.asarray([16, 8, 4, 2, 1], I32)
+    sgroups = jnp.sum(gbits * weights[None, None, :], axis=-1)  # [T, G]
+
+    def step(st, g):
+        sg = sgroups[:, g]                        # [T]
+        in_range = (g * 5 + 5) <= maxbits
+        sub = sg[0]                               # master track (MTRK=0)
+        state = st["state"]
+
+        nibble_raw = datamap[sg]                  # [T]
+        bad_code = nibble_raw >= 16
+        nibble = jnp.where(bad_code, nibble_raw - 16, nibble_raw)
+        # 4 frames from the track nibbles
+        frames4 = jnp.stack([
+            jnp.sum(((nibble >> (3 - k)) & 1) << (T - 1 - trk))
+            for k in range(4)])                   # [4]
+        par4 = cm.parity9(frames4)
+        nbad_par = jnp.sum((par4 != expected_parity).astype(I32))
+        nbad_codes = jnp.sum(bad_code.astype(I32))
+
+        is_mark1 = sub == gt.GCR_MARK1
+        is_mark2 = sub == gt.GCR_MARK2
+        is_sync = sub == gt.GCR_SYNC
+
+        store = jnp.bool_(False)
+        nstate = state
+        bp = st["bad_parity"]
+        out = dict(st)
+
+        # -- transitions --
+        pre_to_data = (state == S_PREAMBLE) & is_mark1
+        nstate = jnp.where(pre_to_data, S_DATA_A, nstate)
+        out["bytenum"] = jnp.where(pre_to_data, 0, st["bytenum"])
+
+        da = state == S_DATA_A
+        da_resync = da & is_mark2
+        da_resid = da & ~is_mark2 & is_sync
+        da_store = da & ~is_mark2 & ~is_sync
+        nstate = jnp.where(da_resync, S_RESYNC,
+                  jnp.where(da_resid, S_RESID_A,
+                   jnp.where(da_store, S_DATA_B, nstate)))
+        bp = jnp.where(da_store, 0, bp)
+
+        db = state == S_DATA_B
+        nstate = jnp.where(db, S_DATA_A, nstate)
+
+        rs = state == S_RESYNC
+        nstate = jnp.where(rs & is_mark1, S_DATA_A, nstate)
+        bad_resync = rs & ~is_mark1 & ~is_sync
+
+        ra = state == S_RESID_A
+        rb = state == S_RESID_B
+        ca = state == S_CRC_A
+        cb = state == S_CRC_B
+        nstate = jnp.where(ra, S_RESID_B,
+                  jnp.where(rb, S_CRC_A,
+                   jnp.where(ca, S_CRC_B,
+                    jnp.where(cb, S_POSTAMBLE, nstate))))
+
+        store = da_store | db | ra | rb | ca | cb
+        store = store & in_range
+        nstate = jnp.where(in_range, nstate, state)
+
+        # -- store the 4 frames --
+        bn = out["bytenum"]
+        widx = jnp.where(store, jnp.minimum(bn + jnp.arange(4), maxb - 1),
+                         maxb)
+        data = st["data"].at[widx].set(frames4, mode="drop")
+        bp = jnp.where(store, bp + nbad_par, bp)
+        out["bad_dgroups"] = st["bad_dgroups"] + jnp.where(
+            store, nbad_codes, 0)
+        out["gcr_bad_sequence"] = st["gcr_bad_sequence"] + jnp.where(
+            bad_resync & in_range, 1, 0)
+        bn = jnp.where(store, bn + 4, bn)
+
+        # -- group-B processing: ECC check / correction, parity tally --
+        isdb = db & in_range
+        frames8 = jax.lax.dynamic_slice(
+            data, (jnp.clip(bn - 8, 0, maxb - 8),), (8,))
+        ecc_ok = gcr_compute_ecc_vec(frames8[:7]) == ((frames8[7] >> 1) & 0xFF)
+        ecc_err0 = isdb & ~ecc_ok
+        out["ecc_errs"] = st["ecc_errs"] + ecc_err0.astype(I32)
+
+        vpar = st["vparity_errs"]
+        corrected = st["corrected_bits"]
+        if do_correct:
+            fix_ok, fixed = gcr_correct_single(frames8)
+            do_fix = isdb & (bp > 0) & fix_ok
+            data = jax.lax.dynamic_update_slice(
+                data, jnp.where(do_fix, fixed, frames8),
+                (jnp.clip(bn - 8, 0, maxb - 8),))
+            new_bp = jnp.sum(
+                (cm.parity9(fixed) != expected_parity).astype(I32))
+            ecc2_ok = gcr_compute_ecc_vec(fixed[:7]) == ((fixed[7] >> 1) & 0xFF)
+            out["ecc_errs"] = out["ecc_errs"] + (do_fix & ~ecc2_ok).astype(I32)
+            corrected = corrected + do_fix.astype(I32)
+            bp = jnp.where(do_fix, new_bp, bp)
+        vpar = vpar + jnp.where(isdb, bp, 0)
+        bn = jnp.where(isdb, bn - 1, bn)      # drop the ECC byte
+
+        # -- CRC group B: extract residual count and trim --
+        iscb = cb & in_range
+        resid_char = data[jnp.clip(bn - 2, 0, maxb - 1)]
+        resid_cnt = resid_char >> 6
+        bn = jnp.where(iscb, bn - (16 - resid_cnt), bn)
+
+        out["data"] = data
+        out["bytenum"] = bn
+        out["bad_parity"] = bp
+        out["vparity_errs"] = vpar
+        out["corrected_bits"] = corrected
+        out["state"] = nstate
+        return out, None
+
+    init = dict(state=I32(S_PREAMBLE), bytenum=I32(0),
+                data=jnp.zeros(maxb, I32), bad_parity=I32(0),
+                vparity_errs=I32(0), ecc_errs=I32(0), bad_dgroups=I32(0),
+                gcr_bad_sequence=I32(0), corrected_bits=I32(0))
+    final, _ = jax.lax.scan(step, init, jnp.arange(ngroups))
+    return final
+
+
+def gcr_finish(finals, T: int, expected_parity, revparity, do_correct,
+               maxb: int):
+    """gcr_end_of_block (decode_gcr.c:682-729) for one parmset lane."""
+    trk = jnp.arange(T)
+    dc = finals["datacount"]
+    pc = finals["peakcount"]
+    minbits = jnp.min(dc)
+    maxbits = jnp.max(dc)
+    started = maxbits > 0
+
+    avg_sp = jnp.mean((finals["t_lastbit"] - finals["t_firstbit"]) /
+                      jnp.maximum(dc, 1).astype(F32))
+
+    is_noise = maxbits <= 10
+    live = jnp.asarray([1, 0, 1, 0, 0, 1, 1, 1, 1], bool)
+    is_tm = ((~is_noise) &
+             jnp.all(jnp.where(live, (dc >= 250) & (dc <= 400), True)) &
+             jnp.all(jnp.where(~live, pc <= 2, True)))
+    mismatch = maxbits - minbits
+    is_bad = (~is_noise) & (~is_tm) & (mismatch > 2)
+    is_block = (~is_noise) & (~is_tm) & (~is_bad)
+
+    post = gcr_postprocess(finals["bits"], dc, maxbits,
+                           expected_parity, do_correct, maxb)
+    n = post["bytenum"]
+
+    blktype = jnp.where(~started, 0,
+               jnp.where(is_noise, BS_NOISE,
+                jnp.where(is_tm, BS_TAPEMARK,
+                 jnp.where(is_bad, BS_BADBLOCK, BS_BLOCK))))
+    vpar = jnp.where(is_block, post["vparity_errs"], 0)
+    ecc = jnp.where(is_block, post["ecc_errs"], 0)
+    badseq = jnp.where(is_block, post["gcr_bad_sequence"], 0)
+    baddg = jnp.where(is_block, post["bad_dgroups"], 0)
+    corrected = jnp.where(is_block, post["corrected_bits"], 0)
+    errcount = jnp.where(is_bad, mismatch, 0) + vpar + ecc + badseq
+    warncount = baddg + corrected
+
+    return dict(
+        blktype=blktype,
+        minbits=jnp.where(is_block, n, minbits),
+        maxbits=jnp.where(is_block, n, maxbits),
+        track_mismatch=jnp.where(is_bad, mismatch, 0),
+        vparity_errs=vpar, crc_errs=jnp.int32(0), lrc_errs=jnp.int32(0),
+        ecc_errs=ecc, gcr_bad_dgroups=baddg, gcr_bad_sequence=badseq,
+        errcount=errcount, warncount=warncount,
+        missed_midbits=jnp.int32(0), corrected_bits=corrected,
+        faked_tracks=jnp.int32(0),
+        avg_bit_spacing=avg_sp, frames=post["data"],
+        hist=jnp.zeros((T, 50), I32), trksums=jnp.zeros(T, I32),
+        consume_overflow=jnp.any(finals["incomplete"]),
+        alltrk_max_agc=jnp.max(finals["max_agc_gain"]),
+        alltrk_min_agc=jnp.min(finals["min_agc_gain"]),
+    )

@@ -29,6 +29,7 @@ import numpy as np
 from ..formats import tbin as tb
 from ..formats.parms import ParmSets, builtin_parmsets
 from . import common as cm
+from . import gcr as gcr_mod
 from . import nrzi as nrzi_mod
 from . import pe as pe_mod
 from . import segment as seg
@@ -218,6 +219,51 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     return res
 
 
+def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+                        pa: ParmArrays, spb, expected_parity, revparity,
+                        rise_floor, min_floor,
+                        *, S, T, P, nsteps, maxb, Ws, do_correct,
+                        find_zeros, differentiate, spb_int):
+    v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
+                    S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+    spb_f = jnp.float32(spb)
+
+    overflow = None
+    if find_zeros:
+        # zero-crossing transition extraction is data-parallel (no AGC);
+        # parmsets differ only in the bit-recovery knobs
+        trans = gcr_mod.zerocross_transitions(v, spb_f, nsteps,
+                                              differentiate)
+        overflow = trans["overflow"]
+        lane = jax.vmap(   # over tracks
+            lambda tt, ok, *p: gcr_mod.gcr_zeros_track_scan(
+                tt, ok, nsteps, *p, spb_f, maxb),
+            in_axes=(0, 0) + (None,) * 5)
+        finals = jax.vmap(  # over parmsets
+            lambda *p: lane(trans["t"], trans["ok"] & trans["valid"], *p)
+        )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
+    else:
+        def scan_one(W, nxt, idxs):
+            sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
+            lane = jax.vmap(   # over tracks
+                lambda vt, nx, *p: gcr_mod.gcr_track_scan(
+                    vt, nx, W, S, nsteps, *p, spb_f, maxb)[0],
+                in_axes=(0, 0) + (None,) * 9)
+            return jax.vmap(   # over the parmsets sharing this W
+                lambda *p: lane(v, nxt, *p)
+            )(sub.pkww_rise, sub.min_peak, sub.agc_alpha, sub.agc_window,
+              sub.clk_window, sub.clk_alpha, sub.z1pt, sub.z2pt,
+              sub.pulse_adj)
+        finals = _per_w_scan(v, Ws, _w_groups(Ws), rise_floor, min_floor,
+                             scan_one, P)
+
+    res = jax.vmap(lambda f: gcr_mod.gcr_finish(
+        f, T, expected_parity, revparity, do_correct, maxb))(finals)
+    res["event_overflow"] = (jnp.any(finals["incomplete"])
+                             if overflow is None else overflow)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # best-decoding selection (readtape.c:1776-1843)
 # ---------------------------------------------------------------------------
@@ -389,6 +435,17 @@ class TapeDecoder:
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
                 rise_floor, min_floor,
                 S=S, T=T, P=self.P, nsteps=nsteps, maxb=maxb, Ws=Ws,
+                differentiate=opts.differentiate,
+                spb_int=int(spb) if opts.bpi > 0 else 20)
+        elif opts.mode == tb.MODE_GCR:
+            res = _gcr_segment_device(
+                v, jnp.float32(opts.maxvolts),
+                jnp.float32(-1.0 if opts.invert else 1.0),
+                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
+                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
+                rise_floor, min_floor,
+                S=S, T=T, P=self.P, nsteps=nsteps, maxb=maxb, Ws=Ws,
+                do_correct=opts.do_correct, find_zeros=opts.find_zeros,
                 differentiate=opts.differentiate,
                 spb_int=int(spb) if opts.bpi > 0 else 20)
         else:
