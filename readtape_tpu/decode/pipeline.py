@@ -34,6 +34,7 @@ from . import nrzi as nrzi_mod
 from . import pe as pe_mod
 from . import segment as seg
 from . import stage1, trackscan
+from . import ww as ww_mod
 from .common import F32, I32, ParmArrays
 
 BS_NAMES = {0: "BS_NONE", 1: "BS_TAPEMARK", 2: "BS_NOISE",
@@ -547,7 +548,109 @@ def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None):
     """Decode a whole tape. Returns (blocks, stats dict)."""
     if opts.mode in (tb.MODE_NRZI, tb.MODE_PE, tb.MODE_GCR):
         return _decode_tape_nrzi_like(samples, opts, log)
+    if opts.mode == tb.MODE_WW:
+        return _decode_tape_ww(samples, opts, log)
     raise NotImplementedError(f"mode {opts.mode}")
+
+
+def _decode_tape_ww(samples, opts, log):
+    """Whirlwind: the whole tape decodes in one pass (blocks can abut;
+    decode_ww.c:29-31), no multi-parmset retry (readtape.c:1987)."""
+    type_to_trk, head_to_trk, ntrks = ww_mod.parse_ww_order(opts.ww_order)
+    used = [h for h, t in enumerate(head_to_trk) if t >= 0]
+    samples = samples[:, used]
+    perm = [head_to_trk[h] for h in used]
+    cols = np.zeros(ntrks, np.int64)
+    for pos, trkn in enumerate(perm):
+        cols[trkn] = pos
+    samples = samples[:, cols]
+
+    T = ntrks
+    N = samples.shape[0]
+    S = seg.bucket_length(N)
+    v_i16 = jnp.asarray(np.ascontiguousarray(samples.T))
+    if v_i16.shape[1] < S:
+        v_i16 = jnp.pad(v_i16, ((0, 0), (0, S - v_i16.shape[1])))
+    h_est = seg.estimate_height(samples, opts.maxvolts)
+    skew = np.zeros(T, np.int32)
+    if opts.skew is not None:
+        skew[:len(opts.skew)] = opts.skew
+
+    spb = opts.spb
+    p0 = opts.parmsets[0]
+    W = cm.pkww_width_for(p0.pkww_bitfrac, opts.bpi, opts.ips, opts.deltat)
+    nsteps = int(S / spb * 3.2) + 64
+
+    v = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
+                    jnp.float32(-1.0 if opts.invert else 1.0),
+                    jnp.asarray(skew, I32), S=S, T=T,
+                    differentiate=opts.differentiate, spb_int=int(spb))
+    scale = min(1.0, h_est / cm.PKWW_PEAKHEIGHT)
+    rise_floor = jnp.full(T, p0.pkww_rise * scale / cm.AGC_MAX_VALUE * 0.8,
+                          F32)
+    min_floor = jnp.full(T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
+    nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
+
+    lane = jax.vmap(lambda vt, nx: ww_mod.ww_track_scan(
+        vt, nx, W, S, nsteps, p0.pkww_rise, p0.min_peak,
+        p0.agc_alpha, p0.agc_window, cm.PKWW_PEAKHEIGHT))
+    finals, outs = lane(v, nxt)
+
+    K = nsteps
+    trans, counts = trackscan.compact_admitted(
+        outs["admit"], dict(s_det=outs["s_det"], t_peak=outs["t_peak"],
+                            is_top=outs["is_top"]),
+        K, nrzi_mod.BIG_S)
+    Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
+    merged = ww_mod.merge_transitions(trans, T, Mcap)
+
+    maxchars = int(S / spb) + 256
+    fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
+               "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
+    res = ww_mod.ww_global_scan(
+        merged["trk"], merged["t_peak"], merged["s_det"],
+        merged["is_top"], merged["valid"],
+        jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+        jnp.float32(spb),
+        pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+        pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+        pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+        alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+        alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+        alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
+        T=T, maxchars=maxchars, maxblocks=4096, fluxdir_req=fluxdir)
+    res_host = jax.tree.map(np.asarray, res)
+    raw = ww_mod.assemble_ww_blocks(res_host, spb, opts.reverse)
+
+    blocks = []
+    stats = dict(nblocks=0, ntapemarks=0, nerrblocks=0, nwarnblocks=0,
+                 nunusable=0, nmismatched=0, nmidbiterr=0, ncorrected=0,
+                 ngoodmultiple=0, tried=np.zeros(1, int),
+                 chosen=np.zeros(1, int), deskew_percent=0.0,
+                 skew=skew.tolist())
+    for rb in raw:
+        if stats["nblocks"] >= opts.blklimit:
+            break
+        if rb["kind"] == "tapemark":
+            blocks.append(BlockResult("tapemark"))
+            stats["ntapemarks"] += 1
+            continue
+        w = rb["warnings"]
+        err = w["ww_bad_length"] + w["ww_speed_err"]
+        warn = (w["ww_leading_clock"] + w["ww_missing_onebit"] +
+                w["ww_missing_clock"])
+        detail = dict(w)
+        detail["avg_bit_spacing"] = w["avg_bit_spacing"]
+        blocks.append(BlockResult("data", rb["data"], errcount=err,
+                                  warncount=warn, detail=detail))
+        stats["nblocks"] += 1
+        stats["tried"][0] += 1
+        stats["chosen"][0] += 1
+        if err:
+            stats["nerrblocks"] += 1
+        if warn:
+            stats["nwarnblocks"] += 1
+    return blocks, stats
 
 
 def _decode_tape_nrzi_like(samples, opts, log):

@@ -1,0 +1,361 @@
+"""Whirlwind I decoder (6-track 100 BPI, 2 bits per tape character).
+
+Whirlwind tapes carry redundant primary/alternate clock, MSB and LSB tracks
+(decode_ww.c). A "pulse" is a full flux excursion -- two opposite peaks
+(start + end). Data bits are pulses on the MSB/LSB tracks within one bit time
+before a clock pulse end; a blockmark is an LSB pulse with no clock running.
+Blocks can abut within a bit time, so (like the reference, which never resets
+peak state between WW blocks) the whole tape decodes as ONE pass:
+
+  1. per-track jump scans admit peaks (AGC on every pulse edge),
+  2. the admitted transitions of all tracks merge in detection order,
+  3. a single global scan replays the reference's pulse/clock/blockmark state
+     machine, emitting 2-bit characters and block boundaries,
+  4. block assembly (8 chars -> 16-bit words, leading-clock trim, -reverse)
+     is done per block on the host (cheap).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import common as cm
+from . import trackscan as ts
+from .common import F32, I32
+from .nrzi import BS_BLOCK, BS_TAPEMARK
+
+WWTRK_PRICLK, WWTRK_PRILSB, WWTRK_PRIMSB = 0, 1, 2
+WWTRK_ALTCLK, WWTRK_ALTLSB, WWTRK_ALTMSB = 3, 4, 5
+NOTRK = -1
+
+FLUX_POS, FLUX_NEG, FLUX_AUTO = 0, 1, 2
+
+
+def parse_ww_order(order: str):
+    """-order string like "CMLcml" -> dict of track-type -> track index
+    (tracks numbered in head order, ignoring 'x'; readtape.c:869-902)."""
+    type_to_trk = {k: NOTRK for k in range(6)}
+    head_to_trk = []
+    sym = {"C": WWTRK_PRICLK, "L": WWTRK_PRILSB, "M": WWTRK_PRIMSB,
+           "c": WWTRK_ALTCLK, "l": WWTRK_ALTLSB, "m": WWTRK_ALTMSB}
+    ntrks = 0
+    for head, ch in enumerate(order):
+        if ch == "x":
+            head_to_trk.append(NOTRK)
+            continue
+        if ch not in sym:
+            raise ValueError(f"bad Whirlwind track order symbol: {ch}")
+        type_to_trk[sym[ch]] = ntrks
+        head_to_trk.append(ntrks)
+        ntrks += 1
+    for need, name in [(WWTRK_PRICLK, "C"), (WWTRK_PRIMSB, "M"),
+                       (WWTRK_PRILSB, "L")]:
+        if type_to_trk[need] == NOTRK:
+            raise ValueError(f"primary track '{name}' wasn't assigned")
+    return type_to_trk, head_to_trk, ntrks
+
+
+@partial(jax.jit, static_argnames=("W", "S", "nsteps"))
+def ww_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+                  rise_parm, min_parm, agc_alpha, agc_window,
+                  v_avg_height_init):
+    """Admission + the WW AGC policy: adjust_agc on every pulse edge
+    (decode_ww.c:171,190). v_avg_height comes from the deskew pass when
+    available (decoder.c:484-497), else the nominal value."""
+
+    def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
+        admit = admit_top | admit_bot
+        st2["peakcount"] = st["peakcount"] + admit.astype(I32)
+        agc_new = cm.adjust_agc(st2, agc_alpha, agc_window)
+        st3 = dict(st2)
+        for k in ("agc_gain", "v_heights", "heightndx",
+                  "max_agc_gain", "min_agc_gain"):
+            st3[k] = jnp.where(admit, agc_new[k], st2[k])
+        st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
+        st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
+        return st3, {}
+
+    init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32)}
+    return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
+                            rise_parm, min_parm)
+
+
+def merge_transitions(trans, T: int, cap: int):
+    """trans: dict of [T, K] compacted per-track transitions. Merge into one
+    detection-ordered stream [cap]: within a sample, lower tracks first (the
+    reference's per-sample track loop order)."""
+    K = trans["s_det"].shape[1]
+    key = (jnp.minimum(trans["s_det"], 2 ** 26) * 16 +
+           jnp.arange(T, dtype=I32)[:, None])
+    flat_key = key.reshape(-1)
+    order = jnp.argsort(flat_key)[:cap]
+    out = {k: v.reshape(-1)[order] for k, v in trans.items()}
+    out["trk"] = (flat_key[order] % 16).astype(I32)
+    out["valid"] = out["s_det"] < 2 ** 26
+    return out
+
+
+@partial(jax.jit, static_argnames=(
+    "pri_clk", "pri_lsb", "pri_msb", "alt_clk", "alt_lsb", "alt_msb",
+    "T", "maxchars", "maxblocks", "fluxdir_req"))
+def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
+                   clk_window, clk_alpha, spb,
+                   *, pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb,
+                   T, maxchars, maxblocks, fluxdir_req):
+    """The merged-stream state machine (decode_ww.c:51-271)."""
+    clk_trks = [t for t in (pri_clk, alt_clk) if t >= 0]
+    lsb_trks = [t for t in (pri_lsb, alt_lsb) if t >= 0]
+
+    def emit_block(st, btype, end_t):
+        """Record a block boundary (ww_end_of_block / ww_blockmark)."""
+        i = jnp.minimum(st["nblocks"], maxblocks - 1)
+        blk = dict(st)
+        for name, val in [
+                ("b_start", st["blockstart_char"]),
+                ("b_end", st["datacount"]),
+                ("b_type", btype),
+                ("b_bitspace", st["clkavg"]["t_bitspaceavg"]),
+                ("b_leadclk", jnp.int32(0)),
+                ("b_missing1", st["w_missing_onebit"]),
+                ("b_missingclk", st["w_missing_clock"])]:
+            blk[name] = st[name].at[i].set(val)
+        blk["nblocks"] = st["nblocks"] + 1
+        blk["blockstart_char"] = st["datacount"]
+        blk["w_missing_onebit"] = jnp.int32(0)
+        blk["w_missing_clock"] = jnp.int32(0)
+        # ww_init_blockstate: reset clock + per-track peak memory
+        blk["clkavg"] = cm.clkavg_init(spb)
+        blk["t_lastclkpulsestart"] = F32(0.0)
+        blk["t_lastclkpulseend"] = F32(0.0)
+        blk["t_lastpriclkpulseend"] = F32(0.0)
+        blk["t_lastpriclkpulsestart"] = F32(0.0)
+        blk["t_lastaltclkpulsestart"] = F32(0.0)
+        blk["datablock"] = jnp.bool_(False)
+        blk["trk_lastpeak"] = jnp.zeros(T, F32)
+        blk["trk_prevlastpeak"] = jnp.zeros(T, F32)
+        return blk
+
+    def chk_databits(st, clkend):
+        """ww_chk_databits at a clock pulse end (decode_ww.c:51-92)."""
+        b = st["clkavg"]["t_bitspaceavg"]
+        def chk(trk):
+            if trk < 0:
+                return jnp.int32(0)
+            tps = st["trk_lastpulsestart"][trk]
+            hit = (tps > clkend - b) & (tps < clkend)
+            return jnp.where(hit, 1, 2)
+        r_pm = chk(pri_msb)
+        r_am = chk(alt_msb)
+        r_pl = chk(pri_lsb)
+        r_al = chk(alt_lsb)
+        msb = ((r_pm == 1) | (r_am == 1)).astype(I32)
+        lsb = ((r_pl == 1) | (r_al == 1)).astype(I32)
+        miss = ((r_pm | r_am) == 3).astype(I32) + ((r_pl | r_al) == 3).astype(I32)
+        ch = (msb << 1) | lsb
+        i = jnp.minimum(st["datacount"], maxchars - 1)
+        out = dict(st)
+        out["chars"] = st["chars"].at[i].set(ch.astype(jnp.int8))
+        out["datacount"] = jnp.minimum(st["datacount"] + 1, maxchars)
+        out["w_missing_onebit"] = st["w_missing_onebit"] + miss
+        return out
+
+    def step(st, x):
+        trk, t, s_det, is_top, valid = x
+        b = st["clkavg"]["t_bitspaceavg"]
+
+        # block end between events: the clock stopped (decoder.c:892-894)
+        ended = (valid & st["datablock"] & (st["t_lastclkpulseend"] > 0) &
+                 (s_det.astype(F32) - st["t_lastclkpulseend"] >
+                  b * cm.WW_CLKSTOP_BITS))
+        # queued blockmark: an LSB pulse end straggling past the last clock
+        # (decode_ww.c:148-158)
+        lsb_strag = jnp.bool_(False)
+        for lt in lsb_trks:
+            lsb_strag = lsb_strag | (
+                st["trk_lastpulseend"][lt] - st["t_lastclkpulseend"] >
+                b * cm.WW_PEAKSCLOSE_BITS)
+        st = jax.tree.map(
+            lambda a, bb: jnp.where(ended, a, bb),
+            emit_block(st, jnp.int32(BS_BLOCK), t), st)
+        emit_mark = ended & lsb_strag
+        st = jax.tree.map(
+            lambda a, bb: jnp.where(emit_mark, a, bb),
+            emit_block(st, jnp.int32(BS_TAPEMARK), t), st)
+        st["t_lastblockmark"] = jnp.where(emit_mark, t,
+                                          st["t_lastblockmark"])
+
+        # flux direction (decode_ww.c:244-271)
+        if fluxdir_req == FLUX_AUTO:
+            faraway = (t - st["ww_lastpeak"]) > b * cm.WW_PEAKSFAR_BITS
+            st["flux"] = jnp.where(
+                valid & faraway,
+                jnp.where(is_top, FLUX_POS, FLUX_NEG), st["flux"])
+            flux = st["flux"]
+        else:
+            flux = jnp.int32(fluxdir_req)
+        st["ww_lastpeak"] = jnp.where(valid, t, st["ww_lastpeak"])
+
+        is_start = valid & (is_top == (flux == FLUX_POS))
+        is_end = valid & ~is_start
+
+        is_clk = jnp.zeros((), bool)
+        for ct in clk_trks:
+            is_clk = is_clk | (trk == ct)
+        is_pri_clk = (trk == pri_clk) if pri_clk >= 0 else jnp.bool_(False)
+        is_alt_clk = (trk == alt_clk) if alt_clk >= 0 else jnp.bool_(False)
+        is_lsb = jnp.zeros((), bool)
+        for lt in lsb_trks:
+            is_lsb = is_lsb | (trk == lt)
+
+        # ---- pulse start (decode_ww.c:167-183) ----
+        ps = is_start
+        st["trk_lastpulsestart"] = st["trk_lastpulsestart"].at[
+            jnp.where(ps, trk, T)].set(t, mode="drop")
+        start_clk = ps & is_clk
+        st["datablock"] = st["datablock"] | start_clk
+        prevpeak = st["trk_prevlastpeak"][jnp.clip(trk, 0, T - 1)]
+        clk_close = (t - prevpeak) < b * cm.WW_PEAKSFAR_BITS
+        adj = cm.adjust_clock(st["clkavg"], t - prevpeak,
+                              clk_window, clk_alpha, spb)
+        st["clkavg"] = jax.tree.map(
+            lambda n, o: jnp.where(start_clk & clk_close, n, o),
+            adj, st["clkavg"])
+        st["t_lastclkpulsestart"] = jnp.where(start_clk, t,
+                                              st["t_lastclkpulsestart"])
+        st["t_lastpriclkpulsestart"] = jnp.where(
+            ps & is_pri_clk, t, st["t_lastpriclkpulsestart"])
+        st["t_lastaltclkpulsestart"] = jnp.where(
+            ps & is_alt_clk, t, st["t_lastaltclkpulsestart"])
+
+        # ---- pulse end (decode_ww.c:185-232) ----
+        pe = is_end
+        st["trk_lastpulseend"] = st["trk_lastpulseend"].at[
+            jnp.where(pe, trk, T)].set(t, mode="drop")
+        end_clk = pe & is_clk
+        do_chk = end_clk & ((t - st["t_lastclkpulseend"]) >
+                            b * cm.WW_PEAKSCLOSE_BITS)
+        st = jax.tree.map(lambda a, bb: jnp.where(do_chk, a, bb),
+                          chk_databits(st, t), st)
+        st["t_lastclkpulseend"] = jnp.where(end_clk, t,
+                                            st["t_lastclkpulseend"])
+        # missing-clock warnings (decode_ww.c:210-223)
+        end_pri = pe & is_pri_clk
+        miss_alt = (end_pri & (st["t_lastaltclkpulsestart"] > 0) &
+                    (st["t_lastaltclkpulsestart"] < t - b))
+        end_alt = pe & is_alt_clk
+        miss_pri = (end_alt & (st["t_lastpriclkpulsestart"] > 0) &
+                    (st["t_lastpriclkpulsestart"] < t - b))
+        st["w_missing_clock"] = (st["w_missing_clock"] +
+                                 miss_alt.astype(I32) + miss_pri.astype(I32))
+        st["t_lastpriclkpulseend"] = jnp.where(end_pri, t,
+                                               st["t_lastpriclkpulseend"])
+        # standalone blockmark: LSB pulse end with no clock running
+        bm = (pe & is_lsb & (st["t_lastclkpulsestart"] == 0) &
+              (t - st["t_lastblockmark"] > b))
+        st = jax.tree.map(lambda a, bb: jnp.where(bm, a, bb),
+                          emit_block(st, jnp.int32(BS_TAPEMARK), t), st)
+        st["t_lastblockmark"] = jnp.where(bm, t, st["t_lastblockmark"])
+
+        # per-track peak history (process_up/down_transition tail)
+        tix = jnp.where(valid, trk, T)
+        st["trk_prevlastpeak"] = st["trk_prevlastpeak"].at[tix].set(
+            st["trk_lastpeak"][jnp.clip(trk, 0, T - 1)], mode="drop")
+        st["trk_lastpeak"] = st["trk_lastpeak"].at[tix].set(t, mode="drop")
+        return st, None
+
+    init = dict(
+        chars=jnp.zeros(maxchars, jnp.int8),
+        datacount=I32(0),
+        blockstart_char=I32(0),
+        nblocks=I32(0),
+        b_start=jnp.zeros(maxblocks, I32),
+        b_end=jnp.zeros(maxblocks, I32),
+        b_type=jnp.zeros(maxblocks, I32),
+        b_bitspace=jnp.zeros(maxblocks, F32),
+        b_leadclk=jnp.zeros(maxblocks, I32),
+        b_missing1=jnp.zeros(maxblocks, I32),
+        b_missingclk=jnp.zeros(maxblocks, I32),
+        clkavg=cm.clkavg_init(spb),
+        datablock=jnp.bool_(False),
+        t_lastclkpulsestart=F32(0.0),
+        t_lastclkpulseend=F32(0.0),
+        t_lastpriclkpulsestart=F32(0.0),
+        t_lastaltclkpulsestart=F32(0.0),
+        t_lastpriclkpulseend=F32(0.0),
+        t_lastblockmark=F32(0.0),
+        ww_lastpeak=F32(0.0),
+        flux=jnp.int32(FLUX_NEG if fluxdir_req == FLUX_AUTO else fluxdir_req),
+        trk_lastpulsestart=jnp.zeros(T, F32),
+        trk_lastpulseend=jnp.zeros(T, F32),
+        trk_lastpeak=jnp.zeros(T, F32),
+        trk_prevlastpeak=jnp.zeros(T, F32),
+        w_missing_onebit=I32(0),
+        w_missing_clock=I32(0),
+        num_flux_changes=I32(0),
+    )
+    final, _ = jax.lax.scan(step, init,
+                            (m_trk, m_t, m_s, m_is_top, m_valid))
+    # flush a trailing block (samples continue past the last event, so the
+    # clock-stop check would have fired eventually)
+    lsb_strag = jnp.bool_(False)
+    for lt in lsb_trks:
+        lsb_strag = lsb_strag | (
+            final["trk_lastpulseend"][lt] - final["t_lastclkpulseend"] >
+            final["clkavg"]["t_bitspaceavg"] * cm.WW_PEAKSCLOSE_BITS)
+    ended = final["datablock"] & (final["t_lastclkpulseend"] > 0)
+    final2 = jax.tree.map(
+        lambda a, bb: jnp.where(ended, a, bb),
+        emit_block(final, jnp.int32(BS_BLOCK), final["t_lastclkpulseend"]),
+        final)
+    emit_mark = ended & lsb_strag
+    final2 = jax.tree.map(
+        lambda a, bb: jnp.where(emit_mark, a, bb),
+        emit_block(final2, jnp.int32(BS_TAPEMARK),
+                   final2["t_lastclkpulseend"]), final2)
+    return final2
+
+
+def assemble_ww_blocks(res_host, spb, reverse: bool):
+    """Host-side block assembly (ww_assemble_data, decode_ww.c:94-127)."""
+    out = []
+    chars = res_host["chars"]
+    n = int(res_host["nblocks"])
+    for i in range(min(n, len(res_host["b_start"]))):
+        btype = int(res_host["b_type"][i])
+        if btype == BS_TAPEMARK:
+            out.append(dict(kind="tapemark", data=b"", warnings={}))
+            continue
+        a, b = int(res_host["b_start"][i]), int(res_host["b_end"][i])
+        two = np.asarray(chars[a:b], np.int32)
+        lead = 0
+        if len(two) % 8 == 1 and len(two) >= 9:
+            # a spurious leading clock produced one extra char: drop it
+            two = two[1:]
+            lead = 1
+        if reverse:
+            two = two[::-1]
+        nbytes = len(two) // 4
+        usable = two[:nbytes * 4]
+        if len(usable):
+            quads = usable.reshape(-1, 4)
+            byts = ((quads[:, 0] << 6) | (quads[:, 1] << 4) |
+                    (quads[:, 2] << 2) | quads[:, 3]).astype(np.uint8)
+        else:
+            byts = np.zeros(0, np.uint8)
+        bitspace = float(res_host["b_bitspace"][i])
+        speed_err = 1 if abs(bitspace - spb) / spb > cm.WW_MAX_CLK_VARIATION \
+            else 0
+        warnings = dict(
+            ww_leading_clock=lead,
+            ww_missing_onebit=int(res_host["b_missing1"][i]),
+            ww_missing_clock=int(res_host["b_missingclk"][i]),
+            ww_bad_length=0 if len(two) % 8 == 0 else 1,
+            ww_speed_err=speed_err,
+            avg_bit_spacing=bitspace,
+        )
+        out.append(dict(kind="data", data=byts.tobytes(), warnings=warnings))
+    return out

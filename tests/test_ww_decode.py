@@ -1,0 +1,76 @@
+"""End-to-end tests of the TPU Whirlwind decoder."""
+
+import numpy as np
+
+from readtape_tpu.formats import tbin as tb
+from readtape_tpu.synth import default_spec, synthesize_tape
+from readtape_tpu.decode.pipeline import DecodeOptions, decode_tape
+
+
+def _words_bytes(words):
+    return b"".join(bytes([w >> 8, w & 0xFF]) for w in words)
+
+
+def _decode(spec, items, **opt_kw):
+    hdr, samples = synthesize_tape(spec, items)
+    kw = dict(mode=spec.mode, ntrks=spec.ntrks, bpi=spec.bpi, ips=spec.ips,
+              deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts,
+              ww_order=spec.ww_order, multiple_tries=False)
+    kw.update(opt_kw)
+    return decode_tape(samples, DecodeOptions(**kw))
+
+
+def test_ww_basic():
+    rng = np.random.default_rng(40)
+    words = [int(w) for w in rng.integers(0, 65536, 40)]
+    out, stats = _decode(default_spec(tb.MODE_WW),
+                         [("block", words), ("tapemark",),
+                          ("block", words[:8])],
+                         fluxdir="neg")
+    datas = [b.data for b in out if b.kind == "data"]
+    assert datas == [_words_bytes(words), _words_bytes(words[:8])]
+    assert sum(1 for b in out if b.kind == "tapemark") == 1
+    assert all(b.errcount == 0 and b.warncount == 0 for b in out)
+
+
+def test_ww_fluxdir_auto():
+    rng = np.random.default_rng(41)
+    words = [int(w) for w in rng.integers(0, 65536, 24)]
+    out, _ = _decode(default_spec(tb.MODE_WW),
+                     [("block", words)], fluxdir="auto")
+    datas = [b.data for b in out if b.kind == "data"]
+    assert datas == [_words_bytes(words)]
+
+
+def test_ww_reverse():
+    """-reverse: bit pairs within words and words within the block reversed
+    (decode_ww.c:107-114)."""
+    rng = np.random.default_rng(42)
+    words = [int(w) for w in rng.integers(0, 65536, 16)]
+    out, _ = _decode(default_spec(tb.MODE_WW), [("block", words)],
+                     fluxdir="neg", reverse=True)
+    datas = [b.data for b in out if b.kind == "data"]
+    # reversed 2-bit chars, repacked 4 per byte
+    two = []
+    for w in words:
+        for nib in range(8):
+            two.append((w >> (14 - 2 * nib)) & 3)
+    two = two[::-1]
+    exp = bytes((two[i] << 6) | (two[i + 1] << 4) | (two[i + 2] << 2) |
+                two[i + 3] for i in range(0, len(two), 4))
+    assert datas == [exp]
+
+
+def test_ww_abutting_blockmark():
+    """Blockmarks can directly follow a block within ~a bit time; the queued
+    blockmark must still be emitted (decode_ww.c:144-158)."""
+    rng = np.random.default_rng(43)
+    words = [int(w) for w in rng.integers(0, 65536, 8)]
+    spec = default_spec(tb.MODE_WW, ibg_secs=0.004)
+    out, _ = _decode(spec, [("block", words), ("tapemark",),
+                            ("tapemark",), ("block", words)],
+                     fluxdir="neg")
+    kinds = [b.kind for b in out]
+    assert kinds == ["data", "tapemark", "tapemark", "data"]
+    datas = [b.data for b in out if b.kind == "data"]
+    assert datas == [_words_bytes(words)] * 2
