@@ -278,6 +278,15 @@ def run_tapread(o: Options, basefile: str, ext: str, log):
 
 
 def main(argv=None) -> int:
+    # honor an explicit platform request even when a site customization
+    # forces a different default (e.g. a tunneled TPU)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     argv = sys.argv[1:] if argv is None else argv
     o = Options()
     files = []

@@ -1,0 +1,100 @@
+"""Full-CLI differential tests: our CLI and the reference C binary decode the
+same synthesized .tbin and the .tap outputs must compare byte-identical --
+the reference's own acceptance methodology (examples/*/Makefile)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from readtape_tpu.formats import tbin as tb
+from readtape_tpu.synth import default_spec, synthesize_tape
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_both(oracle, tmp_path, name, hdr, samples, args):
+    tb.write_tbin(str(tmp_path / f"{name}.tbin"), hdr, samples)
+    (tmp_path / "ref").mkdir(exist_ok=True)
+    (tmp_path / "ours").mkdir(exist_ok=True)
+    r1 = subprocess.run([oracle] + args + ["-outp=ref/", f"{name}.tbin"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-outp=ours/", f"{name}.tbin"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    ref = (tmp_path / "ref" / f"{name}.tap").read_bytes()
+    ours = (tmp_path / "ours" / f"{name}.tap").read_bytes()
+    return ref, ours, r1.stdout, r2.stdout
+
+
+def test_cli_nrzi_tap_identical(oracle, tmp_path):
+    rng = np.random.default_rng(50)
+    blocks = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+              for n in (120, 80, 37)]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI),
+        [("block", blocks[0]), ("tapemark",), ("block", blocks[1]),
+         ("block", blocks[2]), ("tapemark",)])
+    ref, ours, _, _ = run_both(oracle, tmp_path, "n1", hdr, samples,
+                               ["-v", "-m", "-nrzi", "-tap"])
+    assert ref == ours
+
+
+def test_cli_pe_tap_identical(oracle, tmp_path):
+    rng = np.random.default_rng(51)
+    blocks = [bytes(rng.integers(0, 256, 150, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_PE), [("block", blocks[0]), ("tapemark",)])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "p1", hdr, samples,
+        ["-v", "-m", "-pe", "-bpi=1600", "-ips=50", "-tap"])
+    assert ref == ours
+
+
+def test_cli_gcr_tap_identical(oracle, tmp_path):
+    rng = np.random.default_rng(52)
+    blocks = [bytes(rng.integers(0, 256, 154, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_GCR), [("block", blocks[0]), ("tapemark",)])
+    ref, ours, _, _ = run_both(oracle, tmp_path, "g1", hdr, samples,
+                               ["-v", "-m", "-gcr", "-ips=25", "-tap"])
+    assert ref == ours
+
+
+def test_cli_ww_tap_identical(oracle, tmp_path):
+    rng = np.random.default_rng(53)
+    words = [int(w) for w in rng.integers(0, 65536, 24)]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_WW),
+        [("block", words), ("tapemark",), ("block", words[:8])])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "w1", hdr, samples,
+        ["-v", "-whirlwind", "-fluxdir=neg", "-tap"])
+    assert ref == ours
+
+
+def test_cli_bin_output_split(oracle, tmp_path):
+    """Without -tap, data files split at tapemarks (.nnn.bin)."""
+    rng = np.random.default_rng(54)
+    blocks = [bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+              for _ in range(2)]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI),
+        [("block", blocks[0]), ("tapemark",), ("block", blocks[1]),
+         ("tapemark",)])
+    tb.write_tbin(str(tmp_path / "s1.tbin"), hdr, samples)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape"), "-v", "-m",
+         "-nrzi", "s1.tbin"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (tmp_path / "s1.001.bin").read_bytes() == blocks[0]
+    assert (tmp_path / "s1.002.bin").read_bytes() == blocks[1]
+    assert (tmp_path / "s1.log").exists()
