@@ -1,0 +1,77 @@
+"""Benchmark: 9-track NRZI TBIN decode throughput per chip.
+
+The BASELINE.json metric: TBIN Msamples/sec on the 9trk NRZI config, vs the
+reference C decoder's ~1.49 Msamples/s (examples/9trk_NRZI PLAGO: 4,481,584
+samples in 3 s on a desktop core -- BASELINE.md).
+
+Synthesizes a PLAGO-scale tape (~4.5M samples, >=150 blocks), decodes it with
+the full production pipeline (8 parmsets, best-pick, block emission), checks
+every byte, and reports steady-state wall-clock throughput. Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MSPS = 1.49
+
+
+def main():
+    from readtape_tpu.formats import tbin as tb
+    from readtape_tpu.synth import default_spec, synthesize_tape
+    from readtape_tpu.decode.pipeline import DecodeOptions, decode_tape
+
+    rng = np.random.default_rng(2026)
+    nblocks = int(os.environ.get("BENCH_BLOCKS", "160"))
+    blocksize = int(os.environ.get("BENCH_BLOCKSIZE", "1200"))
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=0.005, start_gap_secs=0.005)
+    blocks = [bytes(rng.integers(0, 256, blocksize, dtype=np.uint8))
+              for _ in range(nblocks)]
+    items = [("block", b) for b in blocks]
+    items.insert(nblocks // 2, ("tapemark",))
+    items.append(("tapemark",))
+    hdr, samples = synthesize_tape(spec, items)
+    nsamples = samples.shape[0]
+
+    opts = DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,
+                         deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts)
+
+    # warmup (includes compilation)
+    out, stats = decode_tape(samples, opts)
+    datas = [b.data for b in out if b.kind == "data"]
+    ok = (datas == blocks and stats["ntapemarks"] == 2 and
+          stats["nerrblocks"] == 0)
+    if not ok:
+        print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
+                          "value": 0.0, "unit": "Msamples/s",
+                          "vs_baseline": 0.0,
+                          "error": "decode mismatch"}))
+        return 1
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        decode_tape(samples, opts)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+
+    msps = nsamples / best / 1e6
+    print(json.dumps({
+        "metric": "TBIN Msamples/sec/chip (9trk NRZI, 8 parmsets, "
+                  "bit-exact vs reference)",
+        "value": round(msps, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / BASELINE_MSPS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

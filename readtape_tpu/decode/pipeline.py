@@ -265,6 +265,35 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     return res
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
+                do_correct, find_zeros, differentiate, spb_int):
+    """Cached jitted segment-batch decoder for one static configuration."""
+    if mode == tb.MODE_NRZI:
+        base = partial(_nrzi_segment_device,
+                       S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
+                       max_slots=max_slots, Ws=Ws, do_correct=do_correct,
+                       differentiate=differentiate, spb_int=spb_int)
+        n_in = 11
+    elif mode == tb.MODE_PE:
+        base = partial(_pe_segment_device,
+                       S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
+                       differentiate=differentiate, spb_int=spb_int)
+        n_in = 9
+    elif mode == tb.MODE_GCR:
+        base = partial(_gcr_segment_device,
+                       S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
+                       do_correct=do_correct, find_zeros=find_zeros,
+                       differentiate=differentiate, spb_int=spb_int)
+        n_in = 9
+    else:
+        raise NotImplementedError(f"mode {mode}")
+    return jax.jit(jax.vmap(base, in_axes=(0,) + (None,) * n_in))
+
+
 # ---------------------------------------------------------------------------
 # best-decoding selection (readtape.c:1776-1843)
 # ---------------------------------------------------------------------------
@@ -393,12 +422,28 @@ class TapeDecoder:
 
     # ---- per-segment decode ----
     def decode_segment(self, a: int, b: int):
+        res = self.decode_segment_batch([(a, b)])
+        return jax.tree.map(lambda x: x[0], res)
+
+    def _slice_batch(self, spans, S: int):
+        """Stack segment slices into [B, T, S] (zero-padded)."""
+        parts = []
+        for (a, b) in spans:
+            v = self.v_i16[:, a:b]
+            if v.shape[1] < S:
+                v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
+            parts.append(v)
+        return jnp.stack(parts, axis=0)
+
+    def decode_segment_batch(self, spans):
+        """Decode a batch of same-bucket segments at once: the whole
+        multi-stage pipeline is vmapped over the segment axis, so scan
+        iterations amortize across every block on the tape (the third
+        level of parallelism after tracks and parmsets)."""
         opts = self.opts
-        S = seg.bucket_length(b - a)
+        S = seg.bucket_length(max(b - a for a, b in spans))
         T = opts.ntrks
-        v = self.v_i16[:, a:b]
-        if v.shape[1] < S:
-            v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
+        v = self._slice_batch(spans, S)
         spb = opts.spb
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
@@ -415,42 +460,20 @@ class TapeDecoder:
         rise_floor = jnp.full(T, rise_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         min_floor = jnp.full(T, minp_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
 
+        spb_int = int(spb) if opts.bpi > 0 else 20
+        fn = _batched_fn(opts.mode, S, T, self.P, nsteps, K, maxb,
+                         max_slots, Ws, opts.do_correct, opts.find_zeros,
+                         opts.differentiate, spb_int)
+        args = [v, jnp.float32(opts.maxvolts),
+                jnp.float32(-1.0 if opts.invert else 1.0),
+                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
+                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
+                rise_floor, min_floor]
         if opts.mode == tb.MODE_NRZI:
             lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
-            res = _nrzi_segment_device(
-                v, jnp.float32(opts.maxvolts),
-                jnp.float32(-1.0 if opts.invert else 1.0),
-                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
-                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
-                rise_floor, min_floor,
-                jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
-                S=S, T=T, P=self.P, nsteps=nsteps, K=K, maxb=maxb,
-                max_slots=max_slots, Ws=Ws, do_correct=opts.do_correct,
-                differentiate=opts.differentiate,
-                spb_int=int(spb) if opts.bpi > 0 else 20)
-        elif opts.mode == tb.MODE_PE:
-            res = _pe_segment_device(
-                v, jnp.float32(opts.maxvolts),
-                jnp.float32(-1.0 if opts.invert else 1.0),
-                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
-                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
-                rise_floor, min_floor,
-                S=S, T=T, P=self.P, nsteps=nsteps, maxb=maxb, Ws=Ws,
-                differentiate=opts.differentiate,
-                spb_int=int(spb) if opts.bpi > 0 else 20)
-        elif opts.mode == tb.MODE_GCR:
-            res = _gcr_segment_device(
-                v, jnp.float32(opts.maxvolts),
-                jnp.float32(-1.0 if opts.invert else 1.0),
-                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
-                jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
-                rise_floor, min_floor,
-                S=S, T=T, P=self.P, nsteps=nsteps, maxb=maxb, Ws=Ws,
-                do_correct=opts.do_correct, find_zeros=opts.find_zeros,
-                differentiate=opts.differentiate,
-                spb_int=int(spb) if opts.bpi > 0 else 20)
-        else:
-            raise NotImplementedError(f"mode {opts.mode}")
+            args += [jnp.float32(lb / opts.deltat),
+                     jnp.float32(bw / opts.deltat)]
+        res = fn(*args)
         return jax.tree.map(np.asarray, res)
 
     # ---- deskew calibration (decoder.c:243-281) ----
@@ -666,11 +689,25 @@ def _decode_tape_nrzi_like(samples, opts, log):
         stats["deskew_percent"] = dec.deskew_percent
     stats["skew"] = dec.skew.tolist()
 
+    # decode all segments, batched by bucket size (vmapped on device)
+    results = [None] * len(segs)
+    by_bucket = {}
+    for i, (a, b) in enumerate(segs):
+        by_bucket.setdefault(seg.bucket_length(b - a), []).append(i)
+    max_batch_elems = 64 * 32768
+    for S, idxs in sorted(by_bucket.items()):
+        bmax = max(1, max_batch_elems // S)
+        for lo in range(0, len(idxs), bmax):
+            chunk = idxs[lo:lo + bmax]
+            res = dec.decode_segment_batch([segs[i] for i in chunk])
+            for j, i in enumerate(chunk):
+                results[i] = jax.tree.map(lambda x: x[j], res)
+
     blocks = []
-    for (a, b) in segs:
+    for i, (a, b) in enumerate(segs):
         if stats["nblocks"] >= opts.blklimit:
             break
-        res = dec.decode_segment(a, b)
+        res = results[i]
         p, tries = pick_best(res, dec.P, opts.multiple_tries, opts.mode)
         for i in range(tries):
             stats["tried"][i] += 1

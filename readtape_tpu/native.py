@@ -1,0 +1,114 @@
+"""ctypes bindings to the native C++ IO runtime (native/readtape_io.cpp).
+
+Builds the shared library on demand with the repo's Makefile; every entry
+point has a pure-Python fallback, so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libreadtape_io.so")
+_lib = None
+_tried = False
+
+
+class _CsvScan(ctypes.Structure):
+    _fields_ = [("first_time", ctypes.c_double),
+                ("deltat", ctypes.c_double),
+                ("nrows", ctypes.c_int64),
+                ("ncols", ctypes.c_int32),
+                ("volts", ctypes.POINTER(ctypes.c_float))]
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.csv_scan.argtypes = [ctypes.c_char_p, ctypes.POINTER(_CsvScan)]
+    lib.csv_scan.restype = ctypes.c_int
+    lib.csv_deltat.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_double)]
+    lib.csv_deltat.restype = ctypes.c_int
+    lib.csv_free.argtypes = [ctypes.POINTER(_CsvScan)]
+    lib.tap_open.argtypes = [ctypes.c_char_p]
+    lib.tap_open.restype = ctypes.c_void_p
+    lib.tap_write_block.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_uint32, ctypes.c_int]
+    lib.tap_write_tapemark.argtypes = [ctypes.c_void_p]
+    lib.tap_write_eom.argtypes = [ctypes.c_void_p]
+    lib.tap_close.argtypes = [ctypes.c_void_p]
+    lib.tap_close.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def csv_scan_native(path: str):
+    """Returns (first_time, deltat, volts [N, T] float32). Raises if the
+    native library is unavailable or parsing fails."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    scan = _CsvScan()
+    rc = lib.csv_scan(path.encode(), ctypes.byref(scan))
+    if rc != 0:
+        raise RuntimeError(f"csv_scan failed ({rc}) for {path}")
+    try:
+        n, c = scan.nrows, scan.ncols
+        buf = np.ctypeslib.as_array(scan.volts, shape=(n, c))
+        volts = np.array(buf, dtype=np.float32)    # copy before free
+    finally:
+        lib.csv_free(ctypes.byref(scan))
+    dt = ctypes.c_double()
+    lib.csv_deltat(path.encode(), ctypes.byref(dt))
+    return float(scan.first_time), float(dt.value), volts
+
+
+class NativeTapWriter:
+    """Drop-in for formats.simh.TapWriter backed by the C++ writer."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        self._lib = lib
+        self._w = lib.tap_open(path.encode())
+        if not self._w:
+            raise OSError(f"can't create {path}")
+        self.path = path
+        self.numoutbytes = 0
+
+    def write_block(self, data: bytes, error: bool = False):
+        self._lib.tap_write_block(self._w, data, len(data), int(error))
+
+    def write_tapemark(self):
+        self._lib.tap_write_tapemark(self._w)
+
+    def write_eom(self):
+        self._lib.tap_write_eom(self._w)
+
+    def close(self):
+        if self._w:
+            self.numoutbytes = self._lib.tap_close(self._w)
+            self._w = None
