@@ -482,6 +482,7 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
     numoutbytes = 0
     hdr1_name = None
     hdr1_active = False
+    prev_end = None
 
     def open_bin(name=None):
         nonlocal binf, numfiles, numfilebytes
@@ -503,6 +504,15 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
         log.info(f'creating file "{outbase}.tap"')
 
     for blk in blocks:
+        # interblock-gap reporting (readtape.c:1148-1158)
+        if prev_end is not None and blk.t_start > prev_end:
+            ibg_ms = int((blk.t_start - prev_end) * 1000 + 0.5)
+            if o.showibg == 0 or ibg_ms >= o.showibg:
+                msg = f"{ibg_ms // 1000}.{ibg_ms % 1000:03d} sec interblock gap!"
+                log(msg)
+                if txt:
+                    txt.message(msg + "\n")
+        prev_end = blk.t_end if blk.t_end else prev_end
         if blk.kind == "tapemark":
             log.info(f"  tapemark at time {blk.t_start:.8f}, "
                      f"{numblks} blocks written so far")
@@ -569,6 +579,17 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
     close_bin()
     if txt:
         txt.close()
+
+    # peak-timing statistics CSV (decoder.c:175-214)
+    if stats.get("peak_trksums") is not None and \
+            np.sum(stats["peak_trksums"]) > 0:
+        from .out.peakstats import write_peakstats
+        lb, bw = stats["peak_bins"]
+        total = write_peakstats(outbase + ".peakstats.csv",
+                                stats["peak_hist"], stats["peak_trksums"],
+                                lb, bw, dopts.mode == MODE_NRZI)
+        log.info(f'  created statistics file "{outbase}.peakstats.csv" from '
+                 f'{total:,} measurements of flux transition positions')
 
     elapsed = time.time() - start_time
     log.info("")

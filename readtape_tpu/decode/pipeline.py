@@ -683,7 +683,11 @@ def _decode_tape_nrzi_like(samples, opts, log):
                  nunusable=0, nmismatched=0, nmidbiterr=0, ncorrected=0,
                  ngoodmultiple=0,
                  tried=np.zeros(dec.P, int), chosen=np.zeros(dec.P, int),
-                 deskew_percent=0.0, skew=None)
+                 deskew_percent=0.0, skew=None,
+                 peak_hist=np.zeros((opts.ntrks, 50), np.int64),
+                 peak_trksums=np.zeros(opts.ntrks, np.int64),
+                 peak_bins=_peakstat_bins(opts.mode,
+                                          1.0 / (opts.bpi * opts.ips)))
     if opts.deskew and opts.skew is None:
         dec.calibrate_deskew(segs)
         stats["deskew_percent"] = dec.deskew_percent
@@ -709,6 +713,9 @@ def _decode_tape_nrzi_like(samples, opts, log):
             break
         res = results[i]
         p, tries = pick_best(res, dec.P, opts.multiple_tries, opts.mode)
+        if "hist" in res:
+            stats["peak_hist"] += res["hist"][p]
+            stats["peak_trksums"] += res["trksums"][p]
         for i in range(tries):
             stats["tried"][i] += 1
         bt = int(res["blktype"][p])
