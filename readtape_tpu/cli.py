@@ -89,6 +89,7 @@ class Options:
         self.verbose_level = 0
         self.quiet = False
         self.filelist = False
+        self.trace = None        # (start_secs, end_secs) or True
 
 
 def parse_option(o: Options, option: str) -> bool:
@@ -186,6 +187,12 @@ def parse_option(o: Options, option: str) -> bool:
         o.dataspace = int(v)
     elif a == "linefeed":
         o.linefeed = True
+    elif (v := val("trace=")) is not None:
+        parts = v.split(",")
+        o.trace = (float(parts[0]), float(parts[1]) if len(parts) > 1
+                   else float(parts[0]) + 0.01)
+    elif a == "trace":
+        o.trace = True
     elif a == "nolog":
         o.logging = False
     elif a == "nolabels":
@@ -456,6 +463,20 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
 
     # ---- decode ----
     blocks, stats = decode_tape(samples, dopts, log=log)
+
+    # ---- optional debug trace (trace.c equivalent) ----
+    if o.trace and o.mode != MODE_WW:
+        from .out.trace import write_trace
+        dec = TapeDecoder(samples, dopts)
+        if o.trace is True:
+            a, b = 0, min(len(samples), 10000)
+        else:
+            a = max(0, int((o.trace[0] - t0) / deltat))
+            b = min(len(samples), int((o.trace[1] - t0) / deltat))
+        volts, peaks = dec.trace_window(a, b)
+        nl = write_trace(outbase + ".trace.csv", t0 + a * deltat, deltat,
+                         volts, peaks=peaks)
+        log.info(f'created trace file "{outbase}.trace.csv" ({nl} lines)')
 
     # ---- outputs ----
     write_outputs(o, outbase, blocks, stats, dopts, log, start_time,

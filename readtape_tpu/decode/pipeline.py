@@ -476,6 +476,46 @@ class TapeDecoder:
         res = fn(*args)
         return jax.tree.map(np.asarray, res)
 
+    # ---- debug trace extraction (trace.c equivalent; runtime option) ----
+    def trace_window(self, a: int, b: int):
+        """Return (volts [N, T], peaks per track [(sample_time_s, is_top)])
+        for samples [a, b), decoded with parmset 0 -- the data for a
+        <base>.trace.csv debug spreadsheet."""
+        opts = self.opts
+        T = opts.ntrks
+        S = seg.bucket_length(b - a)
+        v = self.v_i16[:, a:b]
+        if v.shape[1] < S:
+            v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
+        vf = _prep_volts(v, jnp.float32(opts.maxvolts),
+                         jnp.float32(-1.0 if opts.invert else 1.0),
+                         jnp.asarray(self.skew, I32), S=S, T=T,
+                         differentiate=opts.differentiate,
+                         spb_int=int(opts.spb))
+        p0 = opts.parmsets[0]
+        W = cm.pkww_width_for(p0.pkww_bitfrac, opts.bpi, opts.ips,
+                              opts.deltat)
+        scale = min(1.0, self.h_est / cm.PKWW_PEAKHEIGHT)
+        rise_floor = jnp.full(T, p0.pkww_rise * scale / 2 * 0.8, F32)
+        min_floor = jnp.full(T, p0.min_peak * scale / 2 * 0.8, F32)
+        nxt = trackscan.loose_jump_table(vf, W, rise_floor, min_floor)
+        nsteps = max(512, S // 4)
+        lane = jax.vmap(lambda vt, nx: trackscan.nrzi_track_scan(
+            vt, nx, W, S, nsteps, p0.pkww_rise, p0.min_peak,
+            p0.agc_alpha, p0.agc_window))
+        _, outs = lane(vf, nxt)
+        admit = np.asarray(outs["admit"])
+        t_peak = np.asarray(outs["t_peak"])
+        is_top = np.asarray(outs["is_top"])
+        peaks = []
+        t0 = self.opts.t0_seconds + a * opts.deltat
+        for trk in range(T):
+            m = admit[trk]
+            peaks.append([(t0 + tp * opts.deltat, bool(it))
+                          for tp, it in zip(t_peak[trk][m], is_top[trk][m])])
+        volts = np.asarray(vf).T[:b - a]
+        return volts, peaks
+
     # ---- deskew calibration (decoder.c:243-281) ----
     def calibrate_deskew(self, segments, max_blocks=100, min_transitions=1000):
         opts = self.opts
