@@ -36,14 +36,20 @@ def main():
     items = [("block", b) for b in blocks]
     items.insert(nblocks // 2, ("tapemark",))
     items.append(("tapemark",))
+    t_synth = time.perf_counter()
     hdr, samples = synthesize_tape(spec, items)
     nsamples = samples.shape[0]
+    print(f"# synthesized {nsamples:,} samples in "
+          f"{time.perf_counter() - t_synth:.1f}s", file=sys.stderr, flush=True)
 
     opts = DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,
                          deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts)
 
     # warmup (includes compilation)
+    t_warm = time.perf_counter()
     out, stats = decode_tape(samples, opts)
+    print(f"# warmup (incl. compile) {time.perf_counter() - t_warm:.1f}s",
+          file=sys.stderr, flush=True)
     datas = [b.data for b in out if b.kind == "data"]
     ok = (datas == blocks and stats["ntapemarks"] == 2 and
           stats["nerrblocks"] == 0)

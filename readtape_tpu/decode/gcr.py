@@ -143,7 +143,9 @@ def gcr_bit_state_init(spb, maxb):
 def gcr_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
                    rise_parm, min_parm, agc_alpha, agc_window,
                    clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
-                   spb, maxb: int):
+                   spb, maxb: int,
+                   stat_leftbin=jnp.float32(0.0),
+                   stat_binwidth=jnp.float32(1.0)):
     """Peak-detection GCR lane: admission + AGC + bit recovery fused."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
@@ -155,12 +157,23 @@ def gcr_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
                                  agc_alpha, agc_window)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
+        # peak statistics for deskew (decode_gcr.c:839-840,849-850)
+        stat_ok = admit & st["datablock"]
+        val = t_peak - st["t_lastpeak"]
+        bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
+        bkt_c = jnp.clip(bkt, 0, 49)
+        st3["hist"] = st["hist"].at[jnp.where(stat_ok, bkt_c, 50)].add(
+            1, mode="drop")
+        st3["trksum"] = st["trksum"] + jnp.where(
+            stat_ok & (bkt >= 1) & (bkt <= 48), 1, 0)
         st4 = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt, pulse_adj_parm,
                            clk_window, clk_alpha, spb, maxb)
         return st4, {}
 
-    return ts.run_jump_scan(extra, gcr_bit_state_init(spb, maxb),
-                            v_trk, nxt_trk, W, S, nsteps,
+    init = gcr_bit_state_init(spb, maxb)
+    init["hist"] = jnp.zeros(50, I32)
+    init["trksum"] = I32(0)
+    return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
                             rise_parm, min_parm)
 
 
@@ -293,6 +306,8 @@ def gcr_zeros_track_scan(trans_t, trans_ok, cap: int,
     final["max_agc_gain"] = F32(0.0)
     final["min_agc_gain"] = cm.FLT_MAX
     final["incomplete"] = jnp.bool_(False)
+    final["hist"] = jnp.zeros(50, I32)
+    final["trksum"] = I32(0)
     return final
 
 
@@ -569,7 +584,7 @@ def gcr_finish(finals, T: int, expected_parity, revparity, do_correct,
         missed_midbits=jnp.int32(0), corrected_bits=corrected,
         faked_tracks=jnp.int32(0),
         avg_bit_spacing=avg_sp, frames=post["data"],
-        hist=jnp.zeros((T, 50), I32), trksums=jnp.zeros(T, I32),
+        hist=finals["hist"], trksums=finals["trksum"],
         consume_overflow=jnp.any(finals["incomplete"]),
         alltrk_max_agc=jnp.max(finals["max_agc_gain"]),
         alltrk_min_agc=jnp.min(finals["min_agc_gain"]),

@@ -223,6 +223,8 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
 def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
                         pa: ParmArrays, spb, expected_parity, revparity,
                         rise_floor, min_floor,
+                        stat_leftbin=jnp.float32(0.0),
+                        stat_binwidth=jnp.float32(1.0),
                         *, S, T, P, nsteps, maxb, Ws, do_correct,
                         find_zeros, differentiate, spb_int):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
@@ -248,7 +250,8 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
             sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
             lane = jax.vmap(   # over tracks
                 lambda vt, nx, *p: gcr_mod.gcr_track_scan(
-                    vt, nx, W, S, nsteps, *p, spb_f, maxb)[0],
+                    vt, nx, W, S, nsteps, *p, spb_f, maxb,
+                    stat_leftbin, stat_binwidth)[0],
                 in_axes=(0, 0) + (None,) * 9)
             return jax.vmap(   # over the parmsets sharing this W
                 lambda *p: lane(v, nxt, *p)
@@ -288,7 +291,7 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
                        do_correct=do_correct, find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int)
-        n_in = 9
+        n_in = 11
     else:
         raise NotImplementedError(f"mode {mode}")
     return jax.jit(jax.vmap(base, in_axes=(0,) + (None,) * n_in))
@@ -469,7 +472,7 @@ class TapeDecoder:
                 jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
                 rise_floor, min_floor]
-        if opts.mode == tb.MODE_NRZI:
+        if opts.mode in (tb.MODE_NRZI, tb.MODE_GCR):
             lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
             args += [jnp.float32(lb / opts.deltat),
                      jnp.float32(bw / opts.deltat)]
