@@ -646,46 +646,72 @@ def _decode_tape_ww(samples, opts, log):
     p0 = opts.parmsets[0]
     W = cm.pkww_width_for(p0.pkww_bitfrac, opts.bpi, opts.ips, opts.deltat)
     nsteps = int(S / spb * 3.2) + 64
+    lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
 
-    v = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
-                    jnp.float32(-1.0 if opts.invert else 1.0),
-                    jnp.asarray(skew, I32), S=S, T=T,
-                    differentiate=opts.differentiate, spb_int=int(spb))
-    scale = min(1.0, h_est / cm.PKWW_PEAKHEIGHT)
-    rise_floor = jnp.full(T, p0.pkww_rise * scale / cm.AGC_MAX_VALUE * 0.8,
-                          F32)
-    min_floor = jnp.full(T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
-    nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
+    def run_pass(skew_arr, v_avg_init):
+        v = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
+                        jnp.float32(-1.0 if opts.invert else 1.0),
+                        jnp.asarray(skew_arr, I32), S=S, T=T,
+                        differentiate=opts.differentiate, spb_int=int(spb))
+        scale = min(1.0, h_est / cm.PKWW_PEAKHEIGHT)
+        rise_floor = jnp.full(
+            T, p0.pkww_rise * scale / cm.AGC_MAX_VALUE * 0.8, F32)
+        min_floor = jnp.full(
+            T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
+        nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
+        lane = jax.vmap(lambda vt, nx, vh: ww_mod.ww_track_scan(
+            vt, nx, W, S, nsteps, p0.pkww_rise, p0.min_peak,
+            p0.agc_alpha, p0.agc_window, vh))
+        finals, outs = lane(v, nxt, jnp.asarray(v_avg_init, F32))
 
-    lane = jax.vmap(lambda vt, nx: ww_mod.ww_track_scan(
-        vt, nx, W, S, nsteps, p0.pkww_rise, p0.min_peak,
-        p0.agc_alpha, p0.agc_window, cm.PKWW_PEAKHEIGHT))
-    finals, outs = lane(v, nxt)
+        K = nsteps
+        trans, counts = trackscan.compact_admitted(
+            outs["admit"], dict(s_det=outs["s_det"], t_peak=outs["t_peak"],
+                                is_top=outs["is_top"]),
+            K, nrzi_mod.BIG_S)
+        Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
+        merged = ww_mod.merge_transitions(trans, T, Mcap)
 
-    K = nsteps
-    trans, counts = trackscan.compact_admitted(
-        outs["admit"], dict(s_det=outs["s_det"], t_peak=outs["t_peak"],
-                            is_top=outs["is_top"]),
-        K, nrzi_mod.BIG_S)
-    Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
-    merged = ww_mod.merge_transitions(trans, T, Mcap)
+        maxchars = int(S / spb) + 256
+        fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
+                   "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
+        res = ww_mod.ww_global_scan(
+            merged["trk"], merged["t_peak"], merged["s_det"],
+            merged["is_top"], merged["valid"],
+            jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+            jnp.float32(spb),
+            jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
+            pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+            pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+            pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+            alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+            alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+            alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
+            T=T, maxchars=maxchars, maxblocks=4096, fluxdir_req=fluxdir)
+        return jax.tree.map(np.asarray, res), jax.tree.map(np.asarray,
+                                                           finals)
 
-    maxchars = int(S / spb) + 256
-    fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
-               "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
-    res = ww_mod.ww_global_scan(
-        merged["trk"], merged["t_peak"], merged["s_det"],
-        merged["is_top"], merged["valid"],
-        jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
-        jnp.float32(spb),
-        pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
-        pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
-        pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
-        alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
-        alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
-        alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
-        T=T, maxchars=maxchars, maxblocks=4096, fluxdir_req=fluxdir)
-    res_host = jax.tree.map(np.asarray, res)
+    v_avg_init = np.full(T, cm.PKWW_PEAKHEIGHT, np.float32)
+    deskew_done = False
+    if opts.deskew and opts.skew is None:
+        # calibration pass: skew from the transition-position histogram
+        # (readtape.c:1676-1717), average pulse heights for AGC baselines
+        res0, finals0 = run_pass(np.zeros(T, np.int32), v_avg_init)
+        sums = res0["trksums"].astype(np.int64)
+        if sums.min() > 0:
+            us = bw * 1e6 * np.arange(50) + lb * 1e6
+            avg = (res0["hist"][:, 1:49] *
+                   us[1:49][None, :]).sum(axis=1) / np.maximum(sums, 1)
+            delays_us = avg.max() - avg
+            skew = np.minimum(((delays_us * 1e-6 + opts.deltat / 2) /
+                               opts.deltat).astype(np.int32), 50)
+            deskew_done = True
+        hs = finals0["h_sum"]
+        hc = np.maximum(finals0["h_cnt"], 1)
+        v_avg_init = np.where(finals0["h_cnt"] > 0, hs / hc,
+                              cm.PKWW_PEAKHEIGHT).astype(np.float32)
+
+    res_host, _ = run_pass(skew, v_avg_init)
     raw = ww_mod.assemble_ww_blocks(res_host, spb, opts.reverse)
 
     blocks = []
@@ -693,7 +719,10 @@ def _decode_tape_ww(samples, opts, log):
                  nunusable=0, nmismatched=0, nmidbiterr=0, ncorrected=0,
                  ngoodmultiple=0, tried=np.zeros(1, int),
                  chosen=np.zeros(1, int), deskew_percent=0.0,
-                 skew=skew.tolist())
+                 skew=np.asarray(skew).tolist(),
+                 peak_hist=res_host["hist"].astype(np.int64),
+                 peak_trksums=res_host["trksums"].astype(np.int64),
+                 peak_bins=(lb, bw))
     for rb in raw:
         if stats["nblocks"] >= opts.blklimit:
             break
@@ -746,7 +775,13 @@ def _decode_tape_nrzi_like(samples, opts, log):
         bmax = max(1, max_batch_elems // S)
         for lo in range(0, len(idxs), bmax):
             chunk = idxs[lo:lo + bmax]
-            res = dec.decode_segment_batch([segs[i] for i in chunk])
+            spans = [segs[i] for i in chunk]
+            # pad to a power-of-two batch so every batch of a bucket hits
+            # the same compiled program (remote TPU compiles are expensive)
+            B = bmax if len(idxs) > bmax else seg.bucket_length(len(spans), 1)
+            while len(spans) < B:
+                spans.append(spans[-1])
+            res = dec.decode_segment_batch(spans)
             for j, i in enumerate(chunk):
                 results[i] = jax.tree.map(lambda x: x[j], res)
 

@@ -65,8 +65,10 @@ def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
 
 
 def bucket_length(n: int, minimum: int = 4096) -> int:
-    """Round a segment length up to a power of two (bounded recompiles)."""
+    """Round a length up to a power of two (bounded recompiles)."""
     b = minimum
     while b < n:
         b *= 2
     return b
+
+

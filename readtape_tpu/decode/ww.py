@@ -65,7 +65,8 @@ def ww_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
                   v_avg_height_init):
     """Admission + the WW AGC policy: adjust_agc on every pulse edge
     (decode_ww.c:171,190). v_avg_height comes from the deskew pass when
-    available (decoder.c:484-497), else the nominal value."""
+    available (decoder.c:484-497), else the nominal value. Also measures
+    average pulse heights (accumulate_avg_height) for the deskew pass."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
@@ -75,11 +76,18 @@ def ww_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
         for k in ("agc_gain", "v_heights", "heightndx",
                   "max_agc_gain", "min_agc_gain"):
             st3[k] = jnp.where(admit, agc_new[k], st2[k])
+        # average-height measurement (accumulate_avg_height at pulse ends;
+        # decode_ww.c:189) for the deskew calibration pass
+        height = st2["v_top"] - st2["v_bot"]
+        meas = admit_top & (height > 0)
+        st3["h_sum"] = st["h_sum"] + jnp.where(meas, height, 0.0)
+        st3["h_cnt"] = st["h_cnt"] + meas.astype(I32)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
         return st3, {}
 
-    init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32)}
+    init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32),
+            "h_sum": F32(0.0), "h_cnt": I32(0)}
     return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
                             rise_parm, min_parm)
 
@@ -104,6 +112,8 @@ def merge_transitions(trans, T: int, cap: int):
     "T", "maxchars", "maxblocks", "fluxdir_req"))
 def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                    clk_window, clk_alpha, spb,
+                   stat_leftbin=jnp.float32(0.0),
+                   stat_binwidth=jnp.float32(1.0),
                    *, pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb,
                    T, maxchars, maxblocks, fluxdir_req):
     """The merged-stream state machine (decode_ww.c:51-271)."""
@@ -235,6 +245,21 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         pe = is_end
         st["trk_lastpulseend"] = st["trk_lastpulseend"].at[
             jnp.where(pe, trk, T)].set(t, mode="drop")
+        # skew statistics vs the last primary clock pulse end
+        # (decode_ww.c:192-203): normalize the delta to ~one bit spacing
+        delta = t - st["t_lastpriclkpulseend"]
+        near = pe & (st["t_lastpriclkpulseend"] > 0) & \
+            (delta > -b * 1.5) & (delta < b * 1.5)
+        delta = jnp.where(delta <= 0, delta + b,
+                          jnp.where(delta < b * 0.5, delta + b, delta))
+        bkt = jnp.floor((delta - stat_leftbin) / stat_binwidth).astype(I32)
+        bkt_c = jnp.clip(bkt, 0, 49)
+        st["hist"] = st["hist"].at[jnp.where(near, trk, T),
+                                   jnp.where(near, bkt_c, 0)].add(
+            1, mode="drop")
+        st["trksums"] = st["trksums"].at[
+            jnp.where(near & (bkt >= 1) & (bkt <= 48), trk, T)].add(
+            1, mode="drop")
         end_clk = pe & is_clk
         do_chk = end_clk & ((t - st["t_lastclkpulseend"]) >
                             b * cm.WW_PEAKSCLOSE_BITS)
@@ -296,6 +321,8 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         w_missing_onebit=I32(0),
         w_missing_clock=I32(0),
         num_flux_changes=I32(0),
+        hist=jnp.zeros((T, 50), I32),
+        trksums=jnp.zeros(T, I32),
     )
     final, _ = jax.lax.scan(step, init,
                             (m_trk, m_t, m_s, m_is_top, m_valid))
