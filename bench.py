@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from readtape_tpu.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_MSPS = 1.49
 
 

@@ -274,7 +274,14 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 do_correct, find_zeros, differentiate, spb_int):
-    """Cached jitted segment-batch decoder for one static configuration."""
+    """Cached jitted segment-batch decoder for one static configuration.
+
+    The returned function takes (tape [T, N] int16, offsets [B] int32,
+    *broadcast args): segment slicing happens ON DEVICE from the resident
+    tape (offsets are data, so any batch of segments hits the same
+    executable), and all scalar-per-lane result fields are packed into two
+    dense tensors so fetching results costs a handful of transfers, not one
+    per field -- critical when the device link has high latency."""
     if mode == tb.MODE_NRZI:
         base = partial(_nrzi_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
@@ -294,7 +301,54 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
         n_in = 11
     else:
         raise NotImplementedError(f"mode {mode}")
-    return jax.jit(jax.vmap(base, in_axes=(0,) + (None,) * n_in))
+
+    def _categorize(res, B):
+        """Split result fields: small ints, small floats, big arrays."""
+        ikeys, fkeys, bkeys = [], [], []
+        for k in sorted(res):
+            x = res[k]
+            if x.ndim <= 2 and x.dtype in (jnp.int32, jnp.bool_):
+                ikeys.append(k)
+            elif x.ndim <= 2 and x.dtype == jnp.float32:
+                fkeys.append(k)
+            else:
+                bkeys.append(k)
+        return ikeys, fkeys, bkeys
+
+    def run(tape, offsets, *args):
+        B = offsets.shape[0]
+        v = jax.vmap(lambda off: jax.lax.dynamic_slice(
+            tape, (0, off), (T, S)))(offsets)
+        res = jax.vmap(base, in_axes=(0,) + (None,) * n_in)(v, *args)
+        ikeys, fkeys, bkeys = _categorize(res, B)
+
+        def to_bp(x):
+            x = x if x.ndim == 2 else jnp.broadcast_to(x[:, None], (B, P))
+            return x
+        packed_i = jnp.stack(
+            [to_bp(res[k].astype(jnp.int32)) for k in ikeys], axis=-1)
+        packed_f = jnp.stack([to_bp(res[k]) for k in fkeys], axis=-1)
+        return packed_i, packed_f, [res[k] for k in bkeys]
+
+    compiled = jax.jit(run)
+
+    def call(tape, offsets, *args):
+        if "keys" not in call.__dict__:
+            shaped = jax.eval_shape(
+                lambda t_, o_, *a_: jax.vmap(base, in_axes=(0,) + (None,) * n_in)(
+                    jax.vmap(lambda off: jax.lax.dynamic_slice(
+                        t_, (0, off), (T, S)))(o_), *a_),
+                tape, offsets, *args)
+            call.keys = _categorize(shaped, offsets.shape[0])
+        packed_i, packed_f, bigs = compiled(tape, offsets, *args)
+        packed_i, packed_f = np.asarray(packed_i), np.asarray(packed_f)
+        ikeys, fkeys, bkeys = call.keys
+        out = {k: packed_i[..., j] for j, k in enumerate(ikeys)}
+        out.update({k: packed_f[..., j] for j, k in enumerate(fkeys)})
+        out.update({k: np.asarray(b) for k, b in zip(bkeys, bigs)})
+        return out
+
+    return call
 
 
 # ---------------------------------------------------------------------------
@@ -428,25 +482,27 @@ class TapeDecoder:
         res = self.decode_segment_batch([(a, b)])
         return jax.tree.map(lambda x: x[0], res)
 
-    def _slice_batch(self, spans, S: int):
-        """Stack segment slices into [B, T, S] (zero-padded)."""
-        parts = []
-        for (a, b) in spans:
-            v = self.v_i16[:, a:b]
-            if v.shape[1] < S:
-                v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
-            parts.append(v)
-        return jnp.stack(parts, axis=0)
+    def _tape_padded(self, min_len: int):
+        """The device-resident tape, zero-padded so any in-jit
+        dynamic_slice window fits (padded once, grown if ever needed)."""
+        if self.v_i16.shape[1] < min_len:
+            n_pad = seg.bucket_length(min_len)
+            self.v_i16 = jnp.pad(
+                self.v_i16, ((0, 0), (0, n_pad - self.v_i16.shape[1])))
+        return self.v_i16
 
     def decode_segment_batch(self, spans):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
-        level of parallelism after tracks and parmsets)."""
+        level of parallelism after tracks and parmsets). Slicing happens
+        on device (offsets are data) and results come back packed -- a
+        single executable + a handful of transfers per batch."""
         opts = self.opts
         S = seg.bucket_length(max(b - a for a, b in spans))
         T = opts.ntrks
-        v = self._slice_batch(spans, S)
+        tape = self._tape_padded(max(a for a, b in spans) + S)
+        offsets = jnp.asarray([a for a, b in spans], I32)
         spb = opts.spb
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
@@ -467,7 +523,7 @@ class TapeDecoder:
         fn = _batched_fn(opts.mode, S, T, self.P, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.find_zeros,
                          opts.differentiate, spb_int)
-        args = [v, jnp.float32(opts.maxvolts),
+        args = [tape, offsets, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
@@ -476,8 +532,7 @@ class TapeDecoder:
             lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
             args += [jnp.float32(lb / opts.deltat),
                      jnp.float32(bw / opts.deltat)]
-        res = fn(*args)
-        return jax.tree.map(np.asarray, res)
+        return fn(*args)
 
     # ---- debug trace extraction (trace.c equivalent; runtime option) ----
     def trace_window(self, a: int, b: int):
