@@ -139,8 +139,8 @@ def gcr_bit_state_init(spb, maxb):
     )
 
 
-@partial(jax.jit, static_argnames=("W", "S", "nsteps", "maxb"))
-def gcr_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+@partial(jax.jit, static_argnames=("S", "nsteps", "maxb"))
+def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    rise_parm, min_parm, agc_alpha, agc_window,
                    clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
                    spb, maxb: int,
@@ -168,7 +168,7 @@ def gcr_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
             stat_ok & (bkt >= 1) & (bkt <= 48), 1, 0)
         st4 = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt, pulse_adj_parm,
                            clk_window, clk_alpha, spb, maxb)
-        return st4, {}
+        return st4
 
     init = gcr_bit_state_init(spb, maxb)
     init["hist"] = jnp.zeros(50, I32)

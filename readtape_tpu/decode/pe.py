@@ -26,8 +26,11 @@ from .common import F32, I32
 from .nrzi import BS_BLOCK, BS_NOISE, BS_TAPEMARK
 
 
-@partial(jax.jit, static_argnames=("W", "S", "nsteps", "maxb"))
-def pe_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+RUN_CAP = 128        # max dropout fake-bit runs per track per segment
+
+
+@partial(jax.jit, static_argnames=("S", "nsteps", "maxb"))
+def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   clk_window, clk_alpha, clk_factor, pulse_adj_parm,
                   spb, maxb: int):
@@ -140,8 +143,16 @@ def pe_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
         out["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         out["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
         out["t_lastpeak"] = jnp.where(admit, t_this, st["t_lastpeak"])
-        return out, dict(run_start=run["start"], run_len=run["length"],
-                         run_bit=run["bit"], run_valid=run["valid"])
+        # record the fake-bit run (applied vectorized after the scan)
+        ri = jnp.where(run["valid"],
+                       jnp.minimum(st["n_runs"], RUN_CAP - 1), RUN_CAP)
+        out["run_start"] = st["run_start"].at[ri].set(run["start"],
+                                                      mode="drop")
+        out["run_len"] = st["run_len"].at[ri].set(run["length"], mode="drop")
+        out["run_bit"] = st["run_bit"].at[ri].set(
+            run["bit"].astype(jnp.int8), mode="drop")
+        out["n_runs"] = st["n_runs"] + run["valid"].astype(I32)
+        return out
 
     init_extra = dict(
         idle=jnp.bool_(True),
@@ -159,20 +170,24 @@ def pe_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
         corrected_bits=I32(0),
         bits=jnp.zeros(maxb, jnp.int8),
         faked=jnp.zeros(maxb, jnp.int8),
+        run_start=jnp.zeros(RUN_CAP, I32),
+        run_len=jnp.zeros(RUN_CAP, I32),
+        run_bit=jnp.zeros(RUN_CAP, jnp.int8),
+        n_runs=I32(0),
     )
-    final, outs = ts.run_jump_scan(extra, init_extra, v_trk, nxt_trk,
-                                   W, S, nsteps, rise_parm, min_parm)
+    final = ts.run_jump_scan(extra, init_extra, v_trk, nxt_trk,
+                             W, S, nsteps, rise_parm, min_parm)
 
     # apply accumulated fake-bit runs (non-overlapping by construction)
-    idx = jnp.arange(maxb + 1, dtype=I32)
-    starts = jnp.where(outs["run_valid"], outs["run_start"], maxb)
-    ends = jnp.where(outs["run_valid"],
-                     jnp.minimum(outs["run_start"] + outs["run_len"], maxb),
-                     maxb)
+    valid = jnp.arange(RUN_CAP) < final["n_runs"]
+    starts = jnp.where(valid, final["run_start"], maxb)
+    ends = jnp.where(valid,
+                     jnp.minimum(final["run_start"] + final["run_len"],
+                                 maxb), maxb)
     delta = jnp.zeros(maxb + 1, I32).at[starts].add(1, mode="drop")
     delta = delta.at[ends].add(-1, mode="drop")
     inrun = jnp.cumsum(delta[:maxb]) > 0
-    bvals = outs["run_bit"].astype(I32)
+    bvals = final["run_bit"].astype(I32)
     vdelta = jnp.zeros(maxb + 1, I32).at[starts].add(bvals, mode="drop")
     vdelta = vdelta.at[ends].add(-bvals, mode="drop")
     runbit = jnp.cumsum(vdelta[:maxb])

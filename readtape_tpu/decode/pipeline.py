@@ -114,32 +114,15 @@ def _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, *,
     return jnp.take_along_axis(v, idx, axis=1)
 
 
-def _per_w_scan(v, Ws, w_groups, rise_floor, min_floor, scan_one, P):
-    """Run a per-track jump scan for every parmset, grouped by the (static)
-    window width so parmsets sharing a width share the jump table. scan_one
-    (W, parm_indices) -> stacked results [len(idx), T, ...]. Returns results
-    re-assembled in parmset order [P, ...]."""
-    parts = {}
-    for W, idxs in w_groups.items():
-        nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
-        parts[W] = (idxs, scan_one(W, nxt, idxs))
-    order = np.zeros(P, np.int64)
-    chunks = []
-    pos = 0
-    for W, (idxs, res) in parts.items():
-        for i, pidx in enumerate(idxs):
-            order[pidx] = pos + i
-        chunks.append(res)
-        pos += len(idxs)
-    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
-    return jax.tree.map(lambda x: x[order], cat)
-
-
-def _w_groups(Ws):
-    groups = {}
-    for i, W in enumerate(Ws):
-        groups.setdefault(W, []).append(i)
-    return groups
+def _union_jump_table(v, Ws, rise_floor, min_floor):
+    """Candidate jump table valid for EVERY parmset window width: the
+    element-wise min over per-width tables is the union of the candidate
+    sets, so one compiled scan (window width as data) serves all parmsets."""
+    nxt = None
+    for W in sorted(set(Ws)):
+        t_ = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
+        nxt = t_ if nxt is None else jnp.minimum(nxt, t_)
+    return nxt
 
 
 def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
@@ -151,41 +134,28 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     """v_i16: [T, S] int16. Returns per-parmset results (stacked [P, ...])."""
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+    nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
+    W_arr = jnp.asarray(Ws, I32)
 
-    def scan_one(W, nxt, idxs):
-        sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
-        lane = jax.vmap(    # over tracks
-            lambda vt, nx, rise, minp, aa, aw: trackscan.nrzi_track_scan(
-                vt, nx, W, S, nsteps, rise, minp, aa, aw),
-            in_axes=(0, 0, None, None, None, None))
-        return jax.vmap(    # over the parmsets sharing this W
-            lambda rise, minp, aa, aw: lane(v, nxt, rise, minp, aa, aw)
-        )(sub.pkww_rise, sub.min_peak, sub.agc_alpha, sub.agc_window)
+    lane = jax.vmap(    # over tracks
+        lambda vt, nx, Wp, rise, minp, aa, aw: trackscan.nrzi_track_scan(
+            vt, nx, Wp, S, nsteps, K, rise, minp, aa, aw),
+        in_axes=(0, 0) + (None,) * 5)
+    finals = jax.vmap(  # over parmsets (window width is data)
+        lambda Wp, rise, minp, aa, aw: lane(v, nxt, Wp, rise, minp, aa, aw)
+    )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window)
 
-    finals, outs = _per_w_scan(v, Ws, _w_groups(Ws), rise_floor, min_floor,
-                               scan_one, P)
+    def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
+        st = nrzi_mod.nrzi_slot_scan(
+            ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
+            expected_parity, do_correct, maxb, max_slots,
+            stat_leftbin, stat_binwidth)
+        return nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
 
-    trans, counts = trackscan.compact_admitted(
-        outs["admit"],
-        dict(s_det=outs["s_det"], t_peak=outs["t_peak"],
-             agc_after=outs["agc_after"]),
-        K, nrzi_mod.BIG_S)
-
-    @partial(jax.jit, static_argnames=())
-    def global_all(ts_, tt, ta, cnt):
-        def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
-            st = nrzi_mod.nrzi_slot_scan(
-                ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
-                expected_parity, do_correct, maxb, max_slots,
-                stat_leftbin, stat_binwidth)
-            return nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
-                                        maxb)
-        return jax.vmap(global_lane)(ts_, tt, ta, cnt,
-                                     pa.clk_window, pa.clk_alpha,
-                                     pa.pulse_adj, pa.midbit)
-
-    res = global_all(trans["s_det"], trans["t_peak"], trans["agc_after"],
-                     counts)
+    res = jax.vmap(global_lane)(
+        finals["tr_s"], finals["tr_t"], finals["tr_agc"],
+        finals["n_admitted"],
+        pa.clk_window, pa.clk_alpha, pa.pulse_adj, pa.midbit)
     res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=1)
     res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=1)
     res["event_overflow"] = jnp.any(finals["incomplete"])
@@ -200,20 +170,17 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     spb_f = jnp.float32(spb)
+    nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
+    W_arr = jnp.asarray(Ws, I32)
 
-    def scan_one(W, nxt, idxs):
-        sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
-        lane = jax.vmap(    # over tracks
-            lambda vt, nx, *p: pe_mod.pe_track_scan(
-                vt, nx, W, S, nsteps, *p, spb_f, maxb),
-            in_axes=(0, 0) + (None,) * 8)
-        return jax.vmap(    # over the parmsets sharing this W
-            lambda *p: lane(v, nxt, *p)
-        )(sub.pkww_rise, sub.min_peak, sub.agc_alpha, sub.agc_window,
-          sub.clk_window, sub.clk_alpha, sub.clk_factor, sub.pulse_adj)
-
-    finals = _per_w_scan(v, Ws, _w_groups(Ws), rise_floor, min_floor,
-                         scan_one, P)
+    lane = jax.vmap(    # over tracks
+        lambda vt, nx, *p: pe_mod.pe_track_scan(
+            vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb),
+        in_axes=(0, 0) + (None,) * 9)
+    finals = jax.vmap(  # over parmsets
+        lambda *p: lane(v, nxt, *p)
+    )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window,
+      pa.clk_window, pa.clk_alpha, pa.clk_factor, pa.pulse_adj)
     res = jax.vmap(lambda f: pe_mod.pe_finish(
         f, T, expected_parity, revparity, maxb))(finals)
     res["event_overflow"] = jnp.any(finals["incomplete"])
@@ -246,20 +213,17 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
             lambda *p: lane(trans["t"], trans["ok"] & trans["valid"], *p)
         )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
     else:
-        def scan_one(W, nxt, idxs):
-            sub = jax.tree.map(lambda x: x[jnp.asarray(idxs)], pa)
-            lane = jax.vmap(   # over tracks
-                lambda vt, nx, *p: gcr_mod.gcr_track_scan(
-                    vt, nx, W, S, nsteps, *p, spb_f, maxb,
-                    stat_leftbin, stat_binwidth)[0],
-                in_axes=(0, 0) + (None,) * 9)
-            return jax.vmap(   # over the parmsets sharing this W
-                lambda *p: lane(v, nxt, *p)
-            )(sub.pkww_rise, sub.min_peak, sub.agc_alpha, sub.agc_window,
-              sub.clk_window, sub.clk_alpha, sub.z1pt, sub.z2pt,
-              sub.pulse_adj)
-        finals = _per_w_scan(v, Ws, _w_groups(Ws), rise_floor, min_floor,
-                             scan_one, P)
+        nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
+        W_arr = jnp.asarray(Ws, I32)
+        lane = jax.vmap(   # over tracks
+            lambda vt, nx, *p: gcr_mod.gcr_track_scan(
+                vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb,
+                stat_leftbin, stat_binwidth),
+            in_axes=(0, 0) + (None,) * 10)
+        finals = jax.vmap(  # over parmsets
+            lambda *p: lane(v, nxt, *p)
+        )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window,
+          pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
 
     res = jax.vmap(lambda f: gcr_mod.gcr_finish(
         f, T, expected_parity, revparity, do_correct, maxb))(finals)
@@ -507,9 +471,10 @@ class TapeDecoder:
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
                    for p in opts.parmsets.sets)
-        # scan-step budget: ~2 peaks/bit (PE) plus reject slack
+        # scan-step budget: ~2 peaks/bit (PE) plus reject slack; the while
+        # loop exits when every lane runs dry, so this is only a cap
         nsteps = int(S / spb * 3.2) + 64
-        K = nsteps
+        K = int(S / spb * 2.5) + 64
         maxb = int(S / spb * 1.3) + 64
         max_slots = int(S / spb * 1.25) + 48
 
@@ -558,19 +523,21 @@ class TapeDecoder:
         min_floor = jnp.full(T, p0.min_peak * scale / 2 * 0.8, F32)
         nxt = trackscan.loose_jump_table(vf, W, rise_floor, min_floor)
         nsteps = max(512, S // 4)
+        Kd = max(512, S // 6)
         lane = jax.vmap(lambda vt, nx: trackscan.nrzi_track_scan(
-            vt, nx, W, S, nsteps, p0.pkww_rise, p0.min_peak,
+            vt, nx, W, S, nsteps, Kd, p0.pkww_rise, p0.min_peak,
             p0.agc_alpha, p0.agc_window))
-        _, outs = lane(vf, nxt)
-        admit = np.asarray(outs["admit"])
-        t_peak = np.asarray(outs["t_peak"])
-        is_top = np.asarray(outs["is_top"])
+        fin = lane(vf, nxt)
+        n_adm = np.asarray(fin["n_admitted"])
+        t_peak = np.asarray(fin["tr_t"])
+        is_top = np.asarray(fin["tr_top"])
         peaks = []
         t0 = self.opts.t0_seconds + a * opts.deltat
         for trk in range(T):
-            m = admit[trk]
+            n = n_adm[trk]
             peaks.append([(t0 + tp * opts.deltat, bool(it))
-                          for tp, it in zip(t_peak[trk][m], is_top[trk][m])])
+                          for tp, it in zip(t_peak[trk][:n],
+                                            is_top[trk][:n])])
         volts = np.asarray(vf).T[:b - a]
         return volts, peaks
 
@@ -630,16 +597,17 @@ class TapeDecoder:
             min_floor = jnp.full(opts.ntrks,
                                  p0.min_peak * scale / 2 * 0.8, F32)
             nsteps = max(512, S // 4)
+            Kd = max(512, S // 6)
             nxt = trackscan.loose_jump_table(vf, 8, rise_floor, min_floor)
             lane = jax.vmap(
                 lambda vt, nx: trackscan.nrzi_track_scan(
-                    vt, nx, 8, S, nsteps, p0.pkww_rise, p0.min_peak,
+                    vt, nx, 8, S, nsteps, Kd, p0.pkww_rise, p0.min_peak,
                     p0.agc_alpha, p0.agc_window))
-            _, outs = lane(vf, nxt)
-            admit = np.asarray(outs["admit"])
-            t_peak = np.asarray(outs["t_peak"])
+            fin = lane(vf, nxt)
+            n_adm = np.asarray(fin["n_admitted"])
+            t_peak = np.asarray(fin["tr_t"])
             for trk in range(opts.ntrks):
-                t = t_peak[trk][admit[trk]] * opts.deltat
+                t = t_peak[trk][:n_adm[trk]] * opts.deltat
                 d = np.diff(t)
                 deltas.append(d[(d > 0) & (d <= 120e-6)])
                 total += len(deltas[-1])
@@ -714,16 +682,15 @@ def _decode_tape_ww(samples, opts, log):
         min_floor = jnp.full(
             T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
+        K = int(S / spb * 2.5) + 64
         lane = jax.vmap(lambda vt, nx, vh: ww_mod.ww_track_scan(
-            vt, nx, W, S, nsteps, p0.pkww_rise, p0.min_peak,
+            vt, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
             p0.agc_alpha, p0.agc_window, vh))
-        finals, outs = lane(v, nxt, jnp.asarray(v_avg_init, F32))
+        finals = lane(v, nxt, jnp.asarray(v_avg_init, F32))
 
-        K = nsteps
-        trans, counts = trackscan.compact_admitted(
-            outs["admit"], dict(s_det=outs["s_det"], t_peak=outs["t_peak"],
-                                is_top=outs["is_top"]),
-            K, nrzi_mod.BIG_S)
+        counts = finals["n_admitted"]
+        trans = dict(s_det=finals["tr_s"], t_peak=finals["tr_t"],
+                     is_top=finals["tr_top"])
         Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
         merged = ww_mod.merge_transitions(trans, T, Mcap)
 

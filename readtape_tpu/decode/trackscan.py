@@ -62,29 +62,38 @@ def admission_init(W):
     return st
 
 
-def window_features(v_trk: jnp.ndarray, s: jnp.ndarray, W: int, S: int):
+def window_features(v_trk: jnp.ndarray, s: jnp.ndarray, W, S: int,
+                    WMAX: int = None):
     """The reference's window state at sample s: extremes, edges, first
-    argmax/argmin positions and their interpolation neighbors."""
-    start = jnp.clip(s - W + 1, 0, max(S - W, 0))
-    win = jax.lax.dynamic_slice(v_trk, (start,), (W,))
-    o = jnp.arange(W, dtype=I32)
-    valid = (start + o) <= s
+    argmax/argmin positions and their interpolation neighbors. W may be a
+    *runtime* value <= WMAX (the slice is WMAX wide; the logical window is
+    masked), so one compiled scan serves every parmset's window width."""
+    WMAX = W if WMAX is None else WMAX
+    start = jnp.clip(s - WMAX + 1, 0, max(S - WMAX, 0))
+    win = jax.lax.dynamic_slice(v_trk, (start,), (WMAX,))
+    o = jnp.arange(WMAX, dtype=I32)
+    p = start + o
+    left_pos = jnp.maximum(s - W + 1, 0)
+    valid = (p >= left_pos) & (p <= s)
     win_top = jnp.where(valid, win, -jnp.inf)
     win_bot = jnp.where(valid, win, jnp.inf)
     wmax = jnp.max(win_top)
     wmin = jnp.min(win_bot)
     k_top = jnp.argmax(win_top)            # first occurrence, like refine_peak
     k_bot = jnp.argmin(win_bot)
-    v_left = win[0]
-    v_right = win[jnp.clip(s - start, 0, W - 1)]
+    k_left = left_pos - start              # index of the window's left slot
+    v_left = win[jnp.clip(k_left, 0, WMAX - 1)]
+    v_right = win[jnp.clip(s - start, 0, WMAX - 1)]
 
     def neigh(k):
-        return (win[jnp.clip(k - 1, 0, W - 1)], win[jnp.clip(k + 1, 0, W - 1)])
+        return (win[jnp.clip(k - 1, 0, WMAX - 1)],
+                win[jnp.clip(k + 1, 0, WMAX - 1)])
     pm, nm = neigh(k_top)
     pb, nb = neigh(k_bot)
     return dict(wmax=wmax, wmin=wmin, v_left=v_left, v_right=v_right,
-                l_top=(k_top + 1).astype(I32), prevmax=pm, nextmax=nm,
-                l_bot=(k_bot + 1).astype(I32), prevmin=pb, nextmin=nb)
+                l_top=(k_top - k_left + 1).astype(I32), prevmax=pm,
+                nextmax=nm, l_bot=(k_bot - k_left + 1).astype(I32),
+                prevmin=pb, nextmin=nb)
 
 
 def admission_test(st, ev, rise_parm, min_parm):
@@ -120,23 +129,29 @@ def refine_time(st, ev, s, admit_top):
     return t_peak, L
 
 
-def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W: int, S: int,
-                  nsteps: int, rise_parm, min_parm):
-    """Drive the admission scan for one lane.
+def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
+                  nsteps: int, rise_parm, min_parm, WMAX: int = None):
+    """Drive the admission scan for one lane as an early-exiting while loop.
 
-    step_extra(st, admit_top, admit_bot, t_peak, s) -> (st, out_dict) applies
-    the mode-specific state updates (AGC policy, bit emission) AFTER a
-    peak admission decision; it must also set v_lasttop/v_lastbot and any
-    AGC changes itself. init_extra: extra carry fields.
+    step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s) -> st3 applies
+    the mode-specific state updates (AGC policy, bit emission) AFTER a peak
+    admission decision; admitted transitions must be recorded by step_extra
+    into carry buffers (there are no per-step outputs -- a while loop exits
+    as soon as every vmapped lane runs out of candidates, which is the
+    difference between paying for ~transitions steps and ~samples/3 steps).
+    init_extra: extra carry fields. W may be a traced per-lane value
+    (<= WMAX), so all parmsets share one compiled scan.
     """
+    WMAX = (W if isinstance(W, int) else cm.PKWW_MAX_WIDTH) \
+        if WMAX is None else WMAX
 
-    def step(st, _):
+    def cond(st):
+        return (st["pos"] < S) & (st["steps"] < nsteps)
+
+    def body(st):
         s = st["pos"]
-        live = s < S
-        ev = window_features(v_trk, jnp.minimum(s, S - 1), W, S)
-        is_top, is_bot = admission_test(st, ev, rise_parm, min_parm)
-        admit_top = live & is_top
-        admit_bot = live & is_bot
+        ev = window_features(v_trk, jnp.minimum(s, S - 1), st["W"], S, WMAX)
+        admit_top, admit_bot = admission_test(st, ev, rise_parm, min_parm)
         admit = admit_top | admit_bot
         t_peak, L = refine_time(st, ev, s, admit_top)
 
@@ -145,19 +160,20 @@ def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W: int, S: int,
         st2["v_bot"] = jnp.where(admit_bot, ev["wmin"], st["v_bot"])
         st2["n_admitted"] = st["n_admitted"] + admit.astype(I32)
 
-        st3, out = step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s)
+        st3 = step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s)
 
         nxt_pos = jnp.where(admit, s + L + 1, s + 1)
-        nxt_pos = jnp.clip(nxt_pos, 0, S)
-        st3["pos"] = jnp.where(live, nxt_trk[nxt_pos], S)
-        out.update(admit=admit, is_top=admit_top, t_peak=t_peak, s_det=s)
-        return st3, out
+        st3["pos"] = nxt_trk[jnp.clip(nxt_pos, 0, S)]
+        st3["steps"] = st["steps"] + 1
+        return st3
 
     init = admission_init(W)
+    init["steps"] = I32(0)
+    init["pos"] = nxt_trk[0]            # first candidate (skip leading quiet)
     init.update(init_extra)
-    final, outs = jax.lax.scan(step, init, None, length=nsteps)
+    final = jax.lax.while_loop(cond, body, init)
     final["incomplete"] = final["pos"] < S
-    return final, outs
+    return final
 
 
 # ---------------------------------------------------------------------------
@@ -193,9 +209,12 @@ def nrzi_agc_policy(st2, st, admit_top, admit_bot, agc_alpha, agc_window):
     return out
 
 
-@partial(jax.jit, static_argnames=("W", "S", "nsteps"))
-def nrzi_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+@partial(jax.jit, static_argnames=("S", "nsteps", "K"))
+def nrzi_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
                     rise_parm, min_parm, agc_alpha, agc_window):
+    """Admission + AGC for NRZI (and calibration passes). Admitted
+    transitions are recorded straight into [K] carry buffers (already
+    compacted); returns the final state."""
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
         # first data bit initializes max_agc_gain (nrzi_addbit:149)
@@ -206,9 +225,20 @@ def nrzi_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
                               agc_alpha, agc_window)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
-        return st3, dict(agc_after=st3["agc_gain"])
+        i = jnp.where(admit, jnp.minimum(st["n_admitted"], K - 1), K)
+        st3["tr_s"] = st["tr_s"].at[i].set(s, mode="drop")
+        st3["tr_t"] = st["tr_t"].at[i].set(t_peak, mode="drop")
+        st3["tr_agc"] = st["tr_agc"].at[i].set(st3["agc_gain"], mode="drop")
+        st3["tr_top"] = st["tr_top"].at[i].set(admit_top, mode="drop")
+        return st3
 
-    return run_jump_scan(extra, {}, v_trk, nxt_trk, W, S, nsteps,
+    init_extra = dict(
+        tr_s=jnp.full(K, BIG_S, I32),
+        tr_t=jnp.zeros(K, F32),
+        tr_agc=jnp.zeros(K, F32),
+        tr_top=jnp.zeros(K, bool),
+    )
+    return run_jump_scan(extra, init_extra, v_trk, nxt_trk, W, S, nsteps,
                          rise_parm, min_parm)
 
 

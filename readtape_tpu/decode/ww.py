@@ -59,8 +59,8 @@ def parse_ww_order(order: str):
     return type_to_trk, head_to_trk, ntrks
 
 
-@partial(jax.jit, static_argnames=("W", "S", "nsteps"))
-def ww_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
+@partial(jax.jit, static_argnames=("S", "nsteps", "K"))
+def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   v_avg_height_init):
     """Admission + the WW AGC policy: adjust_agc on every pulse edge
@@ -84,10 +84,17 @@ def ww_track_scan(v_trk, nxt_trk, W: int, S: int, nsteps: int,
         st3["h_cnt"] = st["h_cnt"] + meas.astype(I32)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
-        return st3, {}
+        i = jnp.where(admit, jnp.minimum(st["n_admitted"], K - 1), K)
+        st3["tr_s"] = st["tr_s"].at[i].set(s, mode="drop")
+        st3["tr_t"] = st["tr_t"].at[i].set(t_peak, mode="drop")
+        st3["tr_top"] = st["tr_top"].at[i].set(admit_top, mode="drop")
+        return st3
 
     init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32),
-            "h_sum": F32(0.0), "h_cnt": I32(0)}
+            "h_sum": F32(0.0), "h_cnt": I32(0),
+            "tr_s": jnp.full(K, ts.BIG_S, I32),
+            "tr_t": jnp.zeros(K, F32),
+            "tr_top": jnp.zeros(K, bool)}
     return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
                             rise_parm, min_parm)
 
