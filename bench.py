@@ -49,14 +49,24 @@ def main():
     opts = DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,
                          deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts)
 
-    # warmup (includes compilation)
-    t_warm = time.perf_counter()
-    out, stats = decode_tape(samples, opts)
-    print(f"# warmup (incl. compile) {time.perf_counter() - t_warm:.1f}s",
-          file=sys.stderr, flush=True)
-    datas = [b.data for b in out if b.kind == "data"]
-    ok = (datas == blocks and stats["ntapemarks"] == 2 and
-          stats["nerrblocks"] == 0)
+    # warmup (includes compilation) + bit-exactness check; if this TPU
+    # stack miscompiles at the default batch size, fall back to smaller
+    # batches (correctness always wins over batching)
+    ok = False
+    for max_batch in (None, "4", "1"):
+        if max_batch is not None:
+            os.environ["READTAPE_MAX_BATCH"] = max_batch
+            print(f"# retrying with READTAPE_MAX_BATCH={max_batch}",
+                  file=sys.stderr, flush=True)
+        t_warm = time.perf_counter()
+        out, stats = decode_tape(samples, opts)
+        print(f"# warmup (incl. compile) {time.perf_counter() - t_warm:.1f}s",
+              file=sys.stderr, flush=True)
+        datas = [b.data for b in out if b.kind == "data"]
+        ok = (datas == blocks and stats["ntapemarks"] == 2 and
+              stats["nerrblocks"] == 0)
+        if ok:
+            break
     if not ok:
         print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
                           "value": 0.0, "unit": "Msamples/s",

@@ -147,6 +147,7 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
         trksums=jnp.zeros(T, I32),
         done=~any_trans,
         ended_by_post=jnp.bool_(False),
+        slots=I32(0),
     )
 
     def consume(st, s_z):
@@ -195,7 +196,7 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                                        st["t_lastclock"])
         return out
 
-    def slot(st, _):
+    def slot(st):
         def live(st):
             b0 = st["clkavg"]["t_bitspaceavg"]
             s_z0 = jnp.floor(st["t_lastclock"] + 2 * b0).astype(I32) + 1
@@ -307,10 +308,12 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             out["done"] = ended | past_end
             return out
 
-        st2 = jax.lax.cond(st["done"], lambda s: s, live, st)
-        return st2, None
+        st2 = live(st)
+        st2["slots"] = st["slots"] + 1
+        return st2
 
-    final, _ = jax.lax.scan(slot, init, None, length=max_slots)
+    final = jax.lax.while_loop(
+        lambda st: (~st["done"]) & (st["slots"] < max_slots), slot, init)
     return final
 
 

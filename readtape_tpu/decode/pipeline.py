@@ -19,6 +19,7 @@ the leading segments, exactly as the reference rewinds and re-reads
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -144,6 +145,12 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     finals = jax.vmap(  # over parmsets (window width is data)
         lambda Wp, rise, minp, aa, aw: lane(v, nxt, Wp, rise, minp, aa, aw)
     )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window)
+    # sanitize transition buffers past each lane's admitted count: the
+    # global scan's binary searches require the sentinel-sorted invariant
+    keep = jnp.arange(K) < finals["n_admitted"][..., None]
+    finals["tr_s"] = jnp.where(keep, finals["tr_s"], nrzi_mod.BIG_S)
+    finals["tr_t"] = jnp.where(keep, finals["tr_t"], 0.0)
+    finals["tr_agc"] = jnp.where(keep, finals["tr_agc"], 1.0)
 
     def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
         st = nrzi_mod.nrzi_slot_scan(
@@ -689,8 +696,11 @@ def _decode_tape_ww(samples, opts, log):
         finals = lane(v, nxt, jnp.asarray(v_avg_init, F32))
 
         counts = finals["n_admitted"]
-        trans = dict(s_det=finals["tr_s"], t_peak=finals["tr_t"],
-                     is_top=finals["tr_top"])
+        keep = np.arange(K) < np.asarray(counts)[..., None]
+        trans = dict(
+            s_det=jnp.where(keep, finals["tr_s"], nrzi_mod.BIG_S),
+            t_peak=jnp.where(keep, finals["tr_t"], 0.0),
+            is_top=jnp.where(keep, finals["tr_top"], False))
         Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
         merged = ww_mod.merge_transitions(trans, T, Mcap)
 
@@ -792,7 +802,11 @@ def _decode_tape_nrzi_like(samples, opts, log):
     by_bucket = {}
     for i, (a, b) in enumerate(segs):
         by_bucket.setdefault(seg.bucket_length(b - a), []).append(i)
-    max_batch_elems = 64 * 32768
+    # batches cap at 8 segments by default: larger batched while-loops
+    # miscompile on some TPU runtime/compiler stacks (lane corruption
+    # observed at B=16 on a v5e remote-compile setup), and 8 already
+    # amortizes the scans; override with READTAPE_MAX_BATCH
+    max_batch_elems = int(os.environ.get("READTAPE_MAX_BATCH", "8")) * 32768
     for S, idxs in sorted(by_bucket.items()):
         bmax = max(1, max_batch_elems // S)
         for lo in range(0, len(idxs), bmax):
