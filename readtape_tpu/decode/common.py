@@ -104,13 +104,17 @@ def pkww_width_for(bitfrac: float, bpi: float, ips: float, deltat: float) -> int
 # AGC: automatic gain control (decoder.c:500-531)
 # ---------------------------------------------------------------------------
 
-def agc_state_init():
+def agc_state_init(agc_ring: int = AGC_MAX_WINDOW):
+    """agc_ring: ring size for the min-of-window AGC; the reference always
+    allocates AGC_MAX_WINDOW (decoder.h:234) but only the largest active
+    parmset's agc_window entries are ever read, so carried scan state can
+    shrink to that."""
     return dict(
         agc_gain=F32(1.0),
         v_avg_height=F32(PKWW_PEAKHEIGHT),
         v_avg_height_sum=F32(0.0),
         v_avg_height_count=I32(0),
-        v_heights=jnp.zeros(AGC_MAX_WINDOW, F32),
+        v_heights=jnp.zeros(agc_ring, F32),
         heightndx=I32(0),
         max_agc_gain=F32(0.0),
         min_agc_gain=FLT_MAX,
@@ -138,7 +142,7 @@ def adjust_agc(st, agc_alpha, agc_window):
     # min-of-window variant
     heights_w = heights.at[ndx].set(lastheight)
     ndx_w = jnp.where(ndx + 1 >= agc_window, 0, ndx + 1)
-    lane = jnp.arange(AGC_MAX_WINDOW)
+    lane = jnp.arange(heights.shape[0])
     minheight = jnp.min(jnp.where(lane < agc_window, heights_w, FLT_MAX))
     g_win = jnp.minimum(st["v_avg_height"] / jnp.maximum(minheight, 1e-9),
                         AGC_MAX_VALUE)
@@ -186,9 +190,11 @@ def finish_baseline(st):
 # current average), all in sample units
 # ---------------------------------------------------------------------------
 
-def clkavg_init(spb: jnp.ndarray):
+def clkavg_init(spb: jnp.ndarray, clk_ring: int = CLKRATE_WINDOW):
+    """clk_ring: moving-window ring size; only the largest active parmset's
+    clk_window entries are ever read (decoder.h:189)."""
     return dict(
-        t_bitspacing=jnp.broadcast_to(spb, (CLKRATE_WINDOW,)).astype(F32),
+        t_bitspacing=jnp.broadcast_to(spb, (clk_ring,)).astype(F32),
         bitndx=I32(0),
         t_bitspaceavg=F32(spb),
     )
@@ -217,7 +223,8 @@ def adjust_clock(c, delta, clk_window, clk_alpha, const_spb):
 
 def force_clock(c, delta):
     return dict(
-        t_bitspacing=jnp.broadcast_to(delta, (CLKRATE_WINDOW,)).astype(F32),
+        t_bitspacing=jnp.broadcast_to(
+            delta, c["t_bitspacing"].shape).astype(F32),
         bitndx=c["bitndx"],
         t_bitspaceavg=F32(delta),
     )

@@ -122,9 +122,9 @@ def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
     return out
 
 
-def gcr_bit_state_init(spb, maxb):
+def gcr_bit_state_init(spb, maxb, clk_ring: int = cm.CLKRATE_WINDOW):
     return dict(
-        clkavg=cm.clkavg_init(spb),
+        clkavg=cm.clkavg_init(spb, clk_ring),
         t_pulse_adj=F32(0.0),
         t_peakdelta=F32(0.0),
         t_peakdeltaprev=F32(0.0),
@@ -139,13 +139,16 @@ def gcr_bit_state_init(spb, maxb):
     )
 
 
-@partial(jax.jit, static_argnames=("S", "nsteps", "maxb"))
+@partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
+                                    "agc_ring"))
 def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    rise_parm, min_parm, agc_alpha, agc_window,
                    clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
                    spb, maxb: int,
                    stat_leftbin=jnp.float32(0.0),
-                   stat_binwidth=jnp.float32(1.0)):
+                   stat_binwidth=jnp.float32(1.0),
+                   clk_ring: int = cm.CLKRATE_WINDOW,
+                   agc_ring: int = cm.AGC_MAX_WINDOW):
     """Peak-detection GCR lane: admission + AGC + bit recovery fused."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
@@ -170,11 +173,11 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                            clk_window, clk_alpha, spb, maxb)
         return st4
 
-    init = gcr_bit_state_init(spb, maxb)
+    init = gcr_bit_state_init(spb, maxb, clk_ring)
     init["hist"] = jnp.zeros(50, I32)
     init["trksum"] = I32(0)
     return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
-                            rise_parm, min_parm)
+                            rise_parm, min_parm, agc_ring=agc_ring)
 
 
 # ---------------------------------------------------------------------------

@@ -116,7 +116,8 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                    clk_window, clk_alpha, pulse_adj, midbit,
                    expected_parity, do_correct,
                    maxb: int, max_slots: int,
-                   stat_leftbin, stat_binwidth):
+                   stat_leftbin, stat_binwidth,
+                   clk_ring: int = cm.CLKRATE_WINDOW):
     """One parmset lane. trans_*: [T, K] admitted transitions per track
     (s_det ascending, BIG_S fill). Returns the per-track bit buffers and the
     block-result scalars."""
@@ -132,7 +133,7 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
     init = dict(
         t_lastclock=t_lastclock0,
         t_last_midbit=midbit0,
-        clkavg=cm.clkavg_init(spb),
+        clkavg=cm.clkavg_init(spb, clk_ring),
         post_counter=I32(0),
         kvis=jnp.zeros(T, I32),
         dc=jnp.zeros(T, I32),

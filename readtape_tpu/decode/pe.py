@@ -29,11 +29,14 @@ from .nrzi import BS_BLOCK, BS_NOISE, BS_TAPEMARK
 RUN_CAP = 128        # max dropout fake-bit runs per track per segment
 
 
-@partial(jax.jit, static_argnames=("S", "nsteps", "maxb"))
+@partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
+                                    "agc_ring"))
 def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   clk_window, clk_alpha, clk_factor, pulse_adj_parm,
-                  spb, maxb: int):
+                  spb, maxb: int,
+                  clk_ring: int = cm.CLKRATE_WINDOW,
+                  agc_ring: int = cm.AGC_MAX_WINDOW):
     """One (parmset x track) lane. Returns the final state including the
     emitted bit/fake buffers."""
 
@@ -159,7 +162,7 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         datablock=jnp.bool_(False),
         clknext=jnp.bool_(False),
         bit1_up=jnp.bool_(True),
-        clkavg=cm.clkavg_init(spb),
+        clkavg=cm.clkavg_init(spb, clk_ring),
         t_clkwindow=spb / 2 * clk_factor,
         t_pulse_adj=F32(0.0),
         t_lastbit=F32(0.0),
@@ -176,7 +179,8 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         n_runs=I32(0),
     )
     final = ts.run_jump_scan(extra, init_extra, v_trk, nxt_trk,
-                             W, S, nsteps, rise_parm, min_parm)
+                             W, S, nsteps, rise_parm, min_parm,
+                             agc_ring=agc_ring)
 
     # apply accumulated fake-bit runs (non-overlapping by construction)
     valid = jnp.arange(RUN_CAP) < final["n_runs"]

@@ -131,7 +131,8 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
                          rise_floor, min_floor,
                          stat_leftbin, stat_binwidth,
                          *, S, T, P, nsteps, K, maxb, max_slots,
-                         Ws, do_correct, differentiate, spb_int):
+                         Ws, do_correct, differentiate, spb_int,
+                         clk_ring=50, agc_ring=10):
     """v_i16: [T, S] int16. Returns per-parmset results (stacked [P, ...])."""
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
@@ -140,7 +141,8 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
 
     lane = jax.vmap(    # over tracks
         lambda vt, nx, Wp, rise, minp, aa, aw: trackscan.nrzi_track_scan(
-            vt, nx, Wp, S, nsteps, K, rise, minp, aa, aw),
+            vt, nx, Wp, S, nsteps, K, rise, minp, aa, aw,
+            agc_ring=agc_ring),
         in_axes=(0, 0) + (None,) * 5)
     finals = jax.vmap(  # over parmsets (window width is data)
         lambda Wp, rise, minp, aa, aw: lane(v, nxt, Wp, rise, minp, aa, aw)
@@ -156,7 +158,7 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         st = nrzi_mod.nrzi_slot_scan(
             ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
             expected_parity, do_correct, maxb, max_slots,
-            stat_leftbin, stat_binwidth)
+            stat_leftbin, stat_binwidth, clk_ring=clk_ring)
         return nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
 
     res = jax.vmap(global_lane)(
@@ -173,7 +175,7 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
                        pa: ParmArrays, spb, expected_parity, revparity,
                        rise_floor, min_floor,
                        *, S, T, P, nsteps, maxb, Ws,
-                       differentiate, spb_int):
+                       differentiate, spb_int, clk_ring=50, agc_ring=10):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     spb_f = jnp.float32(spb)
@@ -182,7 +184,8 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
 
     lane = jax.vmap(    # over tracks
         lambda vt, nx, *p: pe_mod.pe_track_scan(
-            vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb),
+            vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb,
+            clk_ring=clk_ring, agc_ring=agc_ring),
         in_axes=(0, 0) + (None,) * 9)
     finals = jax.vmap(  # over parmsets
         lambda *p: lane(v, nxt, *p)
@@ -200,7 +203,8 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
                         stat_leftbin=jnp.float32(0.0),
                         stat_binwidth=jnp.float32(1.0),
                         *, S, T, P, nsteps, maxb, Ws, do_correct,
-                        find_zeros, differentiate, spb_int):
+                        find_zeros, differentiate, spb_int,
+                        clk_ring=50, agc_ring=10):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     spb_f = jnp.float32(spb)
@@ -225,7 +229,8 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         lane = jax.vmap(   # over tracks
             lambda vt, nx, *p: gcr_mod.gcr_track_scan(
                 vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb,
-                stat_leftbin, stat_binwidth),
+                stat_leftbin, stat_binwidth,
+                clk_ring=clk_ring, agc_ring=agc_ring),
             in_axes=(0, 0) + (None,) * 10)
         finals = jax.vmap(  # over parmsets
             lambda *p: lane(v, nxt, *p)
@@ -244,7 +249,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
-                do_correct, find_zeros, differentiate, spb_int):
+                do_correct, find_zeros, differentiate, spb_int,
+                clk_ring, agc_ring):
     """Cached jitted segment-batch decoder for one static configuration.
 
     The returned function takes (tape [T, N] int16, offsets [B] int32,
@@ -257,18 +263,21 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
         base = partial(_nrzi_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
                        max_slots=max_slots, Ws=Ws, do_correct=do_correct,
-                       differentiate=differentiate, spb_int=spb_int)
+                       differentiate=differentiate, spb_int=spb_int,
+                       clk_ring=clk_ring, agc_ring=agc_ring)
         n_in = 11
     elif mode == tb.MODE_PE:
         base = partial(_pe_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
-                       differentiate=differentiate, spb_int=spb_int)
+                       differentiate=differentiate, spb_int=spb_int,
+                       clk_ring=clk_ring, agc_ring=agc_ring)
         n_in = 9
     elif mode == tb.MODE_GCR:
         base = partial(_gcr_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
                        do_correct=do_correct, find_zeros=find_zeros,
-                       differentiate=differentiate, spb_int=spb_int)
+                       differentiate=differentiate, spb_int=spb_int,
+                       clk_ring=clk_ring, agc_ring=agc_ring)
         n_in = 11
     else:
         raise NotImplementedError(f"mode {mode}")
@@ -492,9 +501,12 @@ class TapeDecoder:
         min_floor = jnp.full(T, minp_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
 
         spb_int = int(spb) if opts.bpi > 0 else 20
+        # carried ring sizes shrink to the largest ACTIVE parmset's windows
+        clk_ring = max(max(p.clk_window for p in opts.parmsets.sets), 1)
+        agc_ring = max(max(p.agc_window for p in opts.parmsets.sets), 1)
         fn = _batched_fn(opts.mode, S, T, self.P, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.find_zeros,
-                         opts.differentiate, spb_int)
+                         opts.differentiate, spb_int, clk_ring, agc_ring)
         args = [tape, offsets, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),

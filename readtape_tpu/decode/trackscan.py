@@ -50,8 +50,8 @@ def loose_jump_table(v: jnp.ndarray, W: int, rise_floor, min_floor):
     return nxt
 
 
-def admission_init(W):
-    st = cm.agc_state_init()
+def admission_init(W, agc_ring: int = cm.AGC_MAX_WINDOW):
+    st = cm.agc_state_init(agc_ring)
     st.update(
         pos=I32(0),
         W=jnp.asarray(W, I32),
@@ -130,7 +130,8 @@ def refine_time(st, ev, s, admit_top):
 
 
 def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
-                  nsteps: int, rise_parm, min_parm, WMAX: int = None):
+                  nsteps: int, rise_parm, min_parm, WMAX: int = None,
+                  agc_ring: int = cm.AGC_MAX_WINDOW):
     """Drive the admission scan for one lane as an early-exiting while loop.
 
     step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s) -> st3 applies
@@ -167,7 +168,7 @@ def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
         st3["steps"] = st["steps"] + 1
         return st3
 
-    init = admission_init(W)
+    init = admission_init(W, agc_ring)
     init["steps"] = I32(0)
     init["pos"] = nxt_trk[0]            # first candidate (skip leading quiet)
     init.update(init_extra)
@@ -209,9 +210,10 @@ def nrzi_agc_policy(st2, st, admit_top, admit_bot, agc_alpha, agc_window):
     return out
 
 
-@partial(jax.jit, static_argnames=("S", "nsteps", "K"))
+@partial(jax.jit, static_argnames=("S", "nsteps", "K", "agc_ring"))
 def nrzi_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
-                    rise_parm, min_parm, agc_alpha, agc_window):
+                    rise_parm, min_parm, agc_alpha, agc_window,
+                    agc_ring: int = cm.AGC_MAX_WINDOW):
     """Admission + AGC for NRZI (and calibration passes). Admitted
     transitions are recorded straight into [K] carry buffers (already
     compacted); returns the final state."""
@@ -239,7 +241,7 @@ def nrzi_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
         tr_top=jnp.zeros(K, bool),
     )
     return run_jump_scan(extra, init_extra, v_trk, nxt_trk, W, S, nsteps,
-                         rise_parm, min_parm)
+                         rise_parm, min_parm, agc_ring=agc_ring)
 
 
 def compact_admitted(admit, payload, cap, fill_s):
