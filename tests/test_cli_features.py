@@ -1,0 +1,70 @@
+"""CLI feature tests: file lists, tapread, textfile output, trace."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from readtape_tpu.formats import tbin as tb
+from readtape_tpu.formats.simh import TapWriter
+from readtape_tpu.synth import default_spec, synthesize_tape
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+
+
+def _cli(args, cwd):
+    return subprocess.run([sys.executable, os.path.join(REPO, "readtape")] +
+                          args, cwd=cwd, env=ENV, capture_output=True,
+                          text=True)
+
+
+def test_filelist(tmp_path):
+    rng = np.random.default_rng(60)
+    for i in range(2):
+        block = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        hdr, samples = synthesize_tape(default_spec(tb.MODE_NRZI),
+                                       [("block", block)])
+        tb.write_tbin(str(tmp_path / f"t{i}.tbin"), hdr, samples)
+        (tmp_path / f"exp{i}.bin").write_bytes(block)
+    (tmp_path / "list.txt").write_text(
+        "-nrzi -m t0\n"
+        "-nrzi -m t1\n")
+    r = _cli(["-f", "list"], tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "t0: ok" in r.stdout and "t1: ok" in r.stdout
+    assert (tmp_path / "t0.001.bin").read_bytes() == \
+        (tmp_path / "exp0.bin").read_bytes()
+    assert (tmp_path / "t1.001.bin").read_bytes() == \
+        (tmp_path / "exp1.bin").read_bytes()
+
+
+def test_tapread_textfile(tmp_path):
+    w = TapWriter(str(tmp_path / "x.tap"))
+    w.write_block(b"HELLO WORLD AA", error=False)
+    w.write_tapemark()
+    w.write_eom()
+    w.close()
+    r = _cli(["-tapread", "-hex", "-ascii", "x.tap"], tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    outs = [f for f in os.listdir(tmp_path) if f.endswith(".txt")]
+    assert outs, "no text file produced"
+    text = (tmp_path / outs[0]).read_text()
+    assert "HELLO WORLD AA" in text
+    assert "48454C4C4F" in text.replace(" ", "")
+    assert "tape mark" in text
+
+
+def test_textfile_and_peakstats(tmp_path):
+    rng = np.random.default_rng(61)
+    block = bytes(rng.integers(0, 256, 80, dtype=np.uint8))
+    hdr, samples = synthesize_tape(default_spec(tb.MODE_NRZI),
+                                   [("block", block)])
+    tb.write_tbin(str(tmp_path / "p.tbin"), hdr, samples)
+    r = _cli(["-nrzi", "-m", "-hex", "-ebcdic", "p.tbin"], tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (tmp_path / "p.hex.ebcdic.txt").exists()
+    assert (tmp_path / "p.peakstats.csv").exists()
+    stats = (tmp_path / "p.peakstats.csv").read_text().splitlines()
+    assert len(stats) == 10 and stats[0].startswith("total cnt")
