@@ -312,7 +312,10 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
 
     compiled = jax.jit(run)
 
-    def call(tape, offsets, *args):
+    def call(tape, offsets, *args, fetch=True):
+        """fetch=False returns a thunk that materializes the results later:
+        callers can dispatch many batches asynchronously (JAX dispatch is
+        async) and overlap per-call device/link latency."""
         if "keys" not in call.__dict__:
             shaped = jax.eval_shape(
                 lambda t_, o_, *a_: jax.vmap(base, in_axes=(0,) + (None,) * n_in)(
@@ -321,12 +324,16 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 tape, offsets, *args)
             call.keys = _categorize(shaped, offsets.shape[0])
         packed_i, packed_f, bigs = compiled(tape, offsets, *args)
-        packed_i, packed_f = np.asarray(packed_i), np.asarray(packed_f)
-        ikeys, fkeys, bkeys = call.keys
-        out = {k: packed_i[..., j] for j, k in enumerate(ikeys)}
-        out.update({k: packed_f[..., j] for j, k in enumerate(fkeys)})
-        out.update({k: np.asarray(b) for k, b in zip(bkeys, bigs)})
-        return out
+
+        def materialize():
+            pi, pf = np.asarray(packed_i), np.asarray(packed_f)
+            ikeys, fkeys, bkeys = call.keys
+            out = {k: pi[..., j] for j, k in enumerate(ikeys)}
+            out.update({k: pf[..., j] for j, k in enumerate(fkeys)})
+            out.update({k: np.asarray(b) for k, b in zip(bkeys, bigs)})
+            return out
+
+        return materialize() if fetch else materialize
 
     return call
 
@@ -471,7 +478,7 @@ class TapeDecoder:
                 self.v_i16, ((0, 0), (0, n_pad - self.v_i16.shape[1])))
         return self.v_i16
 
-    def decode_segment_batch(self, spans):
+    def decode_segment_batch(self, spans, fetch=True):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
@@ -516,7 +523,7 @@ class TapeDecoder:
             lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
             args += [jnp.float32(lb / opts.deltat),
                      jnp.float32(bw / opts.deltat)]
-        return fn(*args)
+        return fn(*args, fetch=fetch)
 
     # ---- debug trace extraction (trace.c equivalent; runtime option) ----
     def trace_window(self, a: int, b: int):
@@ -819,6 +826,7 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # observed at B=16 on a v5e remote-compile setup), and 8 already
     # amortizes the scans; override with READTAPE_MAX_BATCH
     max_batch_elems = int(os.environ.get("READTAPE_MAX_BATCH", "8")) * 32768
+    pending = []
     for S, idxs in sorted(by_bucket.items()):
         bmax = max(1, max_batch_elems // S)
         for lo in range(0, len(idxs), bmax):
@@ -829,9 +837,13 @@ def _decode_tape_nrzi_like(samples, opts, log):
             B = bmax if len(idxs) > bmax else seg.bucket_length(len(spans), 1)
             while len(spans) < B:
                 spans.append(spans[-1])
-            res = dec.decode_segment_batch(spans)
-            for j, i in enumerate(chunk):
-                results[i] = jax.tree.map(lambda x: x[j], res)
+            # dispatch async; fetch after everything is in flight
+            pending.append((chunk, dec.decode_segment_batch(spans,
+                                                            fetch=False)))
+    for chunk, thunk in pending:
+        res = thunk()
+        for j, i in enumerate(chunk):
+            results[i] = jax.tree.map(lambda x: x[j], res)
 
     blocks = []
     for i, (a, b) in enumerate(segs):
