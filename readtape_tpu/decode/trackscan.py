@@ -242,25 +242,3 @@ def nrzi_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
     )
     return run_jump_scan(extra, init_extra, v_trk, nxt_trk, W, S, nsteps,
                          rise_parm, min_parm, agc_ring=agc_ring)
-
-
-def compact_admitted(admit, payload, cap, fill_s):
-    """Compact per-step payload arrays (each [..., E]) down to the admitted
-    transitions [..., cap], in order. admit: bool [..., E]. fill_s: sentinel
-    for the s_det field of unused slots."""
-    lead = admit.shape[:-1]
-    E = admit.shape[-1]
-    flat_admit = admit.reshape(-1, E)
-    pos = jnp.cumsum(flat_admit, axis=-1) - 1
-    scat = jnp.where(flat_admit, jnp.minimum(pos, cap - 1), cap)
-
-    def one(dst_fill, src):
-        flat_src = src.reshape(-1, E)
-        out = jnp.full((flat_src.shape[0], cap + 1), dst_fill, flat_src.dtype)
-        out = jax.vmap(lambda o, st_, v_: o.at[st_].set(v_, mode="drop"))(
-            out, scat, flat_src)
-        return out[:, :cap].reshape(*lead, cap)
-
-    counts = jnp.sum(flat_admit, axis=-1).astype(I32).reshape(lead)
-    return {k: one(fill_s if k == "s_det" else 0, v)
-            for k, v in payload.items()}, counts
