@@ -74,3 +74,15 @@ def test_ww_abutting_blockmark():
     assert kinds == ["data", "tapemark", "tapemark", "data"]
     datas = [b.data for b in out if b.kind == "data"]
     assert datas == [_words_bytes(words)] * 2
+
+
+def test_ww_order_parsing():
+    from readtape_tpu.decode.ww import parse_ww_order, NOTRK
+    t2t, h2t, n = parse_ww_order("CMLcml")
+    assert n == 6 and h2t == [0, 1, 2, 3, 4, 5]
+    # ignored heads ('x') are dropped from the track numbering
+    t2t, h2t, n = parse_ww_order("xCxMxLxx")
+    assert n == 3 and h2t == [NOTRK, 0, NOTRK, 1, NOTRK, 2, NOTRK, NOTRK]
+    import pytest
+    with pytest.raises(ValueError):
+        parse_ww_order("Mcml")       # no primary clock
