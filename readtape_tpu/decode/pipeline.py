@@ -478,7 +478,7 @@ class TapeDecoder:
                 self.v_i16, ((0, 0), (0, n_pad - self.v_i16.shape[1])))
         return self.v_i16
 
-    def decode_segment_batch(self, spans, fetch=True):
+    def decode_segment_batch(self, spans, fetch=True, bucket=None):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
@@ -486,7 +486,7 @@ class TapeDecoder:
         on device (offsets are data) and results come back packed -- a
         single executable + a handful of transfers per batch."""
         opts = self.opts
-        S = seg.bucket_length(max(b - a for a, b in spans))
+        S = bucket or seg.bucket_length(max(b - a for a, b in spans))
         T = opts.ntrks
         tape = self._tape_padded(max(a for a, b in spans) + S)
         offsets = jnp.asarray([a for a, b in spans], I32)
@@ -816,11 +816,20 @@ def _decode_tape_nrzi_like(samples, opts, log):
         stats["deskew_percent"] = dec.deskew_percent
     stats["skew"] = dec.skew.tolist()
 
-    # decode all segments, batched by bucket size (vmapped on device)
+    # decode all segments, batched by bucket size (vmapped on device).
+    # For NRZI, unify to ONE bucket so tapemark-sized segments ride along
+    # with data blocks (fewer device calls): safe because the NRZI slot
+    # scan self-terminates at end-of-block, so over-long windows that reach
+    # into the next segment decode nothing extra. PE/GCR per-track scans
+    # have no in-scan block end, so they keep tight per-segment buckets.
     results = [None] * len(segs)
+    buckets = [seg.bucket_length(b - a) for a, b in segs]
+    maxbkt = max(buckets)
+    if opts.mode == tb.MODE_NRZI and maxbkt <= 65536:
+        buckets = [maxbkt] * len(buckets)
     by_bucket = {}
-    for i, (a, b) in enumerate(segs):
-        by_bucket.setdefault(seg.bucket_length(b - a), []).append(i)
+    for i, bkt in enumerate(buckets):
+        by_bucket.setdefault(bkt, []).append(i)
     # batches cap at 8 segments by default: larger batched while-loops
     # miscompile on some TPU runtime/compiler stacks (lane corruption
     # observed at B=16 on a v5e remote-compile setup), and 8 already
@@ -838,8 +847,8 @@ def _decode_tape_nrzi_like(samples, opts, log):
             while len(spans) < B:
                 spans.append(spans[-1])
             # dispatch async; fetch after everything is in flight
-            pending.append((chunk, dec.decode_segment_batch(spans,
-                                                            fetch=False)))
+            pending.append((chunk, dec.decode_segment_batch(
+                spans, fetch=False, bucket=S)))
     for chunk, thunk in pending:
         res = thunk()
         for j, i in enumerate(chunk):
