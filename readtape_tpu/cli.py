@@ -501,7 +501,6 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
     numfilebytes = 0
     numblks = 0
     numoutbytes = 0
-    hdr1_name = None
     hdr1_active = False
     prev_end = None
 
@@ -551,22 +550,23 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
                 f" {blk.tries} tries, parmset {blk.parmset}, "
                 f"at time {blk.t_end:.8f}")
             continue
-        # data block
+        # data block: IBM labels are logged always, absorbed (not written)
+        # unless in .tap mode (readtape.c:1216-1217; ibmlabels.c:147-153)
         labeled = False
-        if o.labels and not tapw:
+        if o.labels:
             info = parse_label(blk.data)
             if info:
                 log.info(describe_label(info, blk.errcount))
-                if info.kind == "HDR1":
-                    name = f"{outbase}-{numfiles+1:03d}-{info.dataset_filename}"
-                    open_bin(name.rstrip())
-                    hdr1_active = True
-                if info.kind == "EOF1":
-                    close_bin()
+                if not tapw:
+                    if info.kind == "HDR1":
+                        name = (f"{outbase}-{numfiles+1:03d}-"
+                                f"{info.dataset_filename}")
+                        open_bin(name.rstrip())
+                        hdr1_active = True
+                    if info.kind == "EOF1":
+                        close_bin()
                 labeled = True
         if not labeled or tapw:
-            if o.labels and tapw is None and parse_label(blk.data):
-                pass
             if tapw:
                 tapw.write_block(blk.data, error=blk.errcount > 0)
                 numoutbytes += len(blk.data)

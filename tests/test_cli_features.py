@@ -68,3 +68,38 @@ def test_textfile_and_peakstats(tmp_path):
     assert (tmp_path / "p.peakstats.csv").exists()
     stats = (tmp_path / "p.peakstats.csv").read_text().splitlines()
     assert len(stats) == 10 and stats[0].startswith("total cnt")
+
+
+def test_ibm_labels_name_output_files(tmp_path):
+    """VOL1/HDR1/EOF1 label blocks are absorbed and the HDR1 dataset id
+    names the output file (ibmlabels.c:147-153)."""
+    from readtape_tpu.out.charsets import EBCDIC
+    rev = {}
+    for i in range(256):
+        ch = chr(EBCDIC[i])
+        if ch not in rev:
+            rev[ch] = i
+
+    def ebc(s):
+        return bytes(rev[c] for c in s)
+
+    vol1 = ebc("VOL1SER001" + " " * 31 + "OWNER     " + " " * 29)
+    hdr1 = ebc("HDR1MYDATA" + " " * 11 + "SER001" + "0001" * 3 + "00"
+               + "990101" + "000000" + "0" + "000000" + " " * 13 + " " * 7)
+    eof1 = ebc("EOF1MYDATA" + " " * 11 + "SER001" + "0001" * 3 + "00"
+               + "990101" + "000000" + "0" + "000001" + " " * 13 + " " * 7)
+    assert len(vol1) == len(hdr1) == len(eof1) == 80
+    rng = np.random.default_rng(62)
+    payload = bytes(rng.integers(0, 256, 100, dtype=np.uint8))
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI),
+        [("block", vol1), ("block", hdr1), ("block", payload),
+         ("block", eof1), ("tapemark",)])
+    tb.write_tbin(str(tmp_path / "lab.tbin"), hdr, samples)
+    r = _cli(["-nrzi", "-m", "lab.tbin"], tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "tape label VOL1" in r.stdout
+    assert 'dsid "MYDATA"' in r.stdout
+    outs = [f for f in os.listdir(tmp_path) if f.endswith(".bin")]
+    assert len(outs) == 1 and "MYDATA" in outs[0]
+    assert (tmp_path / outs[0]).read_bytes() == payload
