@@ -59,7 +59,12 @@ def main():
             print(f"# retrying with READTAPE_MAX_BATCH={max_batch}",
                   file=sys.stderr, flush=True)
         t_warm = time.perf_counter()
-        out, stats = decode_tape(samples, opts)
+        try:
+            out, stats = decode_tape(samples, opts)
+        except Exception as e:       # remote compile service flakiness
+            print(f"# warmup failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            continue
         print(f"# warmup (incl. compile) {time.perf_counter() - t_warm:.1f}s",
               file=sys.stderr, flush=True)
         datas = [b.data for b in out if b.kind == "data"]

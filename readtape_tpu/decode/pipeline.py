@@ -137,16 +137,28 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
-    W_arr = jnp.asarray(Ws, I32)
 
-    lane = jax.vmap(    # over tracks
-        lambda vt, nx, Wp, rise, minp, aa, aw: trackscan.nrzi_track_scan(
-            vt, nx, Wp, S, nsteps, K, rise, minp, aa, aw,
-            agc_ring=agc_ring),
-        in_axes=(0, 0) + (None,) * 5)
-    finals = jax.vmap(  # over parmsets (window width is data)
-        lambda Wp, rise, minp, aa, aw: lane(v, nxt, Wp, rise, minp, aa, aw)
-    )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window)
+    # group parmsets by their (static) window width: features precompute
+    # data-parallel per distinct W, so the scan body is one gather deep
+    order, parts = [], []
+    for Wd in sorted(set(Ws)):
+        idxs = [i for i, w in enumerate(Ws) if w == Wd]
+        order += idxs
+        feat = trackscan.precompute_window_features(v, Wd)   # [T, S, 10]
+        lane = jax.vmap(    # over tracks
+            lambda ft, nx, rise, minp, aa, aw, _W=Wd:
+                trackscan.nrzi_track_scan_pre(
+                    ft, nx, _W, S, nsteps, K, rise, minp, aa, aw,
+                    agc_ring=agc_ring),
+            in_axes=(0, 0) + (None,) * 4)
+        sel = jnp.asarray(idxs, I32)
+        parts.append(jax.vmap(   # over this group's parmsets
+            lambda rise, minp, aa, aw: lane(feat, nxt, rise, minp, aa, aw)
+        )(pa.pkww_rise[sel], pa.min_peak[sel],
+          pa.agc_alpha[sel], pa.agc_window[sel]))
+    inv = jnp.asarray(np.argsort(order), I32)
+    finals = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[inv], *parts)
     # sanitize transition buffers past each lane's admitted count: the
     # global scan's binary searches require the sentinel-sorted invariant
     keep = jnp.arange(K) < finals["n_admitted"][..., None]

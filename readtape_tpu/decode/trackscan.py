@@ -177,6 +177,121 @@ def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
     return final
 
 
+def precompute_window_features(v: jnp.ndarray, W: int):
+    """All of window_features for every sample position at a STATIC window
+    width, data-parallel: [T, S] -> packed [T, S, 10] f32 (order: wmax, wmin,
+    v_left, v_right, l_top, prevmax, nextmax, l_bot, prevmin, nextmin).
+
+    The features depend only on (v, W, s) -- not on decoder state -- so they
+    hoist out of the sequential scan entirely; the scan body then needs one
+    dynamic_slice instead of a ~15-kernel slice/argmax/gather chain, which is
+    the difference on a latency-bound TPU loop. Tie semantics match
+    window_features: first (leftmost) occurrence of the extremum."""
+    T, S = v.shape
+    iota = jnp.broadcast_to(jnp.arange(S, dtype=I32)[None, :], (T, S))
+
+    def shift(a, d, fill):
+        return jnp.concatenate(
+            [jnp.full((T, d), fill, a.dtype), a[:, :S - d]], axis=1)
+
+    def combine(acc, d):
+        """Merge trailing-window (value, first-index) tables: acc with acc
+        shifted right by d (the shifted copy covers strictly earlier
+        indices, so ties prefer it -> leftmost occurrence)."""
+        (bv, bk), (wv, wk) = acc
+        sv, sk = shift(bv, d, -np.inf), shift(bk, d, 0)
+        take = sv >= bv
+        mx = (jnp.where(take, sv, bv), jnp.where(take, sk, bk))
+        sv, sk = shift(wv, d, np.inf), shift(wk, d, 0)
+        take = sv <= wv
+        return mx, (jnp.where(take, sv, wv), jnp.where(take, sk, wk))
+
+    # sparse-table doubling: build width-P tables (P = 2^floor(log2 W)) in
+    # log steps, then one overlapping combine to reach exactly width W
+    acc = ((v, iota), (v, iota))
+    p = 1
+    while 2 * p <= W:
+        acc = combine(acc, p)
+        p *= 2
+    if p < W:
+        acc = combine(acc, W - p)
+    (best_v, best_k), (worst_v, worst_k) = acc
+    left_pos = jnp.maximum(iota - W + 1, 0)
+    v_left = jnp.take_along_axis(v, left_pos, axis=1)
+    grab = lambda k: jnp.take_along_axis(v, jnp.clip(k, 0, S - 1), axis=1)
+    return jnp.stack([
+        best_v, worst_v, v_left, v,
+        (best_k - left_pos + 1).astype(v.dtype),
+        grab(best_k - 1), grab(best_k + 1),
+        (worst_k - left_pos + 1).astype(v.dtype),
+        grab(worst_k - 1), grab(worst_k + 1),
+    ], axis=-1)
+
+
+def gather_window_features(feat: jnp.ndarray, s):
+    """Unpack one position's precomputed features ([S, 10] -> ev dict)."""
+    f = jax.lax.dynamic_slice(feat, (s, 0), (1, 10))[0]
+    return dict(wmax=f[0], wmin=f[1], v_left=f[2], v_right=f[3],
+                l_top=f[4].astype(I32), prevmax=f[5], nextmax=f[6],
+                l_bot=f[7].astype(I32), prevmin=f[8], nextmin=f[9])
+
+
+def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
+                      nsteps: int, rise_parm, min_parm,
+                      agc_ring: int = cm.AGC_MAX_WINDOW):
+    """lax.scan variant of run_jump_scan with PER-STEP OUTPUTS.
+
+    Scattering into big buffers carried through a loop forces XLA to copy the
+    buffers every iteration on TPU (~1000x the cost of the step body); scan
+    outputs append via in-place slice writes instead. step_extra has the
+    run_jump_scan signature but returns (st3, out_dict); out_dict fields are
+    stacked along a leading [nsteps] axis. ev_fn(st, s) supplies the window
+    features (live computation or a precomputed-feature gather). Exhausted
+    lanes (cursor past S) keep stepping with admissions masked off, so dead
+    steps are no-ops. Returns (final_state, outputs)."""
+
+    def step(st, _):
+        s = st["pos"]
+        live = s < S
+        ev = ev_fn(st, jnp.minimum(s, S - 1))
+        is_top, is_bot = admission_test(st, ev, rise_parm, min_parm)
+        admit_top = live & is_top
+        admit_bot = live & is_bot
+        admit = admit_top | admit_bot
+        t_peak, L = refine_time(st, ev, s, admit_top)
+
+        st2 = dict(st)
+        st2["v_top"] = jnp.where(admit_top, ev["wmax"], st["v_top"])
+        st2["v_bot"] = jnp.where(admit_bot, ev["wmin"], st["v_bot"])
+        st2["n_admitted"] = st["n_admitted"] + admit.astype(I32)
+
+        st3, out = step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s)
+
+        nxt_pos = jnp.where(admit, s + L + 1, s + 1)
+        st3["pos"] = jnp.where(live, nxt_trk[jnp.clip(nxt_pos, 0, S)], S)
+        return st3, out
+
+    init = admission_init(W, agc_ring)
+    init["pos"] = nxt_trk[0]            # first candidate (skip leading quiet)
+    init.update(init_extra)
+    final, outs = jax.lax.scan(step, init, None, length=nsteps)
+    final["incomplete"] = final["pos"] < S
+    return final, outs
+
+
+def compact_outputs(flags, rank_cap: int, **fields):
+    """Compact per-step outputs where `flags` is true into [cap] buffers in
+    step order. fields: name -> (values, fill). Overflow overwrites the last
+    slot (matching the in-carry clamping the while version used)."""
+    rank = jnp.cumsum(flags) - 1
+    idx = jnp.where(flags, jnp.minimum(rank, rank_cap - 1), rank_cap)
+    out = {}
+    for name, (vals, fill) in fields.items():
+        buf = jnp.full(rank_cap + 1, fill, vals.dtype)
+        out[name] = buf.at[idx].set(vals, mode="drop")[:rank_cap]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # NRZI / calibration lane: admission + the nrzi_top/bot AGC policy
 # (decode_nrzi.c:184-230); bits are emitted later by the global clock scan.
@@ -215,8 +330,8 @@ def nrzi_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
                     rise_parm, min_parm, agc_alpha, agc_window,
                     agc_ring: int = cm.AGC_MAX_WINDOW):
     """Admission + AGC for NRZI (and calibration passes). Admitted
-    transitions are recorded straight into [K] carry buffers (already
-    compacted); returns the final state."""
+    transitions stream out as scan outputs and are compacted into [K]
+    buffers after the scan (see run_jump_scan_seq)."""
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
         # first data bit initializes max_agc_gain (nrzi_addbit:149)
@@ -227,18 +342,50 @@ def nrzi_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
                               agc_alpha, agc_window)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
-        i = jnp.where(admit, jnp.minimum(st["n_admitted"], K - 1), K)
-        st3["tr_s"] = st["tr_s"].at[i].set(s, mode="drop")
-        st3["tr_t"] = st["tr_t"].at[i].set(t_peak, mode="drop")
-        st3["tr_agc"] = st["tr_agc"].at[i].set(st3["agc_gain"], mode="drop")
-        st3["tr_top"] = st["tr_top"].at[i].set(admit_top, mode="drop")
-        return st3
+        out = dict(admit=admit, s_det=s, t_peak=t_peak,
+                   agc_after=st3["agc_gain"], is_top=admit_top)
+        return st3, out
 
-    init_extra = dict(
-        tr_s=jnp.full(K, BIG_S, I32),
-        tr_t=jnp.zeros(K, F32),
-        tr_agc=jnp.zeros(K, F32),
-        tr_top=jnp.zeros(K, bool),
-    )
-    return run_jump_scan(extra, init_extra, v_trk, nxt_trk, W, S, nsteps,
-                         rise_parm, min_parm, agc_ring=agc_ring)
+    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+    ev_fn = lambda st, s: window_features(v_trk, s, st["W"], S, WMAX)
+    final, outs = run_jump_scan_seq(extra, {}, ev_fn, nxt_trk, W, S, nsteps,
+                                    rise_parm, min_parm, agc_ring=agc_ring)
+    final.update(compact_outputs(
+        outs["admit"], K,
+        tr_s=(outs["s_det"], BIG_S),
+        tr_t=(outs["t_peak"], F32(0.0)),
+        tr_agc=(outs["agc_after"], F32(1.0)),
+        tr_top=(outs["is_top"], False)))
+    return final
+
+
+@partial(jax.jit, static_argnames=("S", "nsteps", "K", "agc_ring"))
+def nrzi_track_scan_pre(feat, nxt_trk, W, S: int, nsteps: int, K: int,
+                        rise_parm, min_parm, agc_alpha, agc_window,
+                        agc_ring: int = cm.AGC_MAX_WINDOW):
+    """nrzi_track_scan over PRECOMPUTED window features ([S, 10], see
+    precompute_window_features): the production path, where the per-step
+    body is one feature gather plus elementwise state updates."""
+    def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
+        admit = admit_top | admit_bot
+        first = admit & (st["n_admitted"] == 0)
+        st2["max_agc_gain"] = jnp.where(first, st["agc_gain"],
+                                        st["max_agc_gain"])
+        st3 = nrzi_agc_policy(st2, st, admit_top, admit_bot,
+                              agc_alpha, agc_window)
+        st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
+        st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
+        out = dict(admit=admit, s_det=s, t_peak=t_peak,
+                   agc_after=st3["agc_gain"], is_top=admit_top)
+        return st3, out
+
+    ev_fn = lambda st, s: gather_window_features(feat, s)
+    final, outs = run_jump_scan_seq(extra, {}, ev_fn, nxt_trk, W, S, nsteps,
+                                    rise_parm, min_parm, agc_ring=agc_ring)
+    final.update(compact_outputs(
+        outs["admit"], K,
+        tr_s=(outs["s_det"], BIG_S),
+        tr_t=(outs["t_peak"], F32(0.0)),
+        tr_agc=(outs["agc_after"], F32(1.0)),
+        tr_top=(outs["is_top"], False)))
+    return final
