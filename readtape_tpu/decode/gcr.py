@@ -44,7 +44,11 @@ ZEROCROSS_SLOPE = 1.5
 def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
                  clk_window, clk_alpha, spb, maxb):
     """gcr_checkzeros + gcr_addbit for one admitted transition
-    (decode_gcr.c:731-834). st carries clkavg/pulse-adj/bit buffer."""
+    (decode_gcr.c:731-834). Bit writes stream out as (index) records (values
+    are static per write position: inferred 0, 0, then the 1) and replay
+    after the scan; the 3-consecutive-ones clock test reads the last bits
+    from the lastbits pattern register instead of the buffer. Returns
+    (state, wr) where wr is the list of 3 write indices (maxb = none)."""
     b = st["clkavg"]["t_bitspaceavg"]
     delta = t_this - st["t_lastpeak"]
     in_blk = admit & st["datablock"]
@@ -54,19 +58,18 @@ def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
     numbits = 1 + zero1.astype(I32) + zero2.astype(I32)
 
     dc = st["datacount"]
-    bits = st["bits"]
     lastbits = st["lastbits"]
     rsc = st["resync_bitcount"]
     clkavg = st["clkavg"]
     t_peakdelta_new = jnp.where(in_blk, delta, st["t_peakdelta"])
+    wr = []
 
     def add_one_bit(carry, bitval, enable):
         """One gcr_addbit (decode_gcr.c:731-787): write, shift the pattern
         register, resync detection at 5-bit boundaries, and the mid-resync
         force_clock."""
-        dc_, bits_, lastbits_, rsc_, clkavg_ = carry
-        i = jnp.where(enable, jnp.minimum(dc_, maxb - 1), maxb)
-        bits_ = bits_.at[i].set(jnp.int8(bitval), mode="drop")
+        dc_, lastbits_, rsc_, clkavg_ = carry
+        wr.append(jnp.where(enable, jnp.minimum(dc_, maxb - 1), maxb))
         dc_n = jnp.where(enable, jnp.minimum(dc_ + 1, maxb), dc_)
         lb_n = jnp.where(enable, ((lastbits_ << 1) | bitval) & 0xFF,
                          lastbits_)
@@ -80,17 +83,17 @@ def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
             lambda n, o: jnp.where(force, n, o),
             cm.force_clock(clkavg_, t_peakdelta_new), clkavg_)
         rsc_ = jnp.where(in_resync, rsc_ + 1, rsc_)
-        return (dc_n, bits_, lb_n, rsc_, clkavg_)
+        return (dc_n, lb_n, rsc_, clkavg_)
 
-    carry = (dc, bits, lastbits, rsc, clkavg)
+    carry = (dc, lastbits, rsc, clkavg)
     carry = add_one_bit(carry, 0, zero1 & admit)
     carry = add_one_bit(carry, 0, zero2 & admit)
-    dc1, bits, lastbits, rsc, clkavg = carry
+    dc1, lastbits, rsc, clkavg = carry
 
     # clock adjust on 3 consecutive one-bits (decode_gcr.c:808-810), using
-    # the previous peak delta; checked before the current 1-bit is added
-    prev2 = jnp.where(dc1 >= 2,
-                      bits[jnp.clip(dc1 - 2, 0, maxb - 1)], jnp.int8(0))
+    # the previous peak delta; checked before the current 1-bit is added.
+    # bits[dc1-2] == bit 1 of the pattern register (LSB = last written)
+    prev2 = jnp.where(dc1 >= 2, (lastbits >> 1) & 1, 0)
     do_adj = in_blk & (dc1 > 3) & (numbits == 1) & (prev2 == 1)
     clk_new = cm.adjust_clock(clkavg, st["t_peakdelta"],
                               clk_window, clk_alpha, spb)
@@ -101,11 +104,10 @@ def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
                                   - delta),
         st["t_pulse_adj"])
 
-    carry = (dc1, bits, lastbits, rsc, clkavg)
-    dc2, bits, lastbits, rsc, clkavg = add_one_bit(carry, 1, admit)
+    carry = (dc1, lastbits, rsc, clkavg)
+    dc2, lastbits, rsc, clkavg = add_one_bit(carry, 1, admit)
 
     out = dict(st)
-    out["bits"] = bits
     out["datacount"] = dc2
     out["lastbits"] = lastbits
     out["resync_bitcount"] = rsc
@@ -119,7 +121,18 @@ def gcr_bit_step(st, admit, t_this, z1pt, z2pt, pulse_adj_parm,
                                   st["t_firstbit"])
     out["t_lastbit"] = jnp.where(admit, t_this, st["t_lastbit"])
     out["t_lastpeak"] = jnp.where(admit, t_this, st["t_lastpeak"])
-    return out
+    return out, wr
+
+
+GCR_WR_VALS = np.asarray([0, 0, 1], np.int8)   # inferred zeros, then the 1
+
+
+def gcr_replay_bits(wr: jnp.ndarray, maxb: int) -> jnp.ndarray:
+    """Scatter streamed write records [nsteps, 3] into the bit buffer
+    (indices are unique and monotonic; values are static per position)."""
+    nst = wr.shape[0]
+    vals = jnp.broadcast_to(jnp.asarray(GCR_WR_VALS), (nst, 3))
+    return jnp.zeros(maxb, jnp.int8).at[wr].set(vals, mode="drop")
 
 
 def gcr_bit_state_init(spb, maxb, clk_ring: int = cm.CLKRATE_WINDOW):
@@ -135,7 +148,6 @@ def gcr_bit_state_init(spb, maxb, clk_ring: int = cm.CLKRATE_WINDOW):
         t_firstbit=F32(0.0),
         t_lastbit=F32(0.0),
         t_lastpeak=F32(0.0),
-        bits=jnp.zeros(maxb, jnp.int8),
     )
 
 
@@ -164,20 +176,24 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         stat_ok = admit & st["datablock"]
         val = t_peak - st["t_lastpeak"]
         bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
-        bkt_c = jnp.clip(bkt, 0, 49)
-        st3["hist"] = st["hist"].at[jnp.where(stat_ok, bkt_c, 50)].add(
-            1, mode="drop")
-        st3["trksum"] = st["trksum"] + jnp.where(
-            stat_ok & (bkt >= 1) & (bkt <= 48), 1, 0)
-        st4 = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt, pulse_adj_parm,
-                           clk_window, clk_alpha, spb, maxb)
-        return st4
+        st4, wr = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt,
+                               pulse_adj_parm, clk_window, clk_alpha,
+                               spb, maxb)
+        rec = dict(wr=jnp.stack(wr),
+                   hb=jnp.where(stat_ok, jnp.clip(bkt, 0, 49), 50))
+        return st4, rec
 
     init = gcr_bit_state_init(spb, maxb, clk_ring)
-    init["hist"] = jnp.zeros(50, I32)
-    init["trksum"] = I32(0)
-    return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
-                            rise_parm, min_parm, agc_ring=agc_ring)
+    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+    ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
+    final, recs = ts.run_jump_scan_seq(extra, init, ev_fn, nxt_trk, W, S,
+                                       nsteps, rise_parm, min_parm,
+                                       agc_ring=agc_ring)
+    final["bits"] = gcr_replay_bits(recs["wr"], maxb)
+    hb = recs["hb"]
+    final["hist"] = jnp.zeros(50, I32).at[hb].add(1, mode="drop")
+    final["trksum"] = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32))
+    return final
 
 
 # ---------------------------------------------------------------------------
@@ -299,12 +315,13 @@ def gcr_zeros_track_scan(trans_t, trans_ok, cap: int,
     """Bit recovery over an extracted zero-crossing transition list."""
     def step(st, x):
         t_this, ok = x
-        st2 = gcr_bit_step(st, ok, t_this, z1pt, z2pt, pulse_adj_parm,
-                           clk_window, clk_alpha, spb, maxb)
-        return st2, None
+        st2, wr = gcr_bit_step(st, ok, t_this, z1pt, z2pt, pulse_adj_parm,
+                               clk_window, clk_alpha, spb, maxb)
+        return st2, jnp.stack(wr)
 
     init = gcr_bit_state_init(spb, maxb)
-    final, _ = jax.lax.scan(step, init, (trans_t, trans_ok))
+    final, wrs = jax.lax.scan(step, init, (trans_t, trans_ok))
+    final["bits"] = gcr_replay_bits(wrs, maxb)
     final["peakcount"] = jnp.sum(trans_ok.astype(I32))
     final["max_agc_gain"] = F32(0.0)
     final["min_agc_gain"] = cm.FLT_MAX

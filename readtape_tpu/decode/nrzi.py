@@ -130,6 +130,12 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
     t_lastclock0 = t_first - spb
     midbit0 = t_lastclock0 + midbit * spb
 
+    # bit-buffer writes stream out of the scan as (track, index) records and
+    # reconstruct afterwards: in-carry [T, maxb] scatters force XLA to copy
+    # the buffer every slot. All write VALUES are static per op position
+    # (consume appends 1s; zerocheck writes 0,1,0), so only indices stream;
+    # last-write-wins replay is a scatter-max of (slot*16+op)*2+val keys.
+    # The -correct branch reads column 0, mirrored in a tiny bits0 carry.
     init = dict(
         t_lastclock=t_lastclock0,
         t_last_midbit=midbit0,
@@ -137,37 +143,38 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
         post_counter=I32(0),
         kvis=jnp.zeros(T, I32),
         dc=jnp.zeros(T, I32),
-        bits=jnp.zeros((T, maxb), jnp.int8),
+        bits0=jnp.zeros(T, I32),
         t_firstbit=jnp.zeros(T, F32),
         t_lastbit=jnp.zeros(T, F32),
         missed_midbits=I32(0),
         corrected_bits=I32(0),
         faked_tracks=I32(0),
         consume_overflow=jnp.bool_(False),
-        hist=jnp.zeros((T, 50), I32),
-        trksums=jnp.zeros(T, I32),
         done=~any_trans,
         ended_by_post=jnp.bool_(False),
-        slots=I32(0),
     )
 
     def consume(st, s_z):
         """Append 1-bits for transitions with s_det < s_z (detection order);
-        apply midbit warnings, peak statistics, and post-area clock
-        realignment (nrzi_addbit:171-175)."""
-        kvis2 = jax.vmap(lambda row: jnp.searchsorted(row, s_z))(trans_s)
-        n_new = kvis2 - st["kvis"]
-        bits = st["bits"]
+        returns write/stat records plus midbit warnings and the post-area
+        clock realignment (nrzi_addbit:171-175). The visible-count advance
+        is 4 bounded compares, not a searchsorted: the reference consumes at
+        most 3 transitions per slot; a 4th sets the overflow flag."""
+        seen = [(trans_s[trk, jnp.minimum(st["kvis"] + j, K - 1)] < s_z) &
+                (st["kvis"] + j < K) for j in range(4)]
+        n_new = sum(s.astype(I32) for s in seen)
         dc = st["dc"]
         b = st["clkavg"]["t_bitspaceavg"]
         newmax_t = jnp.full(T, NEG_T)
         out = dict(st)
+        wr, hb = [], []
         for j in range(3):
-            has = n_new > j
+            has = seen[j]
             kj = jnp.minimum(st["kvis"] + j, K - 1)
             tj = trans_t[trk, kj]
             idx = jnp.where(has, jnp.minimum(dc + j, maxb - 1), maxb)
-            bits = bits.at[trk, idx].set(1, mode="drop")
+            wr.append(idx)
+            out["bits0"] = jnp.where(idx == 0, 1, out["bits0"])
             # first/last bit times
             was_first = has & (dc + j == 0)
             out["t_firstbit"] = jnp.where(was_first, tj, out["t_firstbit"])
@@ -180,31 +187,26 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             stat_ok = has & (st["post_counter"] == 0)
             val = tj - st["t_lastclock"]
             bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
-            bkt_c = jnp.clip(bkt, 0, 49)
-            out["hist"] = out["hist"].at[trk, jnp.where(stat_ok, bkt_c, 50)].add(
-                1, mode="drop")
-            out["trksums"] = out["trksums"] + jnp.where(
-                stat_ok & (bkt >= 1) & (bkt <= 48), 1, 0)
-        out["bits"] = bits
+            hb.append(jnp.where(stat_ok, jnp.clip(bkt, 0, 49), 50))
         out["dc"] = jnp.minimum(dc + n_new, maxb)
-        out["kvis"] = kvis2
-        out["consume_overflow"] = st["consume_overflow"] | jnp.any(n_new > 3)
+        out["kvis"] = jnp.minimum(st["kvis"] + n_new, K)
+        out["consume_overflow"] = st["consume_overflow"] | jnp.any(seen[3])
         # post-area realignment by newly-seen 1 bits
         t_max = jnp.max(newmax_t)
         realign = ((st["post_counter"] > 0) & (t_max > NEG_T / 2) &
                    (st["t_lastclock"] < t_max - (2 - midbit) * b))
         out["t_lastclock"] = jnp.where(realign, t_max - 2 * b,
                                        st["t_lastclock"])
-        return out
+        return out, wr, hb
 
     def slot(st):
         def live(st):
             b0 = st["clkavg"]["t_bitspaceavg"]
             s_z0 = jnp.floor(st["t_lastclock"] + 2 * b0).astype(I32) + 1
-            st = consume(st, jnp.minimum(s_z0, S))
+            st, wr1, hb1 = consume(st, jnp.minimum(s_z0, S))
             # realignment may have pushed the boundary later: recompute once
             s_z = jnp.floor(st["t_lastclock"] + 2 * b0).astype(I32) + 1
-            st = consume(st, jnp.minimum(s_z, S))
+            st, wr2, hb2 = consume(st, jnp.minimum(s_z, S))
             past_end = s_z >= S
 
             # ---- zerocheck (decode_nrzi.c:232-314) ----
@@ -223,18 +225,18 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             zero = (~last_in) & (~prev_in) & (~later)
 
             dc = st["dc"]
-            bits = st["bits"]
+            bits0 = st["bits0"]
             # dup: delete the extra appended 1
             dc = jnp.where(dup, dc - 1, dc)
             # later: insert 0 before the (future) 1 just appended
             i0 = jnp.where(later, jnp.maximum(dc - 1, 0), maxb)
-            bits = bits.at[trk, i0].set(0, mode="drop")
+            bits0 = jnp.where(i0 == 0, 0, bits0)
             i1 = jnp.where(later, jnp.minimum(dc, maxb - 1), maxb)
-            bits = bits.at[trk, i1].set(1, mode="drop")
+            bits0 = jnp.where(i1 == 0, 1, bits0)
             dc = jnp.where(later, jnp.minimum(dc + 1, maxb), dc)
             # plain zero: append a 0
             i2 = jnp.where(zero, jnp.minimum(dc, maxb - 1), maxb)
-            bits = bits.at[trk, i2].set(0, mode="drop")
+            bits0 = jnp.where(i2 == 0, 0, bits0)
             dc = jnp.where(zero, jnp.minimum(dc + 1, maxb), dc)
 
             tz = st["t_lastclock"] + b                   # zero-bit time
@@ -281,8 +283,10 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             # nrzi_zerocheck:245,302) ---
             corrected = st["corrected_bits"]
             faked = st["faked_tracks"]
+            fix_trk = jnp.int32(T)
+            fix_val = jnp.int32(0)
             if do_correct:
-                frame0 = jnp.sum(bits[:, 0].astype(I32) <<
+                frame0 = jnp.sum(bits0.astype(I32) <<
                                  (T - 1 - trk)).astype(I32)
                 par_bad = cm.parity9(frame0) != expected_parity
                 agc_now = jnp.where(k >= 1,
@@ -292,29 +296,60 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                 badtrk = jnp.argmax(agc_now)
                 next_hi = jnp.max(agc_now.at[badtrk].set(-1.0))
                 do_fix = have & par_bad & (hi >= cm.NRZI_BADTRK_FACTOR * next_hi)
-                flip = bits[badtrk, 0] ^ 1
-                bits = bits.at[jnp.where(do_fix, badtrk, T), 0].set(
-                    flip, mode="drop")
+                fix_trk = jnp.where(do_fix, badtrk, T).astype(I32)
+                fix_val = bits0[badtrk] ^ 1
+                bits0 = bits0.at[fix_trk].set(fix_val, mode="drop")
                 corrected = corrected + do_fix.astype(I32)
                 faked = faked | jnp.where(
                     do_fix, (1 << (T - 1 - badtrk)).astype(I32), 0)
 
             out = dict(st)
-            out.update(bits=bits, dc=dc, t_firstbit=t_firstbit,
+            out.update(bits0=bits0, dc=dc, t_firstbit=t_firstbit,
                        t_lastbit=t_lastbit, post_counter=post2,
                        t_lastclock=t_lc2, t_last_midbit=right, clkavg=clk2,
                        corrected_bits=corrected, faked_tracks=faked)
             ended = post2 >= 8
             out["ended_by_post"] = st["ended_by_post"] | ended
-            out["done"] = ended | past_end
-            return out
+            out["done"] = out["done"] | ended | past_end
+            rec = dict(wr=jnp.stack(wr1 + wr2 + [i0, i1, i2], axis=-1),
+                       hb=jnp.stack(hb1 + hb2, axis=-1),
+                       fix_trk=fix_trk, fix_val=fix_val)
+            return out, rec
 
-        st2 = live(st)
-        st2["slots"] = st["slots"] + 1
-        return st2
+        new, rec = live(st)
+        d = st["done"]
+        st2 = jax.tree.map(lambda o, n: jnp.where(d, o, n), st, new)
+        rec = dict(wr=jnp.where(d, maxb, rec["wr"]),
+                   hb=jnp.where(d, 50, rec["hb"]),
+                   fix_trk=jnp.where(d, T, rec["fix_trk"]),
+                   fix_val=rec["fix_val"])
+        return st2, rec
 
-    final = jax.lax.while_loop(
-        lambda st: (~st["done"]) & (st["slots"] < max_slots), slot, init)
+    final, recs = jax.lax.scan(lambda st, _: slot(st), init, None,
+                               length=max_slots)
+
+    # ---- replay the streamed writes (vectorized) ----
+    nsl = max_slots
+    slot_i = jnp.arange(nsl, dtype=I32)
+    # op order within a slot = program order; value per op is static:
+    # consume x6 append 1, zerocheck i0/i1/i2 write 0/1/0, fix is op 15
+    op_val = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 1, 0], I32)
+    key = ((slot_i[:, None, None] * 16 + jnp.arange(9, dtype=I32)) * 2
+           + op_val)                                     # [nsl, 1, 9] -> bcast
+    trkb = jnp.broadcast_to(trk[None, :, None], (nsl, T, 9))
+    packed = jnp.full((T, maxb), -1, I32).at[trkb, recs["wr"]].max(
+        jnp.broadcast_to(key, (nsl, T, 9)), mode="drop")
+    fix_key = (slot_i * 16 + 15) * 2 + recs["fix_val"]
+    packed = packed.at[recs["fix_trk"],
+                       jnp.zeros(nsl, I32)].max(fix_key, mode="drop")
+    final["bits"] = jnp.where(packed >= 0, packed & 1, 0).astype(jnp.int8)
+
+    hb = recs["hb"]                                      # [nsl, T, 6]
+    final["hist"] = jnp.zeros((T, 50), I32).at[
+        jnp.broadcast_to(trk[None, :, None], hb.shape), hb].add(
+            1, mode="drop")
+    final["trksums"] = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32),
+                               axis=(0, 2))
     return final
 
 

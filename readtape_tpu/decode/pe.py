@@ -102,8 +102,6 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                                 clkavg["t_bitspaceavg"] / 2 * clk_factor,
                                 st["t_clkwindow"])
         widx = jnp.where(is_data, jnp.minimum(dc, maxb - 1), maxb)
-        bits = st["bits"].at[widx].set(bitval.astype(jnp.int8), mode="drop")
-        faked = st["faked"].at[widx].set(0, mode="drop")
         t_firstbit = jnp.where(is_data & (dc == 0), t_this, st["t_firstbit"])
         dc = jnp.where(is_data, jnp.minimum(dc + 1, maxb), dc)
         t_lastbit = jnp.where(is_data, t_this, t_lastbit)
@@ -135,8 +133,6 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         out["t_clkwindow"] = t_clkwindow
         out["clkavg"] = clkavg
         out["t_pulse_adj"] = t_pulse_adj
-        out["bits"] = bits
-        out["faked"] = faked
         out["datacount"] = dc
         out["t_firstbit"] = t_firstbit
         out["t_lastbit"] = t_lastbit
@@ -146,16 +142,13 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         out["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         out["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
         out["t_lastpeak"] = jnp.where(admit, t_this, st["t_lastpeak"])
-        # record the fake-bit run (applied vectorized after the scan)
-        ri = jnp.where(run["valid"],
-                       jnp.minimum(st["n_runs"], RUN_CAP - 1), RUN_CAP)
-        out["run_start"] = st["run_start"].at[ri].set(run["start"],
-                                                      mode="drop")
-        out["run_len"] = st["run_len"].at[ri].set(run["length"], mode="drop")
-        out["run_bit"] = st["run_bit"].at[ri].set(
-            run["bit"].astype(jnp.int8), mode="drop")
-        out["n_runs"] = st["n_runs"] + run["valid"].astype(I32)
-        return out
+        # bit writes + fake-bit runs stream out as scan outputs (in-carry
+        # buffer scatters force per-iteration copies on TPU)
+        rec = dict(widx=widx, bitval=bitval.astype(jnp.int8),
+                   run_start=run["start"], run_len=run["length"],
+                   run_bit=run["bit"].astype(jnp.int8),
+                   run_valid=run["valid"])
+        return out, rec
 
     init_extra = dict(
         idle=jnp.bool_(True),
@@ -171,16 +164,22 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         datacount=I32(0),
         lastdatabit=jnp.bool_(False),
         corrected_bits=I32(0),
-        bits=jnp.zeros(maxb, jnp.int8),
-        faked=jnp.zeros(maxb, jnp.int8),
-        run_start=jnp.zeros(RUN_CAP, I32),
-        run_len=jnp.zeros(RUN_CAP, I32),
-        run_bit=jnp.zeros(RUN_CAP, jnp.int8),
-        n_runs=I32(0),
     )
-    final = ts.run_jump_scan(extra, init_extra, v_trk, nxt_trk,
-                             W, S, nsteps, rise_parm, min_parm,
-                             agc_ring=agc_ring)
+    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+    ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
+    final, recs = ts.run_jump_scan_seq(extra, init_extra, ev_fn, nxt_trk,
+                                       W, S, nsteps, rise_parm, min_parm,
+                                       agc_ring=agc_ring)
+    # replay streamed bit writes (indices are unique and monotonic)
+    final["bits"] = jnp.zeros(maxb, jnp.int8).at[recs["widx"]].set(
+        recs["bitval"], mode="drop")
+    final["faked"] = jnp.zeros(maxb, jnp.int8)
+    final.update(ts.compact_outputs(
+        recs["run_valid"], RUN_CAP,
+        run_start=(recs["run_start"], 0),
+        run_len=(recs["run_len"], 0),
+        run_bit=(recs["run_bit"], np.int8(0))))
+    final["n_runs"] = jnp.sum(recs["run_valid"].astype(I32))
 
     # apply accumulated fake-bit runs (non-overlapping by construction)
     valid = jnp.arange(RUN_CAP) < final["n_runs"]

@@ -84,19 +84,21 @@ def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
         st3["h_cnt"] = st["h_cnt"] + meas.astype(I32)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
-        i = jnp.where(admit, jnp.minimum(st["n_admitted"], K - 1), K)
-        st3["tr_s"] = st["tr_s"].at[i].set(s, mode="drop")
-        st3["tr_t"] = st["tr_t"].at[i].set(t_peak, mode="drop")
-        st3["tr_top"] = st["tr_top"].at[i].set(admit_top, mode="drop")
-        return st3
+        out = dict(admit=admit, s_det=s, t_peak=t_peak, is_top=admit_top)
+        return st3, out
 
     init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32),
-            "h_sum": F32(0.0), "h_cnt": I32(0),
-            "tr_s": jnp.full(K, ts.BIG_S, I32),
-            "tr_t": jnp.zeros(K, F32),
-            "tr_top": jnp.zeros(K, bool)}
-    return ts.run_jump_scan(extra, init, v_trk, nxt_trk, W, S, nsteps,
-                            rise_parm, min_parm)
+            "h_sum": F32(0.0), "h_cnt": I32(0)}
+    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+    ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
+    final, outs = ts.run_jump_scan_seq(extra, init, ev_fn, nxt_trk, W, S,
+                                       nsteps, rise_parm, min_parm)
+    final.update(ts.compact_outputs(
+        outs["admit"], K,
+        tr_s=(outs["s_det"], ts.BIG_S),
+        tr_t=(outs["t_peak"], F32(0.0)),
+        tr_top=(outs["is_top"], False)))
+    return final
 
 
 def merge_transitions(trans, T: int, cap: int):
