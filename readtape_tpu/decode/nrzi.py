@@ -325,8 +325,33 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                    fix_val=rec["fix_val"])
         return st2, rec
 
-    final, recs = jax.lax.scan(lambda st, _: slot(st), init, None,
-                               length=max_slots)
+    # chunked early exit: stop scanning at the first chunk boundary after
+    # the block ends (postamble counter or past segment end). Dead chunks'
+    # output rows are inert (wr=maxb, hb=50, fix_trk=T).
+    CH = max(1, min(256, max_slots))
+    nchunks = -(-max_slots // CH)
+    dead = dict(init)
+    dead["done"] = jnp.bool_(True)
+    _, dead_rec = slot(dead)
+    bufs = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (nchunks * CH,) + jnp.shape(x)),
+        dead_rec)
+
+    def cond(c):
+        st, k, _ = c
+        return (~st["done"]) & (k < nchunks)
+
+    def body(c):
+        st, k, bufs = c
+        st2, recs = jax.lax.scan(lambda s, _: slot(s), st, None, length=CH)
+        bufs2 = jax.tree.map(
+            lambda b, o: jax.lax.dynamic_update_slice(
+                b, o.astype(b.dtype), (k * CH,) + (0,) * (b.ndim - 1)),
+            bufs, recs)
+        return (st2, k + 1, bufs2)
+
+    final, _, recs = jax.lax.while_loop(cond, body, (init, I32(0), bufs))
+    max_slots = nchunks * CH
 
     # ---- replay the streamed writes (vectorized) ----
     nsl = max_slots

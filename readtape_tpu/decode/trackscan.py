@@ -194,37 +194,48 @@ def precompute_window_features(v: jnp.ndarray, W: int):
         return jnp.concatenate(
             [jnp.full((T, d), fill, a.dtype), a[:, :S - d]], axis=1)
 
+    # TPU gathers are slow, so the extremum's NEIGHBOR values propagate
+    # through the recursion alongside the argmax (base case: static shifts
+    # of v) instead of being gathered at best_k +- 1 afterwards.
+    vprev = shift(v, 1, np.float32(0.0))
+    vnext = jnp.concatenate(
+        [v[:, 1:], jnp.zeros((T, 1), v.dtype)], axis=1)
+
     def combine(acc, d):
-        """Merge trailing-window (value, first-index) tables: acc with acc
-        shifted right by d (the shifted copy covers strictly earlier
-        indices, so ties prefer it -> leftmost occurrence)."""
-        (bv, bk), (wv, wk) = acc
-        sv, sk = shift(bv, d, -np.inf), shift(bk, d, 0)
-        take = sv >= bv
-        mx = (jnp.where(take, sv, bv), jnp.where(take, sk, bk))
-        sv, sk = shift(wv, d, np.inf), shift(wk, d, 0)
-        take = sv <= wv
-        return mx, (jnp.where(take, sv, wv), jnp.where(take, sk, wk))
+        """Merge trailing-window (value, first-index, neighbors) tables: acc
+        with acc shifted right by d (the shifted copy covers strictly
+        earlier indices, so ties prefer it -> leftmost occurrence)."""
+        def half(cur, fills, better):
+            sh = [shift(a, d, f) for a, f in zip(cur, fills)]
+            take = better(sh[0], cur[0])
+            return [jnp.where(take, s, c) for s, c in zip(sh, cur)]
+
+        mx, mn = acc
+        mx = half(mx, [-np.inf, 0, 0.0, 0.0], lambda a, b: a >= b)
+        mn = half(mn, [np.inf, 0, 0.0, 0.0], lambda a, b: a <= b)
+        return mx, mn
 
     # sparse-table doubling: build width-P tables (P = 2^floor(log2 W)) in
     # log steps, then one overlapping combine to reach exactly width W
-    acc = ((v, iota), (v, iota))
+    acc = ([v, iota, vprev, vnext], [v, iota, vprev, vnext])
     p = 1
     while 2 * p <= W:
         acc = combine(acc, p)
         p *= 2
     if p < W:
         acc = combine(acc, W - p)
-    (best_v, best_k), (worst_v, worst_k) = acc
+    (best_v, best_k, prevmax, nextmax), (worst_v, worst_k,
+                                         prevmin, nextmin) = acc
     left_pos = jnp.maximum(iota - W + 1, 0)
-    v_left = jnp.take_along_axis(v, left_pos, axis=1)
-    grab = lambda k: jnp.take_along_axis(v, jnp.clip(k, 0, S - 1), axis=1)
+    v_left = shift(v, W - 1, np.float32(0.0))
+    if W > 1:
+        v_left = jnp.where(iota < W - 1, v[:, :1], v_left)
     return jnp.stack([
         best_v, worst_v, v_left, v,
         (best_k - left_pos + 1).astype(v.dtype),
-        grab(best_k - 1), grab(best_k + 1),
+        prevmax, nextmax,
         (worst_k - left_pos + 1).astype(v.dtype),
-        grab(worst_k - 1), grab(worst_k + 1),
+        prevmin, nextmin,
     ], axis=-1)
 
 
@@ -238,17 +249,23 @@ def gather_window_features(feat: jnp.ndarray, s):
 
 def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
                       nsteps: int, rise_parm, min_parm,
-                      agc_ring: int = cm.AGC_MAX_WINDOW):
+                      agc_ring: int = cm.AGC_MAX_WINDOW,
+                      chunk: int = 512):
     """lax.scan variant of run_jump_scan with PER-STEP OUTPUTS.
 
     Scattering into big buffers carried through a loop forces XLA to copy the
     buffers every iteration on TPU (~1000x the cost of the step body); scan
     outputs append via in-place slice writes instead. step_extra has the
     run_jump_scan signature but returns (st3, out_dict); out_dict fields are
-    stacked along a leading [nsteps] axis. ev_fn(st, s) supplies the window
-    features (live computation or a precomputed-feature gather). Exhausted
-    lanes (cursor past S) keep stepping with admissions masked off, so dead
-    steps are no-ops. Returns (final_state, outputs)."""
+    stacked along a leading [>= nsteps] axis. ev_fn(st, s) supplies the
+    window features (live computation or a precomputed-feature gather).
+
+    Early exit is chunked: an outer while_loop runs `chunk`-step inner scans
+    and stops as soon as the cursor exhausts the candidates, so the lane pays
+    for ~candidates steps (rounded up to a chunk), not the worst-case budget.
+    Output rows for never-executed chunks hold a DEAD step's output (cursor
+    at S, admissions masked), which every consumer treats as inert.
+    Returns (final_state, outputs)."""
 
     def step(st, _):
         s = st["pos"]
@@ -274,7 +291,30 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
     init = admission_init(W, agc_ring)
     init["pos"] = nxt_trk[0]            # first candidate (skip leading quiet)
     init.update(init_extra)
-    final, outs = jax.lax.scan(step, init, None, length=nsteps)
+
+    CH = max(1, min(chunk, nsteps))
+    nchunks = -(-nsteps // CH)
+    dead = dict(init)
+    dead["pos"] = jnp.asarray(S, I32)
+    _, dead_out = step(dead, None)
+    bufs = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (nchunks * CH,) + jnp.shape(x)),
+        dead_out)
+
+    def cond(c):
+        st, k, _ = c
+        return (st["pos"] < S) & (k < nchunks)
+
+    def body(c):
+        st, k, bufs = c
+        st2, outs = jax.lax.scan(step, st, None, length=CH)
+        bufs2 = jax.tree.map(
+            lambda b, o: jax.lax.dynamic_update_slice(
+                b, o.astype(b.dtype), (k * CH,) + (0,) * (b.ndim - 1)),
+            bufs, outs)
+        return (st2, k + 1, bufs2)
+
+    final, _, outs = jax.lax.while_loop(cond, body, (init, I32(0), bufs))
     final["incomplete"] = final["pos"] < S
     return final, outs
 
