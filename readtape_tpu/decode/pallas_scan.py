@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import common as cm
 from .common import F32, I32
@@ -62,7 +63,12 @@ def _lanes_const(vals, dtype):
     return out
 
 
-def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
+F_FIELDS = ("v_top", "v_bot", "agc", "vah", "vah_sum", "max_agc",
+            "min_agc", "v_lasttop", "v_lastbot")
+I_FIELDS = ("blind", "n_adm", "vah_cnt", "hndx", "peakcount")
+
+
+def _kernel(v_ref, cand_ref, recs_ref, scal_ref, f_ref, i_ref, *,
             S, R, Ccap, K, P, Ws, rises, minps, aalphas, awindows,
             agc_ring):
     KR = recs_ref.shape[3]
@@ -70,20 +76,18 @@ def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
     lane = _lane_iota()
     active = lane < P
 
-    # static lane constants
-    W_v = _lanes_const(Ws, F32)
+    # static lane constants -- keep the persistent set minimal (the v5e
+    # register allocator crashes under vreg pressure); booleans and group
+    # masks derive from these with one op at point of use
+    W_v = _lanes_const([float(w) for w in Ws], F32)
     rise_v = _lanes_const(rises, F32)
     minp_v = _lanes_const(minps, F32)
-    no_min_v = _lanes_const([1.0 if m == 0 else 0.0 for m in minps],
-                            F32) > 0.5
     aal_v = _lanes_const(aalphas, F32)
-    use_exp_v = _lanes_const([1.0 if a > 0 else 0.0 for a in aalphas],
-                             F32) > 0.5
     awin_v = _lanes_const(awindows, I32)
-    use_win_v = _lanes_const([1.0 if w > 0 else 0.0 for w in awindows],
-                             F32) > 0.5
-    gmask = {Wd: _lanes_const([1.0 if w == Wd else 0.0 for w in Ws],
-                              F32) > 0.5 for Wd in wgroups}
+    no_min_v = minp_v == 0.0
+    use_exp_v = aal_v > 0.0
+    use_win_v = awin_v > 0
+    gmask = {Wd: W_v == float(Wd) for Wd in wgroups}
 
     zi = lane * 0
     zf = zi.astype(F32)
@@ -94,7 +98,9 @@ def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
     for p in range(P):
         recs_ref[0, 0, p] = zero_block
 
-    ncand = n_ref[0, 0]
+    # candidate count rides in the extra trailing row of the cand array
+    # (lane 0); TPU lowering rejects sub-(8,128) blocked scalar inputs
+    ncand = jnp.sum(jnp.where(lane == 0, cand_ref[0, 0, pl.ds(Ccap // 128, 1), :], 0))
 
     gpos_iota = jax.lax.broadcasted_iota(I32, (2, 128), 0) * 128 + \
         jax.lax.broadcasted_iota(I32, (2, 128), 1)
@@ -113,11 +119,31 @@ def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
         ring=tuple(zf for _ in range(agc_ring)),
     )
 
-    def body(i, st):
+    # state lives in VMEM scratch, not the fori carry: loop-carried vregs
+    # produce "copy for cssa" phis that crash the v5e register allocator
+    def pack(st):
+        f_ref[...] = jnp.concatenate(
+            [st[k] for k in F_FIELDS] + list(st["ring"]), axis=0)
+        i_ref[...] = jnp.concatenate([st[k] for k in I_FIELDS], axis=0)
+
+    def unpack():
+        f = f_ref[...]
+        i_ = i_ref[...]
+        st = {k: f[n:n + 1] for n, k in enumerate(F_FIELDS)}
+        st["ring"] = tuple(f[len(F_FIELDS) + k: len(F_FIELDS) + k + 1]
+                           for k in range(agc_ring))
+        st.update({k: i_[n:n + 1] for n, k in enumerate(I_FIELDS)})
+        return st
+
+    pack(init)
+
+    def compute(i, st):
         # ---- candidate position (dynamic row + lane extract) ----
         crow = cand_ref[0, 0, pl.ds(i // 128, 1), :]
         s = jnp.sum(jnp.where(lane == i % 128, crow, 0))
-        live = (i < ncand) & (s < S)
+        # vector-form liveness: Mosaic mishandles scalar-bool -> vector
+        # broadcasts (i8 -> i1 truncation), so compare as [1, 128] vectors
+        live = ((zi + i) < ncand) & ((zi + s) < S)
         s_c = jnp.minimum(s, S - 1)
 
         # ---- shared waveform neighborhood ----
@@ -178,8 +204,10 @@ def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
         nxt = jnp.where(is_top, bcast("nextmax"), bcast("nextmin"))
         thr = cm.PEAK_THRESHOLD / st["agc"]
         ref = jnp.where(is_top, val - thr, val + thr)
-        p_close = jnp.where(is_top, prev > ref, prev < ref)
-        n_close = jnp.where(is_top, nxt > ref, nxt < ref)
+        # logical (not select) combination: Mosaic can't lower selects with
+        # BOOL branches (i8->i1 truncation)
+        p_close = (is_top & (prev > ref)) | (~is_top & (prev < ref))
+        n_close = (is_top & (nxt > ref)) | (~is_top & (nxt < ref))
         adj = jnp.where(p_close & ~n_close, F32(-0.5),
                         jnp.where(n_close & ~p_close, F32(0.5), F32(0.0)))
         t_peak = s.astype(F32) - ((W_v - L) - adj)
@@ -264,7 +292,12 @@ def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
             peakcount=pc, ring=ring3,
         )
 
-    fin = jax.lax.fori_loop(0, jnp.minimum(ncand, Ccap), body, init)
+    def body(i, _):
+        pack(compute(i, unpack()))
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(ncand, Ccap), body, 0)
+    fin = unpack()
 
     scal_ref[0, 0, 0, :] = fin["n_adm"].astype(F32)[0]
     scal_ref[0, 0, 1, :] = fin["max_agc"][0]
@@ -280,7 +313,7 @@ def _kernel(v_ref, cand_ref, n_ref, recs_ref, scal_ref, *,
 def nrzi_track_scan_pallas(v, cand, ncand, *, S: int, Ccap: int, K: int,
                            Ws: tuple, rises: tuple, minps: tuple,
                            aalphas: tuple, awindows: tuple,
-                           agc_ring: int = cm.AGC_MAX_WINDOW,
+                           agc_ring: int = 0,
                            interpret: bool = False):
     """v: [B, T, S] f32 volts; cand: [B, T, Ccap] i32 ascending union
     candidate positions (S-padded); ncand: [B, T] i32 true counts.
@@ -290,18 +323,26 @@ def nrzi_track_scan_pallas(v, cand, ncand, *, S: int, Ccap: int, K: int,
     assert S % 128 == 0 and Ccap % 128 == 0
     R = S // 128
     KR = -(-K // RECS_PER_ROW)
+    if agc_ring <= 0:
+        # ring entries past the largest active agc_window are never read
+        agc_ring = max(1, max(awindows))
 
     kern = functools.partial(
         _kernel, S=S, R=R, Ccap=Ccap, K=K, P=P, Ws=Ws, rises=rises,
         minps=minps, aalphas=aalphas, awindows=awindows, agc_ring=agc_ring)
+    cand2 = jnp.concatenate(
+        [cand.reshape(B, T, Ccap // 128, 128),
+         jnp.broadcast_to(
+             jnp.where(jnp.arange(128) == 0, 1, 0)[None, None, None, :] *
+             ncand[:, :, None, None], (B, T, 1, 128)).astype(I32)],
+        axis=2)
     recs, scal = pl.pallas_call(
         kern,
         grid=(B * T,),
         in_specs=[
             pl.BlockSpec((1, 1, R, 128), lambda i: (i // T, i % T, 0, 0)),
-            pl.BlockSpec((1, 1, Ccap // 128, 128),
+            pl.BlockSpec((1, 1, Ccap // 128 + 1, 128),
                          lambda i: (i // T, i % T, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (i // T, i % T)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, P, KR, 128),
@@ -312,9 +353,12 @@ def nrzi_track_scan_pallas(v, cand, ncand, *, S: int, Ccap: int, K: int,
             jax.ShapeDtypeStruct((B, T, P, KR, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((len(F_FIELDS) + agc_ring, 128), jnp.float32),
+            pltpu.VMEM((len(I_FIELDS), 128), jnp.int32),
+        ],
         interpret=interpret,
-    )(v.reshape(B, T, R, 128), cand.reshape(B, T, Ccap // 128, 128),
-      ncand)
+    )(v.reshape(B, T, R, 128), cand2)
 
     # unpack records -> [B, P, T, K] transition buffers
     r4 = recs.reshape(B, T, P, KR, RECS_PER_ROW, 4)[..., :, :, :]
