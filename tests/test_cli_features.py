@@ -103,3 +103,26 @@ def test_ibm_labels_name_output_files(tmp_path):
     outs = [f for f in os.listdir(tmp_path) if f.endswith(".bin")]
     assert len(outs) == 1 and "MYDATA" in outs[0]
     assert (tmp_path / outs[0]).read_bytes() == payload
+
+
+def test_dumptap(tmp_path):
+    """dumptap compatibility shim: header/record layout of dumptap.c."""
+    from readtape_tpu.dumptap import main as dumptap_main
+    w = TapWriter(str(tmp_path / "d.tap"))
+    w.write_block(b"HELLO", error=False)
+    w.write_block(b"BAD", error=True)
+    w.write_tapemark()
+    w.write_eom()
+    w.close()
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert dumptap_main(["-hex", "-ascii", "-linesize=4", "d"]) == 0
+    finally:
+        os.chdir(old)
+    text = (tmp_path / "d.hex.ASCII.txt").read_text()
+    assert text.startswith("dumptap file:d\n")
+    assert "options: -hex -ASCII -LINESIZE=4" in text
+    assert "   5: 48454C4C" in text and "HELL" in text
+    assert "!   3: 424144" in text
+    assert ".tap tape mark" in text and ".tap end of medium" in text
