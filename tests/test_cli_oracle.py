@@ -98,3 +98,45 @@ def test_cli_bin_output_split(oracle, tmp_path):
     assert (tmp_path / "s1.001.bin").read_bytes() == blocks[0]
     assert (tmp_path / "s1.002.bin").read_bytes() == blocks[1]
     assert (tmp_path / "s1.log").exists()
+
+
+def test_cli_nrzi7_even_tap_identical(oracle, tmp_path):
+    """7-track NRZI with even parity (-ntrks=7 -even)."""
+    rng = np.random.default_rng(55)
+    blocks = [bytes(rng.integers(0, 64, 90, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI, ntrks=7, even_parity=True),
+        [("block", blocks[0]), ("tapemark",)])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "n7e", hdr, samples,
+        ["-v", "-m", "-nrzi", "-ntrks=7", "-even", "-tap"])
+    assert ref == ours
+
+
+def test_cli_nrzi7_addparity_tap_identical(oracle, tmp_path):
+    """-addparity: the parity bit joins the data as the high bit."""
+    rng = np.random.default_rng(56)
+    blocks = [bytes(rng.integers(0, 64, 75, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI, ntrks=7),
+        [("block", blocks[0]), ("tapemark",)])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "n7a", hdr, samples,
+        ["-v", "-m", "-nrzi", "-ntrks=7", "-addparity", "-tap"])
+    assert ref == ours
+
+
+def test_cli_nrzi7_revparity_tap_identical(oracle, tmp_path):
+    """-revparity=n: blocks of exactly n bytes expect the opposite parity
+    (readtape.c's revparity option)."""
+    rng = np.random.default_rng(57)
+    blocks = [bytes(rng.integers(0, 64, 90, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI, ntrks=7, even_parity=True),
+        [("block", blocks[0]), ("tapemark",)])
+    ref, ours, _, ours_log = run_both(
+        oracle, tmp_path, "n7r", hdr, samples,
+        ["-v", "-m", "-nrzi", "-ntrks=7", "-revparity=90", "-tap"])
+    assert ref == ours
+    # the even-parity block decodes clean under the reversed expectation
+    assert "0 blocks had errors" in ours_log
