@@ -152,7 +152,7 @@ def gcr_bit_state_init(spb, maxb, clk_ring: int = cm.CLKRATE_WINDOW):
 
 
 @partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
-                                    "agc_ring"))
+                                    "agc_ring", "pre"))
 def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    rise_parm, min_parm, agc_alpha, agc_window,
                    clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
@@ -160,8 +160,11 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    stat_leftbin=jnp.float32(0.0),
                    stat_binwidth=jnp.float32(1.0),
                    clk_ring: int = cm.CLKRATE_WINDOW,
-                   agc_ring: int = cm.AGC_MAX_WINDOW):
-    """Peak-detection GCR lane: admission + AGC + bit recovery fused."""
+                   agc_ring: int = cm.AGC_MAX_WINDOW,
+                   pre: bool = False):
+    """Peak-detection GCR lane: admission + AGC + bit recovery fused.
+    With pre=True the first argument is the precomputed [S, 10] feature
+    pack for this lane's (static) window width."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
@@ -184,8 +187,11 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         return st4, rec
 
     init = gcr_bit_state_init(spb, maxb, clk_ring)
-    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
-    ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
+    if pre:
+        ev_fn = lambda st, s: ts.gather_window_features(v_trk, s)
+    else:
+        WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+        ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
     final, recs = ts.run_jump_scan_seq(extra, init, ev_fn, nxt_trk, W, S,
                                        nsteps, rise_parm, min_parm,
                                        agc_ring=agc_ring)

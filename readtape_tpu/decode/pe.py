@@ -30,15 +30,18 @@ RUN_CAP = 128        # max dropout fake-bit runs per track per segment
 
 
 @partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
-                                    "agc_ring"))
+                                    "agc_ring", "pre"))
 def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   clk_window, clk_alpha, clk_factor, pulse_adj_parm,
                   spb, maxb: int,
                   clk_ring: int = cm.CLKRATE_WINDOW,
-                  agc_ring: int = cm.AGC_MAX_WINDOW):
+                  agc_ring: int = cm.AGC_MAX_WINDOW,
+                  pre: bool = False):
     """One (parmset x track) lane. Returns the final state including the
-    emitted bit/fake buffers."""
+    emitted bit/fake buffers. With pre=True the first argument is the
+    PRECOMPUTED [S, 10] feature pack for this lane's (static) window
+    width instead of the raw voltages."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
@@ -165,8 +168,11 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         lastdatabit=jnp.bool_(False),
         corrected_bits=I32(0),
     )
-    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
-    ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
+    if pre:
+        ev_fn = lambda st, s: ts.gather_window_features(v_trk, s)
+    else:
+        WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+        ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
     final, recs = ts.run_jump_scan_seq(extra, init_extra, ev_fn, nxt_trk,
                                        W, S, nsteps, rise_parm, min_parm,
                                        agc_ring=agc_ring)

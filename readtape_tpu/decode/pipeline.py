@@ -192,17 +192,28 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     spb_f = jnp.float32(spb)
     nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
-    W_arr = jnp.asarray(Ws, I32)
 
-    lane = jax.vmap(    # over tracks
-        lambda vt, nx, *p: pe_mod.pe_track_scan(
-            vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb,
-            clk_ring=clk_ring, agc_ring=agc_ring),
-        in_axes=(0, 0) + (None,) * 9)
-    finals = jax.vmap(  # over parmsets
-        lambda *p: lane(v, nxt, *p)
-    )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window,
-      pa.clk_window, pa.clk_alpha, pa.clk_factor, pa.pulse_adj)
+    # group parmsets by (static) window width over precomputed features,
+    # exactly like the NRZI path
+    order, parts = [], []
+    for Wd in sorted(set(Ws)):
+        idxs = [i for i, w in enumerate(Ws) if w == Wd]
+        order += idxs
+        feat = trackscan.precompute_window_features(v, Wd)
+        lane = jax.vmap(    # over tracks
+            lambda ft, nx, *p, _W=Wd: pe_mod.pe_track_scan(
+                ft, nx, _W, S, nsteps, *p, spb_f, maxb,
+                clk_ring=clk_ring, agc_ring=agc_ring, pre=True),
+            in_axes=(0, 0) + (None,) * 8)
+        sel = jnp.asarray(idxs, I32)
+        parts.append(jax.vmap(  # over this group's parmsets
+            lambda *p: lane(feat, nxt, *p)
+        )(pa.pkww_rise[sel], pa.min_peak[sel], pa.agc_alpha[sel],
+          pa.agc_window[sel], pa.clk_window[sel], pa.clk_alpha[sel],
+          pa.clk_factor[sel], pa.pulse_adj[sel]))
+    inv = jnp.asarray(np.argsort(order), I32)
+    finals = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[inv], *parts)
     res = jax.vmap(lambda f: pe_mod.pe_finish(
         f, T, expected_parity, revparity, maxb))(finals)
     res["event_overflow"] = jnp.any(finals["incomplete"])
@@ -237,17 +248,26 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
     else:
         nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
-        W_arr = jnp.asarray(Ws, I32)
-        lane = jax.vmap(   # over tracks
-            lambda vt, nx, *p: gcr_mod.gcr_track_scan(
-                vt, nx, p[0], S, nsteps, *p[1:], spb_f, maxb,
-                stat_leftbin, stat_binwidth,
-                clk_ring=clk_ring, agc_ring=agc_ring),
-            in_axes=(0, 0) + (None,) * 10)
-        finals = jax.vmap(  # over parmsets
-            lambda *p: lane(v, nxt, *p)
-        )(W_arr, pa.pkww_rise, pa.min_peak, pa.agc_alpha, pa.agc_window,
-          pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
+        order, parts = [], []
+        for Wd in sorted(set(Ws)):
+            idxs = [i for i, w in enumerate(Ws) if w == Wd]
+            order += idxs
+            feat = trackscan.precompute_window_features(v, Wd)
+            lane = jax.vmap(   # over tracks
+                lambda ft, nx, *p, _W=Wd: gcr_mod.gcr_track_scan(
+                    ft, nx, _W, S, nsteps, *p, spb_f, maxb,
+                    stat_leftbin, stat_binwidth,
+                    clk_ring=clk_ring, agc_ring=agc_ring, pre=True),
+                in_axes=(0, 0) + (None,) * 9)
+            sel = jnp.asarray(idxs, I32)
+            parts.append(jax.vmap(  # over this group's parmsets
+                lambda *p: lane(feat, nxt, *p)
+            )(pa.pkww_rise[sel], pa.min_peak[sel], pa.agc_alpha[sel],
+              pa.agc_window[sel], pa.clk_window[sel], pa.clk_alpha[sel],
+              pa.z1pt[sel], pa.z2pt[sel], pa.pulse_adj[sel]))
+        inv = jnp.asarray(np.argsort(order), I32)
+        finals = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[inv], *parts)
 
     res = jax.vmap(lambda f: gcr_mod.gcr_finish(
         f, T, expected_parity, revparity, do_correct, maxb))(finals)
@@ -721,10 +741,11 @@ def _decode_tape_ww(samples, opts, log):
             T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
         K = int(S / spb * 2.5) + 64
-        lane = jax.vmap(lambda vt, nx, vh: ww_mod.ww_track_scan(
-            vt, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
-            p0.agc_alpha, p0.agc_window, vh))
-        finals = lane(v, nxt, jnp.asarray(v_avg_init, F32))
+        feat = trackscan.precompute_window_features(v, W)
+        lane = jax.vmap(lambda ft, nx, vh: ww_mod.ww_track_scan(
+            ft, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
+            p0.agc_alpha, p0.agc_window, vh, pre=True))
+        finals = lane(feat, nxt, jnp.asarray(v_avg_init, F32))
 
         counts = finals["n_admitted"]
         keep = np.arange(K) < np.asarray(counts)[..., None]

@@ -59,10 +59,10 @@ def parse_ww_order(order: str):
     return type_to_trk, head_to_trk, ntrks
 
 
-@partial(jax.jit, static_argnames=("S", "nsteps", "K"))
+@partial(jax.jit, static_argnames=("S", "nsteps", "K", "pre"))
 def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
-                  v_avg_height_init):
+                  v_avg_height_init, pre: bool = False):
     """Admission + the WW AGC policy: adjust_agc on every pulse edge
     (decode_ww.c:171,190). v_avg_height comes from the deskew pass when
     available (decoder.c:484-497), else the nominal value. Also measures
@@ -89,8 +89,11 @@ def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
 
     init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32),
             "h_sum": F32(0.0), "h_cnt": I32(0)}
-    WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
-    ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
+    if pre:
+        ev_fn = lambda st, s: ts.gather_window_features(v_trk, s)
+    else:
+        WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
+        ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
     final, outs = ts.run_jump_scan_seq(extra, init, ev_fn, nxt_trk, W, S,
                                        nsteps, rise_parm, min_parm)
     final.update(ts.compact_outputs(
