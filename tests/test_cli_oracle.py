@@ -140,3 +140,22 @@ def test_cli_nrzi7_revparity_tap_identical(oracle, tmp_path):
     assert ref == ours
     # the even-parity block decodes clean under the reversed expectation
     assert "0 blocks had errors" in ours_log
+
+
+def test_cli_nrzi_track_order_tap_identical(oracle, tmp_path):
+    """-order=: heads wired in a scrambled order are permuted back to the
+    canonical (msb..lsb, parity) layout (readtape.c parse_track_order)."""
+    rng = np.random.default_rng(58)
+    blocks = [bytes(rng.integers(0, 256, 100, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI), [("block", blocks[0]), ("tapemark",)])
+    perm = [3, 8, 1, 6, 0, 5, 2, 7, 4]          # column h <- logical perm[h]
+    scrambled = samples[:, perm]
+    order = "".join("P" if t == 8 else str(t) for t in perm)
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "nord", hdr, scrambled,
+        ["-v", "-m", "-nrzi", f"-order={order}", "-tap"])
+    assert ref == ours
+    import struct
+    n = struct.unpack("<I", ours[:4])[0]
+    assert ours[4:4 + n] == blocks[0]
