@@ -21,7 +21,7 @@ import numpy as np
 from .formats import tbin as tb
 from .formats.csvfmt import read_csv
 from .formats.parms import (MODE_GCR, MODE_NRZI, MODE_PE, MODE_WW,
-                            builtin_parmsets, load_parms)
+                            load_parms)
 from .formats.simh import TapWriter, read_tap
 from .out.labels import describe_label, parse_label
 from .out.textfile import TextFile, TxtOptions

@@ -16,14 +16,14 @@ transition matrix instead of a sequential loop.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import common as cm
-from .common import F32, I32, FLT_MAX
+from .common import F32, I32
 
 BIG_S = np.int32(2 ** 30)          # s_det sentinel for unused slots
 NEG_T = np.float32(-1e30)

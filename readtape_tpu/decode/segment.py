@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import F32
 
 CHUNK = 64          # gap-resolution granularity in samples
 

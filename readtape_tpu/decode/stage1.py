@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import F32, I32, FLT_MAX
 
 NEG = np.float32(-3.0e38)
 POS = np.float32(3.0e38)

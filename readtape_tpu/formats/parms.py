@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import os
 import re
-from dataclasses import dataclass, field, fields as dc_fields, replace
+from dataclasses import dataclass, field
 
 MAXPARMSETS = 15
 

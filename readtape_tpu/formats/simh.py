@@ -11,7 +11,7 @@ Record framing (readtape.c:1076-1082, 1232-1245; tapread.c:42-91):
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 TAP_TAPEMARK = 0x00000000
 TAP_ERASED_GAP = 0xFFFFFFFE

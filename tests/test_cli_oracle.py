@@ -7,7 +7,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 from readtape_tpu.formats import tbin as tb
 from readtape_tpu.synth import default_spec, synthesize_tape

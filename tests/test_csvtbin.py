@@ -5,7 +5,6 @@ import os
 import subprocess
 
 import numpy as np
-import pytest
 
 from readtape_tpu import csvtbin as cv
 from readtape_tpu.formats import tbin as tb

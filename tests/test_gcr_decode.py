@@ -6,7 +6,7 @@ import pytest
 
 from readtape_tpu.formats import tbin as tb
 from readtape_tpu.synth import default_spec, synthesize_tape
-from readtape_tpu.synth.synthesize import frame_of, gcr_storage_bits
+from readtape_tpu.synth.synthesize import gcr_storage_bits
 from readtape_tpu.decode import gcr as gcr_mod
 from readtape_tpu.decode.pipeline import DecodeOptions, decode_tape
 

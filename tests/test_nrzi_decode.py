@@ -3,7 +3,6 @@
 test_synth_oracle.py)."""
 
 import numpy as np
-import pytest
 
 from readtape_tpu.formats import tbin as tb
 from readtape_tpu.synth import default_spec, synthesize_tape

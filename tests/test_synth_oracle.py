@@ -9,7 +9,7 @@ import pytest
 
 from readtape_tpu.formats import tbin as tb
 from readtape_tpu.formats.simh import read_tap
-from readtape_tpu.synth import SynthSpec, default_spec, synthesize_tape
+from readtape_tpu.synth import default_spec, synthesize_tape
 
 
 def run_decode(oracle, tmp_path, name, spec, items, args):
