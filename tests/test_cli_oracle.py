@@ -158,3 +158,33 @@ def test_cli_nrzi_track_order_tap_identical(oracle, tmp_path):
     import struct
     n = struct.unpack("<I", ours[:4])[0]
     assert ours[4:4 + n] == blocks[0]
+
+
+def test_cli_csv_input_tap_identical(oracle, tmp_path):
+    """Decoding straight from a .csv capture (no TBIN header: mode/bpi/ips
+    come from options, deltat from the timestamps)."""
+    from readtape_tpu.formats.csvfmt import write_csv
+    rng = np.random.default_rng(59)
+    blocks = [bytes(rng.integers(0, 256, 70, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI), [("block", blocks[0]), ("tapemark",)])
+    volts = samples.astype(np.float64) * (hdr.maxvolts / 32767.0)
+    write_csv(str(tmp_path / "c1.csv"), 0.0, hdr.tdelta_ns * 1e-9, volts)
+    (tmp_path / "ref").mkdir(exist_ok=True)
+    (tmp_path / "ours").mkdir(exist_ok=True)
+    args = ["-v", "-m", "-nrzi", "-bpi=800", "-ips=50", "-tap"]
+    r1 = subprocess.run([oracle] + args + ["-outp=ref/", "c1.csv"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-outp=ours/", "c1.csv"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    ref = (tmp_path / "ref" / "c1.tap").read_bytes()
+    ours = (tmp_path / "ours" / "c1.tap").read_bytes()
+    assert ref == ours
+    import struct
+    n = struct.unpack("<I", ours[:4])[0]
+    assert ours[4:4 + n] == blocks[0]
