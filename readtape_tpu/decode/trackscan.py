@@ -250,7 +250,7 @@ def gather_window_features(feat: jnp.ndarray, s):
 def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
                       nsteps: int, rise_parm, min_parm,
                       agc_ring: int = cm.AGC_MAX_WINDOW,
-                      chunk: int = 512):
+                      chunk: int = 512):    # 256 measured slower (439 vs 420ms)
     """lax.scan variant of run_jump_scan with PER-STEP OUTPUTS.
 
     Scattering into big buffers carried through a loop forces XLA to copy the
