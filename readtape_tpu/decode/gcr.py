@@ -163,7 +163,7 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    agc_ring: int = cm.AGC_MAX_WINDOW,
                    pre: bool = False):
     """Peak-detection GCR lane: admission + AGC + bit recovery fused.
-    With pre=True the first argument is the precomputed [S, 10] feature
+    With pre=True the first argument is the precomputed [10, S] feature
     pack for this lane's (static) window width."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):

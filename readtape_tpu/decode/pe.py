@@ -40,7 +40,7 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   pre: bool = False):
     """One (parmset x track) lane. Returns the final state including the
     emitted bit/fake buffers. With pre=True the first argument is the
-    PRECOMPUTED [S, 10] feature pack for this lane's (static) window
+    PRECOMPUTED [10, S] feature pack for this lane's (static) window
     width instead of the raw voltages."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):

@@ -144,7 +144,7 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
-        feat = trackscan.precompute_window_features(v, Wd)   # [T, S, 10]
+        feat = trackscan.precompute_window_features(v, Wd, nxt)
         lane = jax.vmap(    # over tracks
             lambda ft, nx, rise, minp, aa, aw, _W=Wd:
                 trackscan.nrzi_track_scan_pre(
@@ -199,7 +199,7 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
-        feat = trackscan.precompute_window_features(v, Wd)
+        feat = trackscan.precompute_window_features(v, Wd, nxt)
         lane = jax.vmap(    # over tracks
             lambda ft, nx, *p, _W=Wd: pe_mod.pe_track_scan(
                 ft, nx, _W, S, nsteps, *p, spb_f, maxb,
@@ -252,7 +252,7 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         for Wd in sorted(set(Ws)):
             idxs = [i for i, w in enumerate(Ws) if w == Wd]
             order += idxs
-            feat = trackscan.precompute_window_features(v, Wd)
+            feat = trackscan.precompute_window_features(v, Wd, nxt)
             lane = jax.vmap(   # over tracks
                 lambda ft, nx, *p, _W=Wd: gcr_mod.gcr_track_scan(
                     ft, nx, _W, S, nsteps, *p, spb_f, maxb,
@@ -497,8 +497,8 @@ class TapeDecoder:
             post_margin=int(post_bits * opts.spb))
 
     # ---- per-segment decode ----
-    def decode_segment(self, a: int, b: int):
-        res = self.decode_segment_batch([(a, b)])
+    def decode_segment(self, a: int, b: int, nparms=None):
+        res = self.decode_segment_batch([(a, b)], nparms=nparms)
         return jax.tree.map(lambda x: x[0], res)
 
     def _tape_padded(self, min_len: int):
@@ -510,14 +510,24 @@ class TapeDecoder:
                 self.v_i16, ((0, 0), (0, n_pad - self.v_i16.shape[1])))
         return self.v_i16
 
-    def decode_segment_batch(self, spans, fetch=True, bucket=None):
+    def decode_segment_batch(self, spans, fetch=True, bucket=None,
+                             nparms=None):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
         level of parallelism after tracks and parmsets). Slicing happens
         on device (offsets are data) and results come back packed -- a
-        single executable + a handful of transfers per batch."""
+        single executable + a handful of transfers per batch.
+
+        nparms limits the decode to the FIRST nparms parmsets: the staged
+        retry decodes every segment with parmset 0 first (exactly the
+        reference's sequential try order, readtape.c:1755-1795) and only
+        re-decodes imperfect segments with the full set."""
         opts = self.opts
+        nparms = self.P if nparms is None else min(nparms, self.P)
+        active = opts.parmsets.sets[:nparms]
+        pa = (self.pa if nparms == self.P else
+              jax.tree.map(lambda a: a[:nparms], self.pa))
         S = bucket or seg.bucket_length(max(b - a for a, b in spans))
         T = opts.ntrks
         tape = self._tape_padded(max(a for a, b in spans) + S)
@@ -525,7 +535,7 @@ class TapeDecoder:
         spb = opts.spb
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
-                   for p in opts.parmsets.sets)
+                   for p in active)
         # scan-step budget: ~2 peaks/bit (PE) plus reject slack; the while
         # loop exits when every lane runs dry, so this is only a cap
         nsteps = int(S / spb * 3.2) + 64
@@ -534,21 +544,21 @@ class TapeDecoder:
         max_slots = int(S / spb * 1.25) + 48
 
         scale = min(1.0, self.h_est / cm.PKWW_PEAKHEIGHT)
-        rise_min = min(p.pkww_rise for p in opts.parmsets.sets)
-        minp_min = min(p.min_peak for p in opts.parmsets.sets)
+        rise_min = min(p.pkww_rise for p in active)
+        minp_min = min(p.min_peak for p in active)
         rise_floor = jnp.full(T, rise_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         min_floor = jnp.full(T, minp_min * scale / cm.AGC_MAX_VALUE * 0.8, F32)
 
         spb_int = int(spb) if opts.bpi > 0 else 20
         # carried ring sizes shrink to the largest ACTIVE parmset's windows
-        clk_ring = max(max(p.clk_window for p in opts.parmsets.sets), 1)
-        agc_ring = max(max(p.agc_window for p in opts.parmsets.sets), 1)
-        fn = _batched_fn(opts.mode, S, T, self.P, nsteps, K, maxb,
+        clk_ring = max(max(p.clk_window for p in active), 1)
+        agc_ring = max(max(p.agc_window for p in active), 1)
+        fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring)
         args = [tape, offsets, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
-                jnp.asarray(self.skew, I32), self.pa, jnp.float32(spb),
+                jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
                 rise_floor, min_floor]
         if opts.mode in (tb.MODE_NRZI, tb.MODE_GCR):
@@ -607,7 +617,9 @@ class TapeDecoder:
         trksums = np.zeros(opts.ntrks, np.int64)
         nblks = 0
         for (a, b) in segments:
-            res = self.decode_segment(a, b)
+            # calibration reads only parmset 0's histogram, like the
+            # reference's first-parmset deskew pass (readtape.c:1676-1717)
+            res = self.decode_segment(a, b, nparms=1)
             if res["blktype"][0] == nrzi_mod.BS_NOISE:
                 continue
             hist += res["hist"][0]
@@ -741,7 +753,7 @@ def _decode_tape_ww(samples, opts, log):
             T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
         K = int(S / spb * 2.5) + 64
-        feat = trackscan.precompute_window_features(v, W)
+        feat = trackscan.precompute_window_features(v, W, nxt)
         lane = jax.vmap(lambda ft, nx, vh: ww_mod.ww_track_scan(
             ft, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
             p0.agc_alpha, p0.agc_window, vh, pre=True))
@@ -855,44 +867,76 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # scan self-terminates at end-of-block, so over-long windows that reach
     # into the next segment decode nothing extra. PE/GCR per-track scans
     # have no in-scan block end, so they keep tight per-segment buckets.
-    results = [None] * len(segs)
     buckets = [seg.bucket_length(b - a) for a, b in segs]
     maxbkt = max(buckets)
     if opts.mode == tb.MODE_NRZI and maxbkt <= 65536:
         buckets = [maxbkt] * len(buckets)
-    by_bucket = {}
-    for i, bkt in enumerate(buckets):
-        by_bucket.setdefault(bkt, []).append(i)
     # batches cap at 8 segments by default: larger batched while-loops
     # miscompile on some TPU runtime/compiler stacks (lane corruption
     # observed at B=16 on a v5e remote-compile setup), and 8 already
     # amortizes the scans; override with READTAPE_MAX_BATCH
     max_batch_elems = int(os.environ.get("READTAPE_MAX_BATCH", "8")) * 32768
-    pending = []
-    for S, idxs in sorted(by_bucket.items()):
-        bmax = max(1, max_batch_elems // S)
-        for lo in range(0, len(idxs), bmax):
-            chunk = idxs[lo:lo + bmax]
-            spans = [segs[i] for i in chunk]
-            # pad to a power-of-two batch so every batch of a bucket hits
-            # the same compiled program (remote TPU compiles are expensive)
-            B = bmax if len(idxs) > bmax else seg.bucket_length(len(spans), 1)
-            while len(spans) < B:
-                spans.append(spans[-1])
-            # dispatch async; fetch after everything is in flight
-            pending.append((chunk, dec.decode_segment_batch(
-                spans, fetch=False, bucket=S)))
-    for chunk, thunk in pending:
-        res = thunk()
-        for j, i in enumerate(chunk):
-            results[i] = jax.tree.map(lambda x: x[j], res)
+
+    def dispatch(indices, nparms):
+        """Async-dispatch a set of segments; returns [(chunk, thunk)]."""
+        by_bucket = {}
+        for i in indices:
+            by_bucket.setdefault(buckets[i], []).append(i)
+        # the cap bounds LANES (segments x parmsets): a parmset-0-only pass
+        # can batch P x more segments per call at the same device footprint
+        elems = max_batch_elems * max(1, dec.P // nparms)
+        pending = []
+        for S, idxs in sorted(by_bucket.items()):
+            bmax = max(1, elems // S)
+            for lo in range(0, len(idxs), bmax):
+                chunk = idxs[lo:lo + bmax]
+                spans = [segs[i] for i in chunk]
+                # pad to a power-of-two batch so every batch of a bucket
+                # hits the same compiled program (remote TPU compiles are
+                # expensive)
+                B = (bmax if len(idxs) > bmax
+                     else seg.bucket_length(len(spans), 1))
+                while len(spans) < B:
+                    spans.append(spans[-1])
+                # dispatch async; fetch after everything is in flight
+                pending.append((chunk, dec.decode_segment_batch(
+                    spans, fetch=False, bucket=S, nparms=nparms)))
+        return pending
+
+    def collect(pending, results):
+        for chunk, thunk in pending:
+            res = thunk()
+            for j, i in enumerate(chunk):
+                results[i] = jax.tree.map(lambda x: x[j], res)
+
+    # staged retry, exactly the reference's sequential-try semantics
+    # (readtape.c:1755-1795): every block decodes with parmset 0 first; only
+    # blocks that are not a stopping decode (perfect block / tapemark /
+    # noise) are retried -- here re-decoded with ALL parmsets at once and
+    # best-picked over the tried prefix. On clean tapes this is ~P x less
+    # device work than decoding every parmset everywhere.
+    results = [None] * len(segs)
+    collect(dispatch(range(len(segs)), 1), results)
+
+    def stopper(res):
+        bt = int(res["blktype"][0])
+        perfect = (bt == nrzi_mod.BS_BLOCK and int(res["errcount"][0]) == 0
+                   and int(res["warncount"][0]) == 0)
+        return (bt == nrzi_mod.BS_TAPEMARK or bt == nrzi_mod.BS_NOISE
+                or perfect
+                or (opts.mode == tb.MODE_PE and int(res["minbits"][0]) == 0))
+
+    if opts.multiple_tries and dec.P > 1:
+        retry = [i for i in range(len(segs)) if not stopper(results[i])]
+        collect(dispatch(retry, dec.P), results)
 
     blocks = []
     for i, (a, b) in enumerate(segs):
         if stats["nblocks"] >= opts.blklimit:
             break
         res = results[i]
-        p, tries = pick_best(res, dec.P, opts.multiple_tries, opts.mode)
+        p, tries = pick_best(res, len(res["blktype"]),
+                             opts.multiple_tries, opts.mode)
         if "hist" in res:
             stats["peak_hist"] += res["hist"][p]
             stats["peak_trksums"] += res["trksums"][p]

@@ -6,7 +6,7 @@ jump table, window-feature precompute), (2) the per-track admission scans,
 (3) the global slot scan + finish. Prints milliseconds per stage so the
 sequential-scan cost split is visible. Usage:
 
-    python scripts/profile_nrzi.py [B] [S]
+    python scripts/profile_nrzi.py [B] [S] [P]
 """
 
 import os
@@ -65,6 +65,10 @@ def main():
     ps = builtin_parmsets(tb.MODE_NRZI)
     pa = cm.ParmArrays.from_parmsets(ps)
     P = len(ps.sets)
+    if len(sys.argv) > 3:
+        P = min(P, int(sys.argv[3]))
+        ps.sets = ps.sets[:P]
+        pa = jax.tree.map(lambda a: a[:P], pa)
     spb = 1 / (800 * 50 * opts.deltat)
     Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, 800, 50, opts.deltat)
                for p in ps.sets)
@@ -89,8 +93,9 @@ def main():
                                             spb_int=int(spb)))(v_i16)
         nxt = jax.vmap(lambda vv: _union_jump_table(vv, Ws, rise_floor,
                                                     min_floor))(v)
-        feats = [jax.vmap(lambda vv: trackscan.precompute_window_features(
-            vv, Wd))(v) for Wd in sorted(set(Ws))]
+        feats = [jax.vmap(trackscan.precompute_window_features,
+                          in_axes=(0, None, 0))(v, Wd, nxt)
+                 for Wd in sorted(set(Ws))]
         return v, nxt, feats
 
     dt, (v, nxt, feats) = timeit(front, v_i16)
