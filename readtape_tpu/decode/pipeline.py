@@ -144,7 +144,7 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
-        feat = trackscan.precompute_window_features(v, Wd, nxt)
+        feat = trackscan.precompute_window_features(v, Wd)
         lane = jax.vmap(    # over tracks
             lambda ft, nx, rise, minp, aa, aw, _W=Wd:
                 trackscan.nrzi_track_scan_pre(
@@ -199,7 +199,7 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
-        feat = trackscan.precompute_window_features(v, Wd, nxt)
+        feat = trackscan.precompute_window_features(v, Wd)
         lane = jax.vmap(    # over tracks
             lambda ft, nx, *p, _W=Wd: pe_mod.pe_track_scan(
                 ft, nx, _W, S, nsteps, *p, spb_f, maxb,
@@ -252,7 +252,7 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         for Wd in sorted(set(Ws)):
             idxs = [i for i, w in enumerate(Ws) if w == Wd]
             order += idxs
-            feat = trackscan.precompute_window_features(v, Wd, nxt)
+            feat = trackscan.precompute_window_features(v, Wd)
             lane = jax.vmap(   # over tracks
                 lambda ft, nx, *p, _W=Wd: gcr_mod.gcr_track_scan(
                     ft, nx, _W, S, nsteps, *p, spb_f, maxb,
@@ -753,7 +753,7 @@ def _decode_tape_ww(samples, opts, log):
             T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
         K = int(S / spb * 2.5) + 64
-        feat = trackscan.precompute_window_features(v, W, nxt)
+        feat = trackscan.precompute_window_features(v, W)
         lane = jax.vmap(lambda ft, nx, vh: ww_mod.ww_track_scan(
             ft, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
             p0.agc_alpha, p0.agc_window, vh, pre=True))

@@ -177,7 +177,7 @@ def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
     return final
 
 
-def precompute_window_features(v: jnp.ndarray, W: int, nxt: jnp.ndarray = None):
+def precompute_window_features(v: jnp.ndarray, W: int):
     """All of window_features for every sample position at a STATIC window
     width, data-parallel: [T, 10, S] f32 (order: wmax, wmin,
     v_left, v_right, l_top, prevmax, nextmax, l_bot, prevmin, nextmin).
@@ -185,11 +185,10 @@ def precompute_window_features(v: jnp.ndarray, W: int, nxt: jnp.ndarray = None):
     trailing length-10 axis would pad to 128 lanes, 12.8x the memory and a
     full-tile read per gather).
 
-    With nxt (the [T, S+1] jump table), three more rows are packed: the
-    next cursor position after a reject (s+1), after a top admission
-    (s+l_top+1), and after a bottom admission (s+l_bot+1) -- the jump-table
-    lookup is a pure function of position, so it precomputes data-parallel
-    and the scan body needs ONE gather total.
+    (An experiment that also precomputed the post-step jump-table lookups
+    as three more rows LOST on the v5e: the [T, S]-sized take_along_axis
+    gathers cost ~50 ms each at B=8 -- far more than the one in-loop
+    gather they replace. TPU gathers are only cheap when sparse.)
 
     The features depend only on (v, W, s) -- not on decoder state -- so they
     hoist out of the sequential scan entirely; the scan body then needs one
@@ -243,31 +242,15 @@ def precompute_window_features(v: jnp.ndarray, W: int, nxt: jnp.ndarray = None):
     l_bot = (worst_k - left_pos + 1).astype(v.dtype)
     rows = [best_v, worst_v, v_left, v, l_top, prevmax, nextmax,
             l_bot, prevmin, nextmin]
-    if nxt is not None:
-        Sv = jnp.int32(S)
-        nxt_r = jnp.take_along_axis(
-            nxt, jnp.minimum(iota + 1, Sv), axis=1).astype(v.dtype)
-        nxt_t = jnp.take_along_axis(
-            nxt, jnp.clip(iota + l_top.astype(I32) + 1, 0, Sv),
-            axis=1).astype(v.dtype)
-        nxt_b = jnp.take_along_axis(
-            nxt, jnp.clip(iota + l_bot.astype(I32) + 1, 0, Sv),
-            axis=1).astype(v.dtype)
-        rows += [nxt_r, nxt_t, nxt_b]
     return jnp.stack(rows, axis=1)
 
 
 def gather_window_features(feat: jnp.ndarray, s):
-    """Unpack one position's precomputed features ([10|13, S] -> ev dict)."""
-    R = feat.shape[0]
-    f = jax.lax.dynamic_slice(feat, (0, s), (R, 1))[:, 0]
-    ev = dict(wmax=f[0], wmin=f[1], v_left=f[2], v_right=f[3],
-              l_top=f[4].astype(I32), prevmax=f[5], nextmax=f[6],
-              l_bot=f[7].astype(I32), prevmin=f[8], nextmin=f[9])
-    if R >= 13:
-        ev.update(nxt_reject=f[10].astype(I32), nxt_top=f[11].astype(I32),
-                  nxt_bot=f[12].astype(I32))
-    return ev
+    """Unpack one position's precomputed features ([10, S] -> ev dict)."""
+    f = jax.lax.dynamic_slice(feat, (0, s), (10, 1))[:, 0]
+    return dict(wmax=f[0], wmin=f[1], v_left=f[2], v_right=f[3],
+                l_top=f[4].astype(I32), prevmax=f[5], nextmax=f[6],
+                l_bot=f[7].astype(I32), prevmin=f[8], nextmin=f[9])
 
 
 def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
@@ -307,14 +290,8 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
 
         st3, out = step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s)
 
-        if "nxt_top" in ev:     # jump lookup precomputed into the features
-            pos2 = jnp.where(admit_top, ev["nxt_top"],
-                             jnp.where(admit_bot, ev["nxt_bot"],
-                                       ev["nxt_reject"]))
-        else:
-            nxt_pos = jnp.where(admit, s + L + 1, s + 1)
-            pos2 = nxt_trk[jnp.clip(nxt_pos, 0, S)]
-        st3["pos"] = jnp.where(live, pos2, S)
+        nxt_pos = jnp.where(admit, s + L + 1, s + 1)
+        st3["pos"] = jnp.where(live, nxt_trk[jnp.clip(nxt_pos, 0, S)], S)
         return st3, out
 
     init = admission_init(W, agc_ring)
