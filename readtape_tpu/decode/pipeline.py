@@ -468,8 +468,14 @@ class TapeDecoder:
         self.opts = opts
         samples = permute_heads(samples, opts.head_to_trk)
         self.n_samples = samples.shape[0]
-        self.h_est = seg.estimate_height(samples, opts.maxvolts)
-        self.v_i16 = jnp.asarray(np.ascontiguousarray(samples.T))  # [T, N]
+        # upload [N, T] as stored; transpose + height + activity run as ONE
+        # device program (the host-side transpose copy alone cost ~5 s/tape
+        # on one vCPU)
+        step = max(1, (self.n_samples * opts.ntrks) // 2_000_000)
+        self.v_i16, h_est, act = seg.tape_activity(
+            jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
+        self.h_est = float(h_est)
+        self._act = np.asarray(act)
         self.pa = ParmArrays.from_parmsets(opts.parmsets)
         self.P = len(opts.parmsets)
         self.skew = np.zeros(opts.ntrks, np.int32)
@@ -480,10 +486,7 @@ class TapeDecoder:
     # ---- segmentation ----
     def segments(self):
         opts = self.opts
-        thresh = max(0.04, 0.15 * self.h_est / 2)
-        vmax = jnp.max(jnp.abs(self.v_i16.astype(F32)), axis=0) * (
-            opts.maxvolts / 32767.0)
-        act = np.asarray(seg.activity_chunks(vmax, thresh))
+        act = self._act
         min_gap_secs = max(20 * opts.spb * opts.deltat, 0.0015)
         min_gap_chunks = max(2, int(min_gap_secs / (opts.deltat * seg.CHUNK)))
         # post margin = the mode's idle-detection horizon (see decoder.h:
@@ -727,10 +730,12 @@ def _decode_tape_ww(samples, opts, log):
     T = ntrks
     N = samples.shape[0]
     S = seg.bucket_length(N)
-    v_i16 = jnp.asarray(np.ascontiguousarray(samples.T))
+    v_i16, h_est, _ = seg.tape_activity(     # device-side (slow host vCPU)
+        jnp.asarray(samples), jnp.float32(opts.maxvolts),
+        step=max(1, (N * T) // 2_000_000))
+    h_est = float(h_est)
     if v_i16.shape[1] < S:
         v_i16 = jnp.pad(v_i16, ((0, 0), (0, S - v_i16.shape[1])))
-    h_est = seg.estimate_height(samples, opts.maxvolts)
     skew = np.zeros(T, np.int32)
     if opts.skew is not None:
         skew[:len(opts.skew)] = opts.skew

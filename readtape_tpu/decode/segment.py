@@ -31,9 +31,31 @@ def activity_chunks(v_abs_max: jnp.ndarray, thresh) -> jnp.ndarray:
     return act
 
 
+@partial(jax.jit, static_argnames=("step",))
+def tape_activity(samples_nt: jnp.ndarray, maxvolts, *, step: int):
+    """One device pass over the uploaded tape [N, T]: the device-resident
+    transposed tape [T, N], the height estimate (twice the 0.98-quantile
+    of |v| on a subsample -- thresholds/floors only, never decode values)
+    and the per-CHUNK activity mask at the segmentation threshold derived
+    from it. On the host the transpose + quantile cost ~19 s per tape on
+    one slow vCPU; on device it is one fused pass plus two tiny fetches."""
+    v_i16 = samples_nt.T
+    scale = maxvolts / 32767.0
+    sub = jnp.abs(v_i16[:, ::step].astype(jnp.float32)) * scale
+    amp = jnp.quantile(sub.reshape(-1), 0.98)
+    h_est = jnp.maximum(2.0 * amp, 0.05)
+    thresh = jnp.maximum(0.04, 0.15 * h_est / 2)
+    T, S = v_i16.shape
+    n = S // CHUNK
+    vmax = jnp.max(jnp.abs(v_i16[:, :n * CHUNK].astype(jnp.float32)),
+                   axis=0) * scale
+    act = (vmax.reshape(n, CHUNK) > thresh).any(axis=1)
+    return v_i16, h_est, act
+
+
 def estimate_height(samples_i16: np.ndarray, maxvolts: float) -> float:
-    """Robust peak-to-peak estimate: twice a high quantile of |v| over a
-    subsample. Used only for thresholds/floors, never for decode values."""
+    """Host fallback of tape_activity's height estimate (kept for callers
+    that have no device-resident tape)."""
     step = max(1, samples_i16.shape[0] // 2_000_000)
     sub = np.abs(samples_i16[::step].astype(np.float32))
     amp = float(np.quantile(sub, 0.98)) * maxvolts / 32767.0
