@@ -79,7 +79,7 @@ def main():
                           "error": "decode mismatch"}))
         return 1
 
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()

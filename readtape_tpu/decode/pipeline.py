@@ -144,7 +144,7 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
-        feat = trackscan.precompute_window_features(v, Wd)
+        feat = trackscan.precompute_window_features(v, Wd, nxt)
         lane = jax.vmap(    # over tracks
             lambda ft, nx, rise, minp, aa, aw, _W=Wd:
                 trackscan.nrzi_track_scan_pre(
@@ -199,7 +199,7 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
-        feat = trackscan.precompute_window_features(v, Wd)
+        feat = trackscan.precompute_window_features(v, Wd, nxt)
         lane = jax.vmap(    # over tracks
             lambda ft, nx, *p, _W=Wd: pe_mod.pe_track_scan(
                 ft, nx, _W, S, nsteps, *p, spb_f, maxb,
@@ -252,7 +252,7 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         for Wd in sorted(set(Ws)):
             idxs = [i for i, w in enumerate(Ws) if w == Wd]
             order += idxs
-            feat = trackscan.precompute_window_features(v, Wd)
+            feat = trackscan.precompute_window_features(v, Wd, nxt)
             lane = jax.vmap(   # over tracks
                 lambda ft, nx, *p, _W=Wd: gcr_mod.gcr_track_scan(
                     ft, nx, _W, S, nsteps, *p, spb_f, maxb,
@@ -315,28 +315,36 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
         raise NotImplementedError(f"mode {mode}")
 
     def _categorize(res, B):
-        """Split result fields: small ints, small floats, big arrays."""
+        """Split result fields ([nb, B]-leading): small ints, small floats,
+        big arrays."""
         ikeys, fkeys, bkeys = [], [], []
         for k in sorted(res):
             x = res[k]
-            if x.ndim <= 2 and x.dtype in (jnp.int32, jnp.bool_):
+            if x.ndim <= 3 and x.dtype in (jnp.int32, jnp.bool_):
                 ikeys.append(k)
-            elif x.ndim <= 2 and x.dtype == jnp.float32:
+            elif x.ndim <= 3 and x.dtype == jnp.float32:
                 fkeys.append(k)
             else:
                 bkeys.append(k)
         return ikeys, fkeys, bkeys
 
+    def _group(tape, off, *args):
+        v = jax.vmap(lambda o: jax.lax.dynamic_slice(
+            tape, (0, o), (T, S)))(off)
+        return jax.vmap(base, in_axes=(0,) + (None,) * n_in)(v, *args)
+
     def run(tape, offsets, *args):
-        B = offsets.shape[0]
-        v = jax.vmap(lambda off: jax.lax.dynamic_slice(
-            tape, (0, off), (T, S)))(offsets)
-        res = jax.vmap(base, in_axes=(0,) + (None,) * n_in)(v, *args)
+        """offsets: [nb, B]. The nb sub-batches run inside ONE executable
+        (lax.map -> sequential reuse of the B-wide program), so a whole
+        tape's phase-1 pays one dispatch/sync instead of nb, and device
+        memory stays at the single-sub-batch footprint."""
+        nb, B = offsets.shape
+        res = jax.lax.map(lambda off: _group(tape, off, *args), offsets)
         ikeys, fkeys, bkeys = _categorize(res, B)
 
         def to_bp(x):
-            x = x if x.ndim == 2 else jnp.broadcast_to(x[:, None], (B, P))
-            return x
+            return (x if x.ndim == 3
+                    else jnp.broadcast_to(x[:, :, None], (nb, B, P)))
         packed_i = jnp.stack(
             [to_bp(res[k].astype(jnp.int32)) for k in ikeys], axis=-1)
         packed_f = jnp.stack([to_bp(res[k]) for k in fkeys], axis=-1)
@@ -345,16 +353,16 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
     compiled = jax.jit(run)
 
     def call(tape, offsets, *args, fetch=True):
-        """fetch=False returns a thunk that materializes the results later:
-        callers can dispatch many batches asynchronously (JAX dispatch is
-        async) and overlap per-call device/link latency."""
+        """offsets: [nb, B] sub-batch offset groups. fetch=False returns a
+        thunk that materializes the results later: callers can dispatch
+        batches asynchronously (JAX dispatch is async) and overlap
+        per-call device/link latency. Results are [nb, B, ...]."""
         if "keys" not in call.__dict__:
             shaped = jax.eval_shape(
-                lambda t_, o_, *a_: jax.vmap(base, in_axes=(0,) + (None,) * n_in)(
-                    jax.vmap(lambda off: jax.lax.dynamic_slice(
-                        t_, (0, off), (T, S)))(o_), *a_),
+                lambda t_, o_, *a_: jax.lax.map(
+                    lambda off: _group(t_, off, *a_), o_),
                 tape, offsets, *args)
-            call.keys = _categorize(shaped, offsets.shape[0])
+            call.keys = _categorize(shaped, offsets.shape[1])
         packed_i, packed_f, bigs = compiled(tape, offsets, *args)
 
         def materialize():
@@ -497,12 +505,18 @@ class TapeDecoder:
         return seg.find_segments(
             act, min_gap_chunks, self.n_samples,
             pre_margin=int(2 * opts.spb),
-            post_margin=int(post_bits * opts.spb))
+            post_margin=int(post_bits * opts.spb),
+            # window-warmup: give the first scanned positions a peak window
+            # of REAL gap samples (the reference scans gap-to-gap, so its
+            # window is never edge-clamped; longer extensions would need
+            # the C's mid-gap idle-reset machinery to stay faithful)
+            back_extend=2 * cm.PKWW_MAX_WIDTH,
+            blank=int(cm.NRZI_IBG_SECS / opts.deltat))
 
     # ---- per-segment decode ----
     def decode_segment(self, a: int, b: int, nparms=None):
         res = self.decode_segment_batch([(a, b)], nparms=nparms)
-        return jax.tree.map(lambda x: x[0], res)
+        return jax.tree.map(lambda x: x[0, 0], res)
 
     def _tape_padded(self, min_len: int):
         """The device-resident tape, zero-padded so any in-jit
@@ -525,16 +539,22 @@ class TapeDecoder:
         nparms limits the decode to the FIRST nparms parmsets: the staged
         retry decodes every segment with parmset 0 first (exactly the
         reference's sequential try order, readtape.c:1755-1795) and only
-        re-decodes imperfect segments with the full set."""
+        re-decodes imperfect segments with the full set.
+
+        spans is a list of (a, b) tuples (one sub-batch) or a list of
+        equally-sized lists of them (several sub-batches executed inside
+        one device program); results carry leading axes [nb, B]."""
         opts = self.opts
         nparms = self.P if nparms is None else min(nparms, self.P)
         active = opts.parmsets.sets[:nparms]
         pa = (self.pa if nparms == self.P else
               jax.tree.map(lambda a: a[:nparms], self.pa))
-        S = bucket or seg.bucket_length(max(b - a for a, b in spans))
+        groups = spans if spans and isinstance(spans[0], list) else [spans]
+        flat = [s for g in groups for s in g]
+        S = bucket or seg.bucket_length(max(b - a for a, b in flat))
         T = opts.ntrks
-        tape = self._tape_padded(max(a for a, b in spans) + S)
-        offsets = jnp.asarray([a for a, b in spans], I32)
+        tape = self._tape_padded(max(a for a, b in flat) + S)
+        offsets = jnp.asarray([[a for a, b in g] for g in groups], I32)
         spb = opts.spb
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
@@ -758,7 +778,7 @@ def _decode_tape_ww(samples, opts, log):
             T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
         nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
         K = int(S / spb * 2.5) + 64
-        feat = trackscan.precompute_window_features(v, W)
+        feat = trackscan.precompute_window_features(v, W, nxt)
         lane = jax.vmap(lambda ft, nx, vh: ww_mod.ww_track_scan(
             ft, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
             p0.agc_alpha, p0.agc_window, vh, pre=True))
@@ -893,6 +913,7 @@ def _decode_tape_nrzi_like(samples, opts, log):
         pending = []
         for S, idxs in sorted(by_bucket.items()):
             bmax = max(1, elems // S)
+            chunk_list, span_groups = [], []
             for lo in range(0, len(idxs), bmax):
                 chunk = idxs[lo:lo + bmax]
                 spans = [segs[i] for i in chunk]
@@ -903,16 +924,21 @@ def _decode_tape_nrzi_like(samples, opts, log):
                      else seg.bucket_length(len(spans), 1))
                 while len(spans) < B:
                     spans.append(spans[-1])
-                # dispatch async; fetch after everything is in flight
-                pending.append((chunk, dec.decode_segment_batch(
-                    spans, fetch=False, bucket=S, nparms=nparms)))
+                chunk_list.append(chunk)
+                span_groups.append(spans)
+            # all of a bucket's sub-batches go in ONE device execution
+            # (lax.map inside the program); dispatch async, fetch after
+            # everything is in flight
+            pending.append((chunk_list, dec.decode_segment_batch(
+                span_groups, fetch=False, bucket=S, nparms=nparms)))
         return pending
 
     def collect(pending, results):
-        for chunk, thunk in pending:
+        for chunk_list, thunk in pending:
             res = thunk()
-            for j, i in enumerate(chunk):
-                results[i] = jax.tree.map(lambda x: x[j], res)
+            for g, chunk in enumerate(chunk_list):
+                for j, i in enumerate(chunk):
+                    results[i] = jax.tree.map(lambda x: x[g][j], res)
 
     # staged retry, exactly the reference's sequential-try semantics
     # (readtape.c:1755-1795): every block decodes with parmset 0 first; only

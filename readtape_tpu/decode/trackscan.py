@@ -177,18 +177,29 @@ def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
     return final
 
 
-def precompute_window_features(v: jnp.ndarray, W: int):
+def precompute_window_features(v: jnp.ndarray, W: int,
+                               nxt: jnp.ndarray = None):
     """All of window_features for every sample position at a STATIC window
-    width, data-parallel: [T, 10, S] f32 (order: wmax, wmin,
-    v_left, v_right, l_top, prevmax, nextmax, l_bot, prevmin, nextmin).
-    The sample axis stays innermost so the pack is dense on TPU (a
-    trailing length-10 axis would pad to 128 lanes, 12.8x the memory and a
-    full-tile read per gather).
+    width, data-parallel: [T, 11, S] f32 (rows: wmax, wmin, v_left,
+    v_right, l_top, prevmax, nextmax, l_bot, prevmin, nextmin, and --
+    when the [T, S+1] jump table nxt is given -- nxt[s+1], the cursor
+    target for a reject step, which is just a shift of the table). The
+    sample axis stays innermost so the pack is dense on TPU (a trailing
+    small axis would pad to 128 lanes, >10x the memory).
 
-    (An experiment that also precomputed the post-step jump-table lookups
-    as three more rows LOST on the v5e: the [T, S]-sized take_along_axis
-    gathers cost ~50 ms each at B=8 -- far more than the one in-loop
-    gather they replace. TPU gathers are only cheap when sparse.)
+    Carrying nxt[s+1] in the pack removes the separate in-loop jump-table
+    gather (~37 us/step at 576 lanes, HBM-latency-bound like the feature
+    gather): the reject path reads its target from the pack, and the
+    ADMIT path jumps blind to s+L+1, letting the next step's reject snap
+    to the following candidate -- one extra cheap step per admission,
+    zero in-loop jump-table gathers.
+
+    (Two rejected experiments, both measured slower on the v5e: packing
+    the admit-path jump lookups as extra rows needs [T, S]-sized
+    take_along_axis gathers at precompute (~50 ms each at B=8); an
+    interleaved [T, 16*S] layout for one-contiguous-read fetches pays a
+    materialized relayout at precompute. TPU gathers are only cheap when
+    sparse, and relayouts are never cheap.)
 
     The features depend only on (v, W, s) -- not on decoder state -- so they
     hoist out of the sequential scan entirely; the scan body then needs one
@@ -242,15 +253,21 @@ def precompute_window_features(v: jnp.ndarray, W: int):
     l_bot = (worst_k - left_pos + 1).astype(v.dtype)
     rows = [best_v, worst_v, v_left, v, l_top, prevmax, nextmax,
             l_bot, prevmin, nextmin]
+    if nxt is not None:
+        rows.append(nxt[:, 1:].astype(v.dtype))       # nxt[s+1]: a shift
     return jnp.stack(rows, axis=1)
 
 
 def gather_window_features(feat: jnp.ndarray, s):
-    """Unpack one position's precomputed features ([10, S] -> ev dict)."""
-    f = jax.lax.dynamic_slice(feat, (0, s), (10, 1))[:, 0]
-    return dict(wmax=f[0], wmin=f[1], v_left=f[2], v_right=f[3],
-                l_top=f[4].astype(I32), prevmax=f[5], nextmax=f[6],
-                l_bot=f[7].astype(I32), prevmin=f[8], nextmin=f[9])
+    """Unpack one position's precomputed features ([10|11, S] -> ev)."""
+    R = feat.shape[0]
+    f = jax.lax.dynamic_slice(feat, (0, s), (R, 1))[:, 0]
+    ev = dict(wmax=f[0], wmin=f[1], v_left=f[2], v_right=f[3],
+              l_top=f[4].astype(I32), prevmax=f[5], nextmax=f[6],
+              l_bot=f[7].astype(I32), prevmin=f[8], nextmin=f[9])
+    if R >= 11:
+        ev["nxt_reject"] = f[10].astype(I32)
+    return ev
 
 
 def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
@@ -271,9 +288,18 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
     for ~candidates steps (rounded up to a chunk), not the worst-case budget.
     Output rows for never-executed chunks hold a DEAD step's output (cursor
     at S, admissions masked), which every consumer treats as inert.
-    Returns (final_state, outputs)."""
 
-    def step(st, _):
+    All of a step's outputs are PACKED into one f32 vector before leaving
+    the scan: each scan output costs one unfused buffer write per
+    iteration, and on this runtime every unfused op in a sequential loop
+    is ~10-25 us of dispatch, so one packed write instead of N is a direct
+    per-step saving. Packing in f32 requires every output value to fit a
+    24-bit mantissa; all streamed fields are sample positions, buffer
+    indices, or small codes (< 2^24).
+    Returns (final_state, outputs) with outputs unpacked back to the
+    step_extra field structure."""
+
+    def raw_step(st):
         s = st["pos"]
         live = s < S
         ev = ev_fn(st, jnp.minimum(s, S - 1))
@@ -290,22 +316,52 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
 
         st3, out = step_extra(st2, st, ev, admit_top, admit_bot, t_peak, s)
 
-        nxt_pos = jnp.where(admit, s + L + 1, s + 1)
-        st3["pos"] = jnp.where(live, nxt_trk[jnp.clip(nxt_pos, 0, S)], S)
+        if "nxt_reject" in ev:
+            # admit: jump blind past the peak (the next step's reject will
+            # snap to the following candidate); reject: snap via slot 10
+            pos2 = jnp.where(admit, s + L + 1, ev["nxt_reject"])
+        else:
+            nxt_pos = jnp.where(admit, s + L + 1, s + 1)
+            pos2 = nxt_trk[jnp.clip(nxt_pos, 0, S)]
+        st3["pos"] = jnp.where(live, pos2, S)
         return st3, out
 
     init = admission_init(W, agc_ring)
     init["pos"] = nxt_trk[0]            # first candidate (skip leading quiet)
     init.update(init_extra)
 
-    CH = max(1, min(chunk, nsteps))
-    nchunks = -(-nsteps // CH)
+    # probe the output structure to build the pack/unpack maps
     dead = dict(init)
     dead["pos"] = jnp.asarray(S, I32)
-    _, dead_out = step(dead, None)
-    bufs = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (nchunks * CH,) + jnp.shape(x)),
-        dead_out)
+    _, out0 = raw_step(dead)
+    leaves0, treedef = jax.tree.flatten(out0)
+    sizes = [int(np.prod(jnp.shape(x))) if jnp.ndim(x) else 1
+             for x in leaves0]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    NV = int(offs[-1])
+
+    def pack_out(out):
+        parts = [x.astype(F32).reshape(-1) if jnp.ndim(x)
+                 else x.astype(F32).reshape(1)
+                 for x in jax.tree.leaves(out)]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def unpack_outs(vecs):
+        """[N, NV] -> output dict with leading [N] axis per field."""
+        fields = []
+        for x, a, b in zip(leaves0, offs[:-1], offs[1:]):
+            v = vecs[:, a:b].astype(x.dtype)
+            fields.append(v.reshape((vecs.shape[0],) + jnp.shape(x)))
+        return jax.tree.unflatten(treedef, fields)
+
+    def step(st, _):
+        st3, out = raw_step(st)
+        return st3, pack_out(out)
+
+    CH = max(1, min(chunk, nsteps))
+    nchunks = -(-nsteps // CH)
+    dead_vec = pack_out(out0)
+    bufs = jnp.broadcast_to(dead_vec, (nchunks * CH, NV))
 
     def cond(c):
         st, k, _ = c
@@ -314,15 +370,12 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
     def body(c):
         st, k, bufs = c
         st2, outs = jax.lax.scan(step, st, None, length=CH)
-        bufs2 = jax.tree.map(
-            lambda b, o: jax.lax.dynamic_update_slice(
-                b, o.astype(b.dtype), (k * CH,) + (0,) * (b.ndim - 1)),
-            bufs, outs)
+        bufs2 = jax.lax.dynamic_update_slice(bufs, outs, (k * CH, 0))
         return (st2, k + 1, bufs2)
 
-    final, _, outs = jax.lax.while_loop(cond, body, (init, I32(0), bufs))
+    final, _, vecs = jax.lax.while_loop(cond, body, (init, I32(0), bufs))
     final["incomplete"] = final["pos"] < S
-    return final, outs
+    return final, unpack_outs(vecs)
 
 
 def compact_outputs(flags, rank_cap: int, **fields):

@@ -20,14 +20,19 @@ TAP_ERROR_FLAG = 0x80000000
 
 
 class TapWriter:
-    """Streams decoded blocks into a SIMH .tap file."""
+    """Streams decoded blocks into a SIMH .tap file. The file is created
+    lazily on the first block or tapemark, like the reference
+    (create_datafile runs from got_datablock/got_tapemark,
+    readtape.c:1084-1111): a tape with nothing decodable leaves no .tap."""
 
     def __init__(self, path: str):
         self.path = path
-        self._f = open(path, "wb")
+        self._f = None
         self.numoutbytes = 0
 
     def _marker(self, num: int) -> None:
+        if self._f is None:
+            self._f = open(self.path, "wb")
         self._f.write(struct.pack("<I", num & 0xFFFFFFFF))
         self.numoutbytes += 4
 
@@ -46,7 +51,8 @@ class TapWriter:
         self._marker(TAP_TAPEMARK)
 
     def write_eom(self) -> None:
-        self._marker(TAP_EOM)
+        if self._f is not None:      # only an already-created file gets the
+            self._marker(TAP_EOM)    # EOM marker (readtape.c:1885 checks outf)
 
     def close(self) -> None:
         if self._f:

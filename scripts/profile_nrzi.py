@@ -93,8 +93,9 @@ def main():
                                             spb_int=int(spb)))(v_i16)
         nxt = jax.vmap(lambda vv: _union_jump_table(vv, Ws, rise_floor,
                                                     min_floor))(v)
-        feats = [jax.vmap(lambda vv: trackscan.precompute_window_features(
-            vv, Wd))(v) for Wd in sorted(set(Ws))]
+        feats = [jax.vmap(trackscan.precompute_window_features,
+                          in_axes=(0, None, 0))(v, Wd, nxt)
+                 for Wd in sorted(set(Ws))]
         return v, nxt, feats
 
     dt, (v, nxt, feats) = timeit(front, v_i16)
