@@ -550,6 +550,11 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
                 f" {blk.tries} tries, parmset {blk.parmset}, "
                 f"at time {blk.t_end:.8f}")
             continue
+        if len(blk.data) == 0:
+            # zero-length decodes are dropped entirely (readtape.c:1217
+            # guards on length > 0; a 0-length .tap record would read back
+            # as a tapemark)
+            continue
         # data block: IBM labels are logged always, absorbed (not written)
         # unless in .tap mode (readtape.c:1216-1217; ibmlabels.c:147-153)
         labeled = False
@@ -620,7 +625,7 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
              f"seconds ({0 if numblks == 0 else elapsed/numblks:.3f} "
              f"seconds/block)")
     log.info(f"  decoded {stats['ntapemarks']} tape marks and "
-             f"{stats['nblocks']} blocks with {numoutbytes:,} bytes")
+             f"{numblks} blocks with {numoutbytes:,} bytes")
     log.info(f"  {stats['nerrblocks']} blocks had errors, "
              f"{stats['nwarnblocks']} had warnings, "
              f"{stats['nmismatched']} had mismatched tracks, "
@@ -639,7 +644,7 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
     if o.sumc:
         with open(o.sumc, "a") as f:
             f.write(f'="{outbase}",,,,{0.0:.2f}, {stats["ntapemarks"]}, '
-                    f'{stats["nblocks"]}, {numoutbytes}, '
+                    f'{numblks}, {numoutbytes}, '
                     f'{stats["nerrblocks"]}, {stats["nwarnblocks"]}, 0,"y"\n')
 
 

@@ -207,7 +207,7 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
 # ---------------------------------------------------------------------------
 
 def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
-                          differentiated: bool):
+                          differentiated: bool, seg_len=None):
     """[T, S] -> per-track transition lists (t [T,cap], valid, is_top, counts).
 
     Plain (decoder.c:617-649): a crossing is confirmed when the preceding
@@ -222,13 +222,9 @@ def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
     if differentiated:
         # pending survives exact-zero runs (decoder.c:654-683): crossing at
         # the first nonzero sample whose sign differs from the last nonzero
-        def ffill(x):
-            def body(c, s_):
-                c = jnp.where(s_ != 0, s_, c)
-                return c, c
-            _, out = jax.lax.scan(body, jnp.int8(0), x)
-            return out
-        prev_sign = jax.vmap(ffill)(sign)
+        # (forward-fill as a log-depth associative scan, not an S-step one)
+        prev_sign = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b != 0, b, a), sign, axis=1)
         shifted = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
                                    prev_sign[:, :-1]], axis=1)
     else:
@@ -237,6 +233,8 @@ def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
         shifted = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
                                    sign[:, :-1]], axis=1)
     crossing = nz & (shifted != 0) & (sign != shifted)
+    if seg_len is not None:   # bucket tail past the segment: not scanned
+        crossing = crossing & (jnp.arange(S, dtype=I32)[None, :] < seg_len)
     seg_id = jnp.cumsum(crossing, axis=1)               # [T, S]
 
     # per-segment extremum of |v| and first sample attaining the threshold
@@ -287,15 +285,13 @@ def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
     opposite_ok = latest_before == -csign
 
     if differentiated:
-        # transition time = midpoint of the exact-zero run at the crossing
+        # transition time = midpoint of the exact-zero run at the crossing:
+        # run length ending at i = i - (last non-zero index <= i), with the
+        # latter a log-depth cummax
         z = sign == 0
-        def zrun_t(zrow):
-            def body(c, zz):
-                c = jnp.where(zz, c + 1, I32(0))
-                return c, c
-            _, out = jax.lax.scan(body, I32(0), zrow)
-            return out
-        runs = jax.vmap(zrun_t)(z)
+        last_nonzero = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(~z, idxs, -1), axis=1)
+        runs = idxs - last_nonzero
         nzrun = jnp.take_along_axis(runs, jnp.maximum(cpos_c - 1, 0), axis=1)
         t_first = (cpos_c - nzrun).astype(F32)
         t_last = (cpos_c - 1).astype(F32)

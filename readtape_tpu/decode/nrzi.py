@@ -81,6 +81,21 @@ def _crc_power_table():
     return np.asarray(tables, np.int32)        # [cycle, 9]
 
 
+def xor_fold(vals: jnp.ndarray) -> jnp.ndarray:
+    """Log-depth XOR reduction (a lax.scan here would serialize thousands
+    of trivial steps)."""
+    n = vals.shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    v = jnp.concatenate([vals, jnp.zeros(m - n, vals.dtype)]) \
+        if m != n else vals
+    while m > 1:
+        v = v[:m // 2] ^ v[m // 2:m]
+        m //= 2
+    return v[0]
+
+
 def crc9_of_frames(frames: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """CRC over frames[0:n] (frames: int32 [M]). Vectorized."""
     table = jnp.asarray(_crc_power_table())    # [C, 9]
@@ -93,19 +108,11 @@ def crc9_of_frames(frames: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     bits = contrib << jnp.arange(9, dtype=I32)[None, :]
     per_frame = jnp.sum(bits, axis=-1).astype(I32)      # value of L^(n-i)(f)
     per_frame = jnp.where(i < n, per_frame, 0)
-    # XOR-reduce
-    def body(c, x):
-        return c ^ x, None
-    out, _ = jax.lax.scan(body, jnp.int32(0), per_frame)
-    return out ^ 0x1AF
+    return xor_fold(per_frame) ^ 0x1AF
 
 
 def xor_reduce_masked(frames, keep):
-    vals = jnp.where(keep, frames, 0)
-    def body(c, x):
-        return c ^ x, None
-    out, _ = jax.lax.scan(body, jnp.int32(0), vals)
-    return out
+    return xor_fold(jnp.where(keep, frames, 0))
 
 
 # ---------------------------------------------------------------------------

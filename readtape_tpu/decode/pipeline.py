@@ -126,17 +126,22 @@ def _union_jump_table(v, Ws, rise_floor, min_floor):
     return nxt
 
 
-def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+def _nrzi_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
                          pa: ParmArrays, spb, expected_parity, revparity,
                          rise_floor, min_floor,
                          stat_leftbin, stat_binwidth,
                          *, S, T, P, nsteps, K, maxb, max_slots,
                          Ws, do_correct, differentiate, spb_int,
                          clk_ring=50, agc_ring=10):
-    """v_i16: [T, S] int16. Returns per-parmset results (stacked [P, ...])."""
+    """v_i16: [T, S] int16 (S is the shared power-of-two bucket; only the
+    first seg_len samples belong to this segment -- the rest is real tape
+    past the block's idle point, which the reference never scans, so
+    candidates there are masked out). Returns per-parmset results
+    (stacked [P, ...])."""
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
+    nxt = jnp.where(nxt < seg_len, nxt, S)
 
     # group parmsets by their (static) window width: features precompute
     # data-parallel per distinct W, so the scan body is one gather deep
@@ -183,7 +188,7 @@ def _nrzi_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     return res
 
 
-def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+def _pe_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
                        pa: ParmArrays, spb, expected_parity, revparity,
                        rise_floor, min_floor,
                        *, S, T, P, nsteps, maxb, Ws,
@@ -192,6 +197,7 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     spb_f = jnp.float32(spb)
     nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
+    nxt = jnp.where(nxt < seg_len, nxt, S)   # no candidates past the segment
 
     # group parmsets by (static) window width over precomputed features,
     # exactly like the NRZI path
@@ -220,7 +226,7 @@ def _pe_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
     return res
 
 
-def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
+def _gcr_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
                         pa: ParmArrays, spb, expected_parity, revparity,
                         rise_floor, min_floor,
                         stat_leftbin=jnp.float32(0.0),
@@ -237,7 +243,7 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         # zero-crossing transition extraction is data-parallel (no AGC);
         # parmsets differ only in the bit-recovery knobs
         trans = gcr_mod.zerocross_transitions(v, spb_f, nsteps,
-                                              differentiate)
+                                              differentiate, seg_len)
         overflow = trans["overflow"]
         lane = jax.vmap(   # over tracks
             lambda tt, ok, *p: gcr_mod.gcr_zeros_track_scan(
@@ -248,6 +254,7 @@ def _gcr_segment_device(v_i16, maxvolts, invert_sign, skew_delay,
         )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
     else:
         nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
+        nxt = jnp.where(nxt < seg_len, nxt, S)
         order, parts = [], []
         for Wd in sorted(set(Ws)):
             idxs = [i for i, w in enumerate(Ws) if w == Wd]
@@ -328,18 +335,19 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 bkeys.append(k)
         return ikeys, fkeys, bkeys
 
-    def _group(tape, off, *args):
+    def _group(tape, off, lens, *args):
         v = jax.vmap(lambda o: jax.lax.dynamic_slice(
             tape, (0, o), (T, S)))(off)
-        return jax.vmap(base, in_axes=(0,) + (None,) * n_in)(v, *args)
+        return jax.vmap(base, in_axes=(0, 0) + (None,) * n_in)(v, lens, *args)
 
-    def run(tape, offsets, *args):
-        """offsets: [nb, B]. The nb sub-batches run inside ONE executable
-        (lax.map -> sequential reuse of the B-wide program), so a whole
-        tape's phase-1 pays one dispatch/sync instead of nb, and device
-        memory stays at the single-sub-batch footprint."""
+    def run(tape, offsets, seg_lens, *args):
+        """offsets, seg_lens: [nb, B]. The nb sub-batches run inside ONE
+        executable (lax.map -> sequential reuse of the B-wide program), so
+        a whole tape's phase-1 pays one dispatch/sync instead of nb, and
+        device memory stays at the single-sub-batch footprint."""
         nb, B = offsets.shape
-        res = jax.lax.map(lambda off: _group(tape, off, *args), offsets)
+        res = jax.lax.map(lambda ol: _group(tape, ol[0], ol[1], *args),
+                          (offsets, seg_lens))
         ikeys, fkeys, bkeys = _categorize(res, B)
 
         def to_bp(x):
@@ -352,18 +360,18 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
 
     compiled = jax.jit(run)
 
-    def call(tape, offsets, *args, fetch=True):
-        """offsets: [nb, B] sub-batch offset groups. fetch=False returns a
-        thunk that materializes the results later: callers can dispatch
-        batches asynchronously (JAX dispatch is async) and overlap
-        per-call device/link latency. Results are [nb, B, ...]."""
+    def call(tape, offsets, seg_lens, *args, fetch=True):
+        """offsets, seg_lens: [nb, B] sub-batch groups. fetch=False
+        returns a thunk that materializes the results later: callers can
+        dispatch batches asynchronously (JAX dispatch is async) and
+        overlap per-call device/link latency. Results are [nb, B, ...]."""
         if "keys" not in call.__dict__:
             shaped = jax.eval_shape(
-                lambda t_, o_, *a_: jax.lax.map(
-                    lambda off: _group(t_, off, *a_), o_),
-                tape, offsets, *args)
+                lambda t_, o_, l_, *a_: jax.lax.map(
+                    lambda ol: _group(t_, ol[0], ol[1], *a_), (o_, l_)),
+                tape, offsets, seg_lens, *args)
             call.keys = _categorize(shaped, offsets.shape[1])
-        packed_i, packed_f, bigs = compiled(tape, offsets, *args)
+        packed_i, packed_f, bigs = compiled(tape, offsets, seg_lens, *args)
 
         def materialize():
             pi, pf = np.asarray(packed_i), np.asarray(packed_f)
@@ -555,6 +563,7 @@ class TapeDecoder:
         T = opts.ntrks
         tape = self._tape_padded(max(a for a, b in flat) + S)
         offsets = jnp.asarray([[a for a, b in g] for g in groups], I32)
+        seg_lens = jnp.asarray([[b - a for a, b in g] for g in groups], I32)
         spb = opts.spb
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
@@ -579,7 +588,7 @@ class TapeDecoder:
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring)
-        args = [tape, offsets, jnp.float32(opts.maxvolts),
+        args = [tape, offsets, seg_lens, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),

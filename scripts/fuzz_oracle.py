@@ -101,6 +101,10 @@ def random_case(rng, hard=False):
         spec = default_spec(tb.MODE_NRZI, **common)
         items = blocks(0, 256, 400)
         args = ["-v", "-m", "-nrzi", "-tap"]
+        if rng.random() < 0.3:
+            args.insert(-1, "-deskew")
+        if rng.random() < 0.3:
+            args.insert(-1, "-correct")
     elif kind == "nrzi7":
         even = bool(rng.random() < 0.3)
         spec = default_spec(tb.MODE_NRZI, ntrks=7,
@@ -119,6 +123,8 @@ def random_case(rng, hard=False):
         args = ["-v", "-m", "-gcr", "-ips=25", "-tap"]
         if rng.random() < 0.3:
             args.insert(-1, "-correct")
+        if rng.random() < 0.3:
+            args.insert(-1, "-zeros")
     else:
         spec = default_spec(tb.MODE_WW, **common)
         items = []
@@ -151,12 +157,9 @@ def tap_items(path):
 
 def score(items, truth):
     """How many ground-truth blocks were recovered byte-exact."""
-    got = [d for k, *d in items if k == "block"]
-    want = [d for k, *d in truth if k == "block"]
-    hits = 0
-    for w in want:
-        if w in [g[0] for g in got if g]:
-            hits += 1
+    got = [it[1] for it in items if it[0] == "block"]
+    want = [it[1] for it in truth if it[0] == "block"]
+    hits = sum(1 for w in want if w in got)
     return hits, len(want)
 
 
