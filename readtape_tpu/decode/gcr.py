@@ -207,7 +207,8 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
 # ---------------------------------------------------------------------------
 
 def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
-                          differentiated: bool, seg_len=None):
+                          differentiated: bool, seg_len=None,
+                          lead_len=None):
     """[T, S] -> per-track transition lists (t [T,cap], valid, is_top, counts).
 
     Plain (decoder.c:617-649): a crossing is confirmed when the preceding
@@ -235,6 +236,8 @@ def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
     crossing = nz & (shifted != 0) & (sign != shifted)
     if seg_len is not None:   # bucket tail past the segment: not scanned
         crossing = crossing & (jnp.arange(S, dtype=I32)[None, :] < seg_len)
+    if lead_len is not None:  # window-warmup lead: not eligible either
+        crossing = crossing & (jnp.arange(S, dtype=I32)[None, :] >= lead_len)
     seg_id = jnp.cumsum(crossing, axis=1)               # [T, S]
 
     # per-segment extremum of |v| and first sample attaining the threshold

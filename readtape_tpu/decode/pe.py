@@ -30,14 +30,14 @@ RUN_CAP = 128        # max dropout fake-bit runs per track per segment
 
 
 @partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
-                                    "agc_ring", "pre"))
+                                    "agc_ring", "pre", "debug_peaks"))
 def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   clk_window, clk_alpha, clk_factor, pulse_adj_parm,
                   spb, maxb: int,
                   clk_ring: int = cm.CLKRATE_WINDOW,
                   agc_ring: int = cm.AGC_MAX_WINDOW,
-                  pre: bool = False):
+                  pre: bool = False, debug_peaks: bool = False):
     """One (parmset x track) lane. Returns the final state including the
     emitted bit/fake buffers. With pre=True the first argument is the
     PRECOMPUTED [10, S] feature pack for this lane's (static) window
@@ -151,6 +151,8 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    run_start=run["start"], run_len=run["length"],
                    run_bit=run["bit"].astype(jnp.int8),
                    run_valid=run["valid"])
+        if debug_peaks:
+            rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top)
         return out, rec
 
     init_extra = dict(
@@ -186,6 +188,13 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         run_len=(recs["run_len"], 0),
         run_bit=(recs["run_bit"], np.int8(0))))
     final["n_runs"] = jnp.sum(recs["run_valid"].astype(I32))
+    if debug_peaks:    # admitted-peak stream for -trace / per-peak diffing
+        final.update(ts.compact_outputs(
+            recs["admit"], maxb,
+            tr_s=(recs["s_det"], ts.BIG_S),
+            tr_t=(recs["t_pk"], F32(0.0)),
+            tr_top=(recs["is_top"], False)))
+        final["n_admitted"] = jnp.sum(recs["admit"].astype(I32))
 
     # apply accumulated fake-bit runs (non-overlapping by construction)
     valid = jnp.arange(RUN_CAP) < final["n_runs"]

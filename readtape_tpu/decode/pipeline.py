@@ -41,6 +41,14 @@ from .common import F32, I32, ParmArrays
 BS_NAMES = {0: "BS_NONE", 1: "BS_TAPEMARK", 2: "BS_NOISE",
             3: "BS_BADBLOCK", 4: "BS_BLOCK"}
 
+# Window-warmup: each segment's device slice starts this many samples early
+# so the first ELIGIBLE positions see a peak window full of real preceding
+# gap samples, as the reference's gap-to-gap scan does. Candidates inside
+# the warmup are masked -- edge-clamped filling windows otherwise admit
+# junk peaks the reference never sees (fuzz case 4023: five junk peaks in
+# the first 10 samples flipped a PE track's polarity detection).
+SEG_WARMUP = 64          # > PKWW_MAX_WIDTH + refine margin
+
 DIFFERENTIATE_THRESHOLD = 0.05
 DIFFERENTIATE_SCALE = 0.4
 
@@ -115,6 +123,19 @@ def _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, *,
     return jnp.take_along_axis(v, idx, axis=1)
 
 
+def _mask_jump_table(nxt, seg_len, lead_len, S):
+    """Restrict candidates to [lead_len, seg_len): positions below the
+    warmup lead snap forward to the first eligible candidate, positions at
+    or past the segment's true end (bucket tail = unscanned real tape)
+    vanish."""
+    T = nxt.shape[0]
+    first = jnp.take_along_axis(
+        nxt, jnp.broadcast_to(lead_len, (T, 1)), axis=1)
+    iota = jnp.arange(nxt.shape[1], dtype=I32)[None, :]
+    nxt = jnp.where(iota < lead_len, first, nxt)
+    return jnp.where(nxt < seg_len, nxt, S)
+
+
 def _union_jump_table(v, Ws, rise_floor, min_floor):
     """Candidate jump table valid for EVERY parmset window width: the
     element-wise min over per-width tables is the union of the candidate
@@ -126,7 +147,8 @@ def _union_jump_table(v, Ws, rise_floor, min_floor):
     return nxt
 
 
-def _nrzi_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
+def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
+                         skew_delay,
                          pa: ParmArrays, spb, expected_parity, revparity,
                          rise_floor, min_floor,
                          stat_leftbin, stat_binwidth,
@@ -140,8 +162,8 @@ def _nrzi_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
     (stacked [P, ...])."""
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
-    nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
-    nxt = jnp.where(nxt < seg_len, nxt, S)
+    nxt = _mask_jump_table(
+        _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
 
     # group parmsets by their (static) window width: features precompute
     # data-parallel per distinct W, so the scan body is one gather deep
@@ -188,7 +210,8 @@ def _nrzi_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
     return res
 
 
-def _pe_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
+def _pe_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
+                       skew_delay,
                        pa: ParmArrays, spb, expected_parity, revparity,
                        rise_floor, min_floor,
                        *, S, T, P, nsteps, maxb, Ws,
@@ -196,8 +219,8 @@ def _pe_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
     spb_f = jnp.float32(spb)
-    nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
-    nxt = jnp.where(nxt < seg_len, nxt, S)   # no candidates past the segment
+    nxt = _mask_jump_table(
+        _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
 
     # group parmsets by (static) window width over precomputed features,
     # exactly like the NRZI path
@@ -226,7 +249,8 @@ def _pe_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
     return res
 
 
-def _gcr_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
+def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
+                        skew_delay,
                         pa: ParmArrays, spb, expected_parity, revparity,
                         rise_floor, min_floor,
                         stat_leftbin=jnp.float32(0.0),
@@ -243,7 +267,8 @@ def _gcr_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
         # zero-crossing transition extraction is data-parallel (no AGC);
         # parmsets differ only in the bit-recovery knobs
         trans = gcr_mod.zerocross_transitions(v, spb_f, nsteps,
-                                              differentiate, seg_len)
+                                              differentiate, seg_len,
+                                              lead_len)
         overflow = trans["overflow"]
         lane = jax.vmap(   # over tracks
             lambda tt, ok, *p: gcr_mod.gcr_zeros_track_scan(
@@ -253,8 +278,9 @@ def _gcr_segment_device(v_i16, seg_len, maxvolts, invert_sign, skew_delay,
             lambda *p: lane(trans["t"], trans["ok"] & trans["valid"], *p)
         )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
     else:
-        nxt = _union_jump_table(v, Ws, rise_floor, min_floor)
-        nxt = jnp.where(nxt < seg_len, nxt, S)
+        nxt = _mask_jump_table(
+            _union_jump_table(v, Ws, rise_floor, min_floor),
+            seg_len, lead_len, S)
         order, parts = [], []
         for Wd in sorted(set(Ws)):
             idxs = [i for i, w in enumerate(Ws) if w == Wd]
@@ -335,19 +361,21 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 bkeys.append(k)
         return ikeys, fkeys, bkeys
 
-    def _group(tape, off, lens, *args):
+    def _group(tape, off, lens, leads, *args):
         v = jax.vmap(lambda o: jax.lax.dynamic_slice(
             tape, (0, o), (T, S)))(off)
-        return jax.vmap(base, in_axes=(0, 0) + (None,) * n_in)(v, lens, *args)
+        return jax.vmap(base, in_axes=(0, 0, 0) + (None,) * n_in)(
+            v, lens, leads, *args)
 
-    def run(tape, offsets, seg_lens, *args):
+    def run(tape, offsets, seg_lens, leads, *args):
         """offsets, seg_lens: [nb, B]. The nb sub-batches run inside ONE
         executable (lax.map -> sequential reuse of the B-wide program), so
         a whole tape's phase-1 pays one dispatch/sync instead of nb, and
         device memory stays at the single-sub-batch footprint."""
         nb, B = offsets.shape
-        res = jax.lax.map(lambda ol: _group(tape, ol[0], ol[1], *args),
-                          (offsets, seg_lens))
+        res = jax.lax.map(
+            lambda ol: _group(tape, ol[0], ol[1], ol[2], *args),
+            (offsets, seg_lens, leads))
         ikeys, fkeys, bkeys = _categorize(res, B)
 
         def to_bp(x):
@@ -360,18 +388,20 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
 
     compiled = jax.jit(run)
 
-    def call(tape, offsets, seg_lens, *args, fetch=True):
+    def call(tape, offsets, seg_lens, leads, *args, fetch=True):
         """offsets, seg_lens: [nb, B] sub-batch groups. fetch=False
         returns a thunk that materializes the results later: callers can
         dispatch batches asynchronously (JAX dispatch is async) and
         overlap per-call device/link latency. Results are [nb, B, ...]."""
         if "keys" not in call.__dict__:
             shaped = jax.eval_shape(
-                lambda t_, o_, l_, *a_: jax.lax.map(
-                    lambda ol: _group(t_, ol[0], ol[1], *a_), (o_, l_)),
-                tape, offsets, seg_lens, *args)
+                lambda t_, o_, l_, ld_, *a_: jax.lax.map(
+                    lambda ol: _group(t_, ol[0], ol[1], ol[2], *a_),
+                    (o_, l_, ld_)),
+                tape, offsets, seg_lens, leads, *args)
             call.keys = _categorize(shaped, offsets.shape[1])
-        packed_i, packed_f, bigs = compiled(tape, offsets, seg_lens, *args)
+        packed_i, packed_f, bigs = compiled(tape, offsets, seg_lens, leads,
+                                            *args)
 
         def materialize():
             pi, pf = np.asarray(packed_i), np.asarray(packed_f)
@@ -513,13 +543,7 @@ class TapeDecoder:
         return seg.find_segments(
             act, min_gap_chunks, self.n_samples,
             pre_margin=int(2 * opts.spb),
-            post_margin=int(post_bits * opts.spb),
-            # window-warmup: give the first scanned positions a peak window
-            # of REAL gap samples (the reference scans gap-to-gap, so its
-            # window is never edge-clamped; longer extensions would need
-            # the C's mid-gap idle-reset machinery to stay faithful)
-            back_extend=2 * cm.PKWW_MAX_WIDTH,
-            blank=int(cm.NRZI_IBG_SECS / opts.deltat))
+            post_margin=int(post_bits * opts.spb))
 
     # ---- per-segment decode ----
     def decode_segment(self, a: int, b: int, nparms=None):
@@ -559,11 +583,16 @@ class TapeDecoder:
               jax.tree.map(lambda a: a[:nparms], self.pa))
         groups = spans if spans and isinstance(spans[0], list) else [spans]
         flat = [s for g in groups for s in g]
-        S = bucket or seg.bucket_length(max(b - a for a, b in flat))
+
+        def a0(a):
+            return max(a - SEG_WARMUP, 0)
+        S = bucket or seg.bucket_length(max(b - a0(a) for a, b in flat))
         T = opts.ntrks
-        tape = self._tape_padded(max(a for a, b in flat) + S)
-        offsets = jnp.asarray([[a for a, b in g] for g in groups], I32)
-        seg_lens = jnp.asarray([[b - a for a, b in g] for g in groups], I32)
+        tape = self._tape_padded(max(a0(a) for a, b in flat) + S)
+        offsets = jnp.asarray([[a0(a) for a, b in g] for g in groups], I32)
+        seg_lens = jnp.asarray([[b - a0(a) for a, b in g] for g in groups],
+                               I32)
+        leads = jnp.asarray([[a - a0(a) for a, b in g] for g in groups], I32)
         spb = opts.spb
         Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, opts.bpi, opts.ips,
                                      opts.deltat)
@@ -588,7 +617,7 @@ class TapeDecoder:
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring)
-        args = [tape, offsets, seg_lens, jnp.float32(opts.maxvolts),
+        args = [tape, offsets, seg_lens, leads, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
@@ -901,7 +930,8 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # scan self-terminates at end-of-block, so over-long windows that reach
     # into the next segment decode nothing extra. PE/GCR per-track scans
     # have no in-scan block end, so they keep tight per-segment buckets.
-    buckets = [seg.bucket_length(b - a) for a, b in segs]
+    buckets = [seg.bucket_length(b - max(a - SEG_WARMUP, 0))
+               for a, b in segs]
     maxbkt = max(buckets)
     if opts.mode == tb.MODE_NRZI and maxbkt <= 65536:
         buckets = [maxbkt] * len(buckets)
