@@ -34,15 +34,20 @@ def activity_chunks(v_abs_max: jnp.ndarray, thresh) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("step",))
 def tape_activity(samples_nt: jnp.ndarray, maxvolts, *, step: int):
     """One device pass over the uploaded tape [N, T]: the device-resident
-    transposed tape [T, N], the height estimate (twice the 0.98-quantile
+    transposed tape [T, N], the height estimate (twice the 0.999-quantile
     of |v| on a subsample -- thresholds/floors only, never decode values)
     and the per-CHUNK activity mask at the segmentation threshold derived
-    from it. On the host the transpose + quantile cost ~19 s per tape on
-    one slow vCPU; on device it is one fused pass plus two tiny fetches."""
+    from it. The quantile must be extreme: on a mostly-empty tape (one
+    small block in seconds of gap) a 0.98-quantile lands in the NOISE,
+    collapsing the height estimate and dragging the activity threshold to
+    the noise floor -- every chunk goes active and the whole tape merges
+    into one segment (hard-fuzz case 7013 lost a tapemark that way). On
+    the host the transpose + quantile cost ~19 s per tape on one slow
+    vCPU; on device it is one fused pass plus two tiny fetches."""
     v_i16 = samples_nt.T
     scale = maxvolts / 32767.0
     sub = jnp.abs(v_i16[:, ::step].astype(jnp.float32)) * scale
-    amp = jnp.quantile(sub.reshape(-1), 0.98)
+    amp = jnp.quantile(sub.reshape(-1), 0.999)
     h_est = jnp.maximum(2.0 * amp, 0.05)
     thresh = jnp.maximum(0.04, 0.15 * h_est / 2)
     T, S = v_i16.shape
@@ -58,7 +63,7 @@ def estimate_height(samples_i16: np.ndarray, maxvolts: float) -> float:
     that have no device-resident tape)."""
     step = max(1, samples_i16.shape[0] // 2_000_000)
     sub = np.abs(samples_i16[::step].astype(np.float32))
-    amp = float(np.quantile(sub, 0.98)) * maxvolts / 32767.0
+    amp = float(np.quantile(sub, 0.999)) * maxvolts / 32767.0
     return max(2.0 * amp, 0.05)
 
 
