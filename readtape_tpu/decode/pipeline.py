@@ -788,6 +788,15 @@ def _decode_tape_ww(samples, opts, log):
     T = ntrks
     N = samples.shape[0]
     S = seg.bucket_length(N)
+    # Sample POSITIONS survive the scan exactly at any length (int32 bit
+    # patterns through the f32 output pack, trackscan._int_to_f32_bits), but
+    # peak TIMES are absolute f32 sample units whose resolution passes
+    # 0.25 sample beyond 2^26 -- too coarse for WW clocking. Fail loudly
+    # rather than decode garbage; fix = per-chunk time bases.
+    if S >= 2 ** 26:
+        raise NotImplementedError(
+            f"Whirlwind capture of {N} samples exceeds the single-segment "
+            "scan's f32 time resolution (2^26 samples); split the capture")
     v_i16, h_est, _ = seg.tape_activity(     # device-side (slow host vCPU)
         jnp.asarray(samples), jnp.float32(opts.maxvolts),
         step=max(1, (N * T) // 2_000_000))

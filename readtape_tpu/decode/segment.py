@@ -68,8 +68,7 @@ def estimate_height(samples_i16: np.ndarray, maxvolts: float) -> float:
 
 
 def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
-                  pre_margin: int = 0, post_margin: int = 0,
-                  back_extend: int = 0, blank: int = 0):
+                  pre_margin: int = 0, post_margin: int = 0):
     """active: host bool array per CHUNK. Returns a list of (start, end)
     sample ranges covering each active region plus margins. The post margin
     reproduces the reference's end-of-block point: its per-mode idle
@@ -77,16 +76,12 @@ def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
     (decoder.c:868-894), so trailing gap noise is never scanned -- exactly
     as the reference stops sampling a block at all-tracks-idle.
 
-    back_extend stretches each segment's START back into the preceding
-    gap (bounded), floored at the previous segment's end plus the
-    reference's interblock blanking (`blank` samples ~ *_IBG_SECS,
-    readtape.c:1112: samples there are skipped outright, so the C's peak
-    window starts filling right after it). The reference scans the tape
-    gap-to-gap, so its moving window is full of REAL gap samples when a
-    block's first peaks arrive; without the extension our window fills
-    from the activity edge and boundary-fill artifacts can admit noise
-    peaks the reference never sees (found by fuzz case 3002: a PE block
-    decoded '23 errs' under parmset 0 where the C was clean)."""
+    The reference scans the tape gap-to-gap, so its moving window is full
+    of REAL gap samples when a block's first peaks arrive; here each
+    segment's device slice starts SEG_WARMUP samples before `a` with the
+    warmup candidates masked (pipeline.decode_segment_batch), which fixes
+    the boundary-fill artifacts fuzz cases 3002/4023 exposed (junk peaks
+    admitted from an edge-clamped filling window)."""
     n = len(active)
     if n == 0 or not active.any():
         return []
@@ -97,8 +92,8 @@ def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
     segs = []
     prev_end = 0          # the reference starts scanning at sample 0
     for s, e in zip(run_starts, run_ends):
-        a = max(0, s * CHUNK - max(pre_margin, back_extend))
-        a = max(a, prev_end + blank if segs else 0)
+        a = max(0, s * CHUNK - pre_margin)
+        a = max(a, prev_end if segs else 0)
         b = min(total_samples, (e + 1) * CHUNK + post_margin)
         segs.append((int(a), int(b)))
         prev_end = int(b)

@@ -35,6 +35,29 @@ from .common import F32, I32
 BIG_S = np.int32(2 ** 30)
 
 
+_BITS_BIAS = np.int32(0x40000000)
+
+
+def _int_to_f32_bits(x):
+    """Encode int32 values into float32 buffers EXACTLY (a value cast is
+    only exact below 2^24; Whirlwind scans the whole tape as one segment,
+    so sample positions can exceed that): add 2^30 with wrapping int32
+    arithmetic, then bitcast. The bias lifts small values out of the
+    DENORMAL range -- the TPU flushes denormals to zero even through some
+    data-movement paths, which silently zeroed raw-bitcast positions on
+    v5e hardware. Encoded patterns are normal floats for v in [0, 2^30)
+    and exactly -0.0 for the BIG_S sentinel (2^30); NaN patterns would
+    need v >= 0x3F800000 ~ 1.07e9, far above any streamed field. The
+    values never enter float arithmetic while encoded."""
+    return jax.lax.bitcast_convert_type(
+        x.astype(jnp.int32) + _BITS_BIAS, jnp.float32)
+
+
+def _f32_bits_to_int(x, dtype=I32):
+    v = jax.lax.bitcast_convert_type(x, jnp.int32) - _BITS_BIAS
+    return v.astype(dtype)
+
+
 def loose_jump_table(v: jnp.ndarray, W: int, rise_floor, min_floor):
     """[T, S] voltages -> jump table nxt[T, S+1]: nxt[i] = first sample
     j >= i where the loose candidate test passes (S if none)."""
@@ -180,10 +203,14 @@ def run_jump_scan(step_extra, init_extra, v_trk, nxt_trk, W, S: int,
 def precompute_window_features(v: jnp.ndarray, W: int,
                                nxt: jnp.ndarray = None):
     """All of window_features for every sample position at a STATIC window
-    width, data-parallel: [T, 11, S] f32 (rows: wmax, wmin, v_left,
+    width, data-parallel: [T, 10|12, S] f32 (rows: wmax, wmin, v_left,
     v_right, l_top, prevmax, nextmax, l_bot, prevmin, nextmin, and --
     when the [T, S+1] jump table nxt is given -- nxt[s+1], the cursor
-    target for a reject step, which is just a shift of the table). The
+    target for a reject step (just a shift of the table), plus nxt[s],
+    which lets the scan test CANDIDACY of the current position: the
+    post-admit blind jump can land on masked-out positions, which must
+    reject regardless of thresholds; both int rows ride as exact int32
+    bit patterns). The
     sample axis stays innermost so the pack is dense on TPU (a trailing
     small axis would pad to 128 lanes, >10x the memory).
 
@@ -254,19 +281,22 @@ def precompute_window_features(v: jnp.ndarray, W: int,
     rows = [best_v, worst_v, v_left, v, l_top, prevmax, nextmax,
             l_bot, prevmin, nextmin]
     if nxt is not None:
-        rows.append(nxt[:, 1:].astype(v.dtype))       # nxt[s+1]: a shift
+        # both rows ride as exact int32 bit patterns (see _int_to_f32_bits)
+        rows.append(_int_to_f32_bits(nxt[:, 1:]))     # nxt[s+1]: a shift
+        rows.append(_int_to_f32_bits(nxt[:, :-1]))    # nxt[s]: candidacy test
     return jnp.stack(rows, axis=1)
 
 
 def gather_window_features(feat: jnp.ndarray, s):
-    """Unpack one position's precomputed features ([10|11, S] -> ev)."""
+    """Unpack one position's precomputed features ([10|12, S] -> ev)."""
     R = feat.shape[0]
     f = jax.lax.dynamic_slice(feat, (0, s), (R, 1))[:, 0]
     ev = dict(wmax=f[0], wmin=f[1], v_left=f[2], v_right=f[3],
               l_top=f[4].astype(I32), prevmax=f[5], nextmax=f[6],
               l_bot=f[7].astype(I32), prevmin=f[8], nextmin=f[9])
-    if R >= 11:
-        ev["nxt_reject"] = f[10].astype(I32)
+    if R >= 12:
+        ev["nxt_reject"] = _f32_bits_to_int(f[10])
+        ev["nxt_here"] = _f32_bits_to_int(f[11])
     return ev
 
 
@@ -293,9 +323,9 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
     the scan: each scan output costs one unfused buffer write per
     iteration, and on this runtime every unfused op in a sequential loop
     is ~10-25 us of dispatch, so one packed write instead of N is a direct
-    per-step saving. Packing in f32 requires every output value to fit a
-    24-bit mantissa; all streamed fields are sample positions, buffer
-    indices, or small codes (< 2^24).
+    per-step saving. Integer/bool fields ride as exact int32 BIT PATTERNS
+    (not value casts), so sample positions beyond 2^24 -- e.g. Whirlwind's
+    whole-tape segment -- survive the round trip exactly.
     Returns (final_state, outputs) with outputs unpacked back to the
     step_extra field structure."""
 
@@ -304,6 +334,16 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
         live = s < S
         ev = ev_fn(st, jnp.minimum(s, S - 1))
         is_top, is_bot = admission_test(st, ev, rise_parm, min_parm)
+        if "nxt_here" in ev:
+            # the post-admit path jumps BLIND to s+L+1, which can land on a
+            # position the masked jump table excludes (segment tail, warmup
+            # lead); only positions the table maps to themselves are
+            # admissible candidates -- exactly the set the while-loop
+            # variant (whose admit path routes through the table) visits.
+            # A non-candidate position still steps (reject -> nxt[s+1]).
+            at_cand = ev["nxt_here"] == s
+            is_top = is_top & at_cand
+            is_bot = is_bot & at_cand
         admit_top = live & is_top
         admit_bot = live & is_bot
         admit = admit_top | admit_bot
@@ -340,9 +380,13 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
     offs = np.concatenate([[0], np.cumsum(sizes)])
     NV = int(offs[-1])
 
+    def _enc(x):
+        return (x.astype(F32) if jnp.issubdtype(x.dtype, jnp.floating)
+                else _int_to_f32_bits(x))
+
     def pack_out(out):
-        parts = [x.astype(F32).reshape(-1) if jnp.ndim(x)
-                 else x.astype(F32).reshape(1)
+        parts = [_enc(x).reshape(-1) if jnp.ndim(x)
+                 else _enc(x).reshape(1)
                  for x in jax.tree.leaves(out)]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
@@ -350,7 +394,10 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
         """[N, NV] -> output dict with leading [N] axis per field."""
         fields = []
         for x, a, b in zip(leaves0, offs[:-1], offs[1:]):
-            v = vecs[:, a:b].astype(x.dtype)
+            raw = vecs[:, a:b]
+            v = (raw.astype(x.dtype)
+                 if jnp.issubdtype(x.dtype, jnp.floating)
+                 else _f32_bits_to_int(raw, x.dtype))
             fields.append(v.reshape((vecs.shape[0],) + jnp.shape(x)))
         return jax.tree.unflatten(treedef, fields)
 
@@ -385,17 +432,30 @@ def compact_outputs(flags, rank_cap: int, **fields):
 
     All fields compact through ONE f32 scatter (a scatter over the
     [nsteps]-sized output buffers costs ~10 ms per op per call at bench
-    sizes; values here are sample positions, times, gains, and flags, all
-    exactly representable in f32 -- the BIG_S sentinel is a power of 2)."""
+    sizes). Integer/bool fields ride as exact int32 bit patterns so sample
+    positions beyond 2^24 survive (see _int_to_f32_bits)."""
     rank = jnp.cumsum(flags) - 1
     idx = jnp.where(flags, jnp.minimum(rank, rank_cap - 1), rank_cap)
     names = list(fields)
-    vals = jnp.stack([fields[n][0].astype(F32) for n in names], axis=-1)
-    fill = jnp.stack([jnp.asarray(fields[n][1], F32) for n in names])
+
+    def enc(x):
+        x = jnp.asarray(x)
+        return (x.astype(F32) if jnp.issubdtype(x.dtype, jnp.floating)
+                else _int_to_f32_bits(x))
+
+    vals = jnp.stack([enc(fields[n][0]) for n in names], axis=-1)
+    fill = jnp.stack([enc(jnp.asarray(fields[n][1],
+                                      jnp.asarray(fields[n][0]).dtype))
+                      for n in names])
     buf = jnp.broadcast_to(fill, (rank_cap + 1, len(names)))
     packed = buf.at[idx].set(vals, mode="drop")[:rank_cap]
-    return {n: packed[:, j].astype(fields[n][0].dtype)
-            for j, n in enumerate(names)}
+    out = {}
+    for j, n in enumerate(names):
+        dt = jnp.asarray(fields[n][0]).dtype
+        col = packed[:, j]
+        out[n] = (col.astype(dt) if jnp.issubdtype(dt, jnp.floating)
+                  else _f32_bits_to_int(col, dt))
+    return out
 
 
 # ---------------------------------------------------------------------------
