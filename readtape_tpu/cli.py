@@ -69,6 +69,7 @@ class Options:
         self.deskew = False
         self.skew = None
         self.correct = False
+        self.correct2 = False
         self.addparity = False
         self.tbin_only = False
         self.logging = True
@@ -159,8 +160,12 @@ def parse_option(o: Options, option: str) -> bool:
         o.addparity = True
     elif a == "correct":
         o.correct = True
+    elif a == "correct2":     # extension: GCR 2-track erasure correction
+        o.correct = True
+        o.correct2 = True
     elif a == "nocorrect":
         o.correct = False
+        o.correct2 = False
     elif a == "tbin":
         o.tbin_only = True
     elif (v := val("outf=")) is not None:
@@ -437,6 +442,7 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
         mode=o.mode, ntrks=o.ntrks, bpi=max(o.bpi, 0), ips=o.ips,
         deltat=deltat, maxvolts=maxvolts, parmsets=parmsets,
         multiple_tries=o.multiple_tries, do_correct=o.correct,
+        do_correct2=o.correct2,
         expected_parity=0 if o.even else 1, revparity=o.revparity,
         invert=o.invert, differentiate=o.differentiate,
         find_zeros=o.find_zeros, deskew=o.deskew, skew=o.skew,

@@ -368,12 +368,31 @@ def _divby_alpha_vec(s):
     return (s >> 1) ^ jnp.where(bit0 == 1, 0x9C, 0)
 
 
-def gcr_correct_single(frames8):
-    """Single-track ECC correction of one 8-frame group (jnp version of
-    decode_gcr.c:291-315 with bad_tracks=0x01). frames8: [8] int32 in
-    (msb..lsb,P) order. Returns (ok, corrected)."""
+def gcr_correct_errors(frames8, bad_tracks):
+    """General 1-2 track ECC correction of one 8-frame group: the device
+    (jnp) port of the reference's full correct_errors API
+    (decode_gcr.c:233-341), validated against a harness built from the
+    reference binary for every 1- and 2-bit mask. frames8: [8] int32 in
+    (msb..lsb,P) order. bad_tracks: 9-bit mask in the reference's
+    tom_order bit space (bit 7-t = data track t, bit 8 = parity track);
+    with one bit set (or the caller not knowing, mask 0x01) the syndrome
+    locates the bad track itself, with two bits set both tracks are
+    corrected as erasures. The reference's own decode path only ever
+    calls this with 0x01 (decode_gcr.c:593) -- the two-track path is the
+    capability its API offers to callers. Returns (ok, corrected)."""
+    bad_tracks = jnp.asarray(bad_tracks, I32)
     tom = ((frames8 >> 1) & 0xFF) | ((frames8 & 1) << 8)
     B = _reorder9_vec(tom, gt.BIT_ORDER)
+    bt = _reorder9_vec(bad_tracks[None], gt.BIT_ORDER)[0]
+    idx9 = jnp.arange(9)
+    setb = (bt >> idx9) & 1
+    nset = jnp.sum(setb)
+    pi = jnp.argmax(setb)                       # lowest set bit (0 if none)
+    pi = jnp.where(nset > 0, pi, 0)
+    setb2 = setb.at[pi].set(0)
+    pj = jnp.where(nset >= 2, jnp.argmax(setb2), pi)
+    two = pj > pi
+
     par = cm.parity9(B)
     S1p = jnp.int32(0xFF)
     for i in range(8):
@@ -383,6 +402,7 @@ def gcr_correct_single(frames8):
         S2p = _times_alpha_vec(S2p) ^ (B[i] & 0xFF)
     S2p = _reverse8_vec(S2p)
 
+    # ---- single-track path (pi == pj): syndrome locates the track ----
     errloc = jnp.int32(-1)
     errloc = jnp.where(S2p == 0, 8, errloc)
     Sxp = S1p
@@ -393,14 +413,41 @@ def gcr_correct_single(frames8):
         found = found | hit
         Sxp = _divby_alpha_vec(Sxp)
     has_err = S1p != 0
-    ok = (~has_err) | (errloc >= 0)
-    do_fix = has_err & (errloc >= 0)
+    ok1 = (~has_err) | (errloc >= 0)
+    do_fix1 = has_err & (errloc >= 0)
     loc = jnp.maximum(errloc, 0)
-    corr = jnp.where(do_fix, ((S1p >> jnp.arange(8)) & 1) << loc, 0)
-    B = B ^ corr
+    corr1 = jnp.where(do_fix1, ((S1p >> jnp.arange(8)) & 1) << loc, 0)
+
+    # ---- two-track path (pi < pj): erasure correction via Mk ----
+    mrow = jnp.take(jnp.asarray(gt.CORR_MS), jnp.minimum(pj - pi, 7),
+                    axis=0)                     # [8]; unused when pj == 8
+    Mk = _reverse8_vec(mrow)
+    Syp = S2p
+    for i in range(8):
+        Syp = jnp.where(i < pi, _times_alpha_vec(Syp), Syp)
+    Syp = Syp ^ S1p
+    e2m = jnp.int32(0)
+    for i in range(8):
+        e2m = e2m | (cm.parity9(Mk[i] & Syp) << (7 - i))
+    e2p = jnp.where(pj == 8, Syp, e2m)
+    e1p = e2p ^ S1p
+    corr2 = ((((e1p >> jnp.arange(8)) & 1) << pi) |
+             (((e2p >> jnp.arange(8)) & 1) << pj))
+
+    corr = jnp.where(two, corr2, corr1)
+    ok = jnp.where(two, True, ok1)
+    applied = two | do_fix1 | (~has_err)
+    B = B ^ jnp.where(applied, corr, 0)
     back = _reorder9_vec(B, gt.UNDO_ORDER)
     out = ((back & 0xFF) << 1) | ((back >> 8) & 1)
-    return ok, jnp.where(do_fix | (~has_err), out, frames8)
+    return ok, jnp.where(applied, out, frames8)
+
+
+def gcr_correct_single(frames8):
+    """The reference decode path's correction call: correct_errors with
+    bad_tracks hardcoded to 0x01 (decode_gcr.c:593), i.e. the
+    syndrome-locating single-track path."""
+    return gcr_correct_errors(frames8, 0x01)
 
 
 def gcr_compute_ecc_vec(frames7):
@@ -428,9 +475,15 @@ def gcr_compute_ecc_vec(frames7):
 
 
 def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
-                    maxb: int):
+                    maxb: int, do_correct2: bool = False):
     """One parmset lane: bits [T=9, maxb] storage bits, dcs [9] counts.
-    Returns decoded frames + error counts (decode_gcr.c:503-674)."""
+    Returns decoded frames + error counts (decode_gcr.c:503-674).
+
+    do_correct2 is an extension beyond the reference: when the reference's
+    0x01 syndrome-located single-track fix fails on a parity-bad dgroup,
+    identify up to two bad tracks from the dgroup's invalid 5-bit storage
+    codes and run the full two-track erasure correction the reference's
+    correct_errors API supports but its decode path never invokes."""
     T = 9
     trk = jnp.arange(T)
     ngroups = maxb // 5
@@ -480,6 +533,8 @@ def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
                   jnp.where(da_resid, S_RESID_A,
                    jnp.where(da_store, S_DATA_B, nstate)))
         bp = jnp.where(da_store, 0, bp)
+        if do_correct2:          # remember group A's bad-code tracks
+            out["badA"] = jnp.where(da_store, bad_code, st["badA"])
 
         db = state == S_DATA_B
         nstate = jnp.where(db, S_DATA_A, nstate)
@@ -526,6 +581,16 @@ def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
         if do_correct:
             fix_ok, fixed = gcr_correct_single(frames8)
             do_fix = isdb & (bp > 0) & fix_ok
+            if do_correct2:
+                bad2 = st["badA"] | bad_code
+                tom_bits = jnp.where(trk == 8, 8, 7 - trk)
+                mask2 = jnp.sum(jnp.where(bad2, 1 << tom_bits, 0))
+                cnt2 = jnp.sum(bad2.astype(I32))
+                ok2, fixed2 = gcr_correct_errors(frames8, mask2)
+                do_fix2 = (isdb & (bp > 0) & (~do_fix) & ok2 &
+                           (cnt2 >= 1) & (cnt2 <= 2))
+                fixed = jnp.where(do_fix2, fixed2, fixed)
+                do_fix = do_fix | do_fix2
             data = jax.lax.dynamic_update_slice(
                 data, jnp.where(do_fix, fixed, frames8),
                 (jnp.clip(bn - 8, 0, maxb - 8),))
@@ -556,12 +621,14 @@ def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
                 data=jnp.zeros(maxb, I32), bad_parity=I32(0),
                 vparity_errs=I32(0), ecc_errs=I32(0), bad_dgroups=I32(0),
                 gcr_bad_sequence=I32(0), corrected_bits=I32(0))
+    if do_correct2:
+        init["badA"] = jnp.zeros(T, bool)
     final, _ = jax.lax.scan(step, init, jnp.arange(ngroups))
     return final
 
 
 def gcr_finish(finals, T: int, expected_parity, revparity, do_correct,
-               maxb: int):
+               maxb: int, do_correct2: bool = False):
     """gcr_end_of_block (decode_gcr.c:682-729) for one parmset lane."""
     trk = jnp.arange(T)
     dc = finals["datacount"]
@@ -583,7 +650,8 @@ def gcr_finish(finals, T: int, expected_parity, revparity, do_correct,
     is_block = (~is_noise) & (~is_tm) & (~is_bad)
 
     post = gcr_postprocess(finals["bits"], dc, maxbits,
-                           expected_parity, do_correct, maxb)
+                           expected_parity, do_correct, maxb,
+                           do_correct2=do_correct2)
     n = post["bytenum"]
 
     blktype = jnp.where(~started, 0,

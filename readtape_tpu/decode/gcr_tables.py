@@ -117,7 +117,12 @@ def correct_errors_host(frames9, bad_tracks: int = 0x01):
                 if S1p & (1 << i):
                     B[i] ^= 1 << errloc
     else:
-        Mk = [ _reverse8(int(CORR_MS[pj - pi][j])) for j in range(8) ]
+        # Mk is only consulted when pj != 8 (the reference computes
+        # Ms[pj - pi] unconditionally, which for pi=0, pj=8 is an
+        # out-of-bounds read in the C -- harmless there only because the
+        # result is unused)
+        Mk = ([_reverse8(int(CORR_MS[pj - pi][j])) for j in range(8)]
+              if pj != 8 else [0] * 8)
         Syp = S2p
         for _ in range(pi):
             Syp = _times_alpha(Syp)

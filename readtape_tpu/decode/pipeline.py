@@ -64,6 +64,7 @@ class DecodeOptions:
     parmsets: ParmSets = None
     multiple_tries: bool = True
     do_correct: bool = False
+    do_correct2: bool = False     # extension: 2-track GCR erasure correction
     expected_parity: int = 1          # 1 = odd (default), 0 = even
     revparity: int = 0
     invert: bool = False
@@ -256,7 +257,7 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                         stat_leftbin=jnp.float32(0.0),
                         stat_binwidth=jnp.float32(1.0),
                         *, S, T, P, nsteps, maxb, Ws, do_correct,
-                        find_zeros, differentiate, spb_int,
+                        do_correct2, find_zeros, differentiate, spb_int,
                         clk_ring=50, agc_ring=10):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
@@ -303,7 +304,8 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
             lambda *xs: jnp.concatenate(xs, axis=0)[inv], *parts)
 
     res = jax.vmap(lambda f: gcr_mod.gcr_finish(
-        f, T, expected_parity, revparity, do_correct, maxb))(finals)
+        f, T, expected_parity, revparity, do_correct, maxb,
+        do_correct2=do_correct2))(finals)
     res["event_overflow"] = (jnp.any(finals["incomplete"])
                              if overflow is None else overflow)
     return res
@@ -314,7 +316,7 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
-                do_correct, find_zeros, differentiate, spb_int,
+                do_correct, do_correct2, find_zeros, differentiate, spb_int,
                 clk_ring, agc_ring):
     """Cached jitted segment-batch decoder for one static configuration.
 
@@ -340,7 +342,8 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
     elif mode == tb.MODE_GCR:
         base = partial(_gcr_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
-                       do_correct=do_correct, find_zeros=find_zeros,
+                       do_correct=do_correct, do_correct2=do_correct2,
+                       find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int,
                        clk_ring=clk_ring, agc_ring=agc_ring)
         n_in = 11
@@ -615,7 +618,8 @@ class TapeDecoder:
         clk_ring = max(max(p.clk_window for p in active), 1)
         agc_ring = max(max(p.agc_window for p in active), 1)
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
-                         max_slots, Ws, opts.do_correct, opts.find_zeros,
+                         max_slots, Ws, opts.do_correct, opts.do_correct2,
+                         opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring)
         args = [tape, offsets, seg_lens, leads, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
