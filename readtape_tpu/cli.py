@@ -364,9 +364,14 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
     if not o.tbin_only and ext.lower() != ".tbin" and \
             os.path.exists(basefile + ".csv"):
         t0, deltat, volts = read_csv(basefile + ".csv")
-        samples = np.clip(volts * (32767.0 / 6.0), -32767, 32767
-                          ).astype(np.int16)
-        maxvolts = 6.0
+        # CSV voltages stay float32 end-to-end, like the reference's float
+        # sample path (readtape.c:1405-1448): no int16 quantization, no
+        # fixed +-6 V clip (the reference's own 9trk_GCR "analog" example
+        # is a 12.5 MHz capture with >6 V excursions). The decode pipeline
+        # scales raw values by maxvolts/32767, so 32767 here means the
+        # tensor is already in volts.
+        samples = np.ascontiguousarray(volts, dtype=np.float32)
+        maxvolts = 32767.0
         ntrks = volts.shape[1]
         log.info(f'reading file "{basefile}.csv"')
     else:

@@ -188,3 +188,36 @@ def test_cli_csv_input_tap_identical(oracle, tmp_path):
     import struct
     n = struct.unpack("<I", ours[:4])[0]
     assert ours[4:4 + n] == blocks[0]
+
+
+def test_cli_csv_high_amplitude_tap_identical(oracle, tmp_path):
+    """CSV captures keep full float precision with no fixed +-6 V clip
+    (readtape.c:1405-1448): a 10 V-amplitude capture must decode
+    byte-identically to the C, which reads the floats directly. (The old
+    int16-at-6V ingest clipped every peak of this tape.)"""
+    from readtape_tpu.formats.csvfmt import write_csv
+    rng = np.random.default_rng(61)
+    blocks = [bytes(rng.integers(0, 256, 90, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI), [("block", blocks[0]), ("tapemark",)])
+    volts = samples.astype(np.float64) * (hdr.maxvolts / 32767.0)
+    volts *= 10.0 / np.abs(volts).max()          # scale peaks to 10 V
+    write_csv(str(tmp_path / "hi.csv"), 0.0, hdr.tdelta_ns * 1e-9, volts)
+    (tmp_path / "ref").mkdir(exist_ok=True)
+    (tmp_path / "ours").mkdir(exist_ok=True)
+    args = ["-v", "-m", "-nrzi", "-bpi=800", "-ips=50", "-tap"]
+    r1 = subprocess.run([oracle] + args + ["-outp=ref/", "hi.csv"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-outp=ours/", "hi.csv"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    ref = (tmp_path / "ref" / "hi.tap").read_bytes()
+    ours = (tmp_path / "ours" / "hi.tap").read_bytes()
+    assert ref == ours
+    import struct
+    n = struct.unpack("<I", ours[:4])[0]
+    assert ours[4:4 + n] == blocks[0]
