@@ -50,13 +50,15 @@ def main():
                          deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts)
 
     # warmup (includes compilation) + bit-exactness check; if this TPU
-    # stack miscompiles at the default batch size, fall back to smaller
-    # batches (correctness always wins over batching)
+    # stack miscompiles at the default batch size or the Mosaic kernel
+    # misbehaves, fall back (correctness always wins over speed)
     ok = False
-    for max_batch in (None, "4", "1"):
-        if max_batch is not None:
-            os.environ["READTAPE_MAX_BATCH"] = max_batch
-            print(f"# retrying with READTAPE_MAX_BATCH={max_batch}",
+    for env_override in (None, {"READTAPE_PALLAS": "0"},
+                         {"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "4"},
+                         {"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "1"}):
+        if env_override is not None:
+            os.environ.update(env_override)
+            print(f"# retrying with {env_override}",
                   file=sys.stderr, flush=True)
         t_warm = time.perf_counter()
         try:

@@ -159,6 +159,7 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
         consume_overflow=jnp.bool_(False),
         done=~any_trans,
         ended_by_post=jnp.bool_(False),
+        end_s=I32(S),        # sample where the block ended (postamble idle)
     )
 
     def consume(st, s_z):
@@ -320,6 +321,10 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             ended = post2 >= 8
             out["ended_by_post"] = st["ended_by_post"] | ended
             out["done"] = out["done"] | ended | past_end
+            # where scanning stopped: the next block's decode resumes here
+            # (the reference's readblock returns and the driver re-enters
+            # at the current sample, readtape.c:1720-1882)
+            out["end_s"] = jnp.where(ended, jnp.minimum(s_z, S), st["end_s"])
             rec = dict(wr=jnp.stack(wr1 + wr2 + [i0, i1, i2], axis=-1),
                        hb=jnp.stack(hb1 + hb2, axis=-1),
                        fix_trk=fix_trk, fix_val=fix_val)

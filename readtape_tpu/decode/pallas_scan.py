@@ -1,28 +1,44 @@
-"""Pallas TPU kernel for the NRZI admission scan.
+"""Pallas TPU kernel for the NRZI admission scan (v2, row-vectorized).
 
-The XLA scan pays ~100-250 us per sequential step (each step is ~10-30
-fused kernels and every kernel costs ~5-15 us of dispatch through this
-environment's relay); a Mosaic kernel runs the same loop at ~100-300 ns per
-step. Design (see PLAN.md / decoder.c:751-810 for the semantics):
+The XLA jump scan pays ~100-300 us per sequential step on this runtime
+(each step is a handful of unfused kernels, and every kernel in a
+sequential loop costs ~10-25 us of dispatch); a Mosaic kernel runs the
+same work at ~0.1-0.3 us per admission because the whole loop is ONE
+kernel. Semantics mirror decoder.c:751-810 exactly (validated against the
+XLA scan bit-for-bit).
 
-- ONE kernel instance per (batch, track) pair; grid instances serialize on
-  the single TensorCore, so all P parmsets are evaluated INSIDE the
-  instance, packed across vector lanes (lane p = parmset p).
-- No cursor jumps: the instance iterates the UNION candidate list in order
-  and each parmset applies a blind-window predicate (process only
-  candidates strictly past its last admission's blind region) -- visit
-  order and admission decisions are identical to the jump scan.
-- The candidate's +-128-sample neighborhood is two dynamically indexed
-  rows of the [S/128, 128] waveform, loaded ONCE and shared by all
-  parmsets; window extremes/argmax reduce per distinct (static) window
-  width, then broadcast group->lane.
-- Admitted-transition records pack 32 per row (4 f32 lanes each: s, t_peak,
-  agc_after, is_top) and are written with predicated read-modify-write row
-  stores; per-parmset scalars stream out as lane-vector rows.
+Design — the key moves vs the retired v1 kernel (which lost to XLA at
+~24 us/step from per-candidate dynamic VMEM indexing):
 
-Parmset knob values (window widths, thresholds, AGC constants) are baked
-into the kernel as compile-time constants: a tape's parmsets are fixed for
-the whole decode, and specializing eliminates all scalar memory traffic.
+- The tape is processed ROW by row (128 positions per row). Window
+  features are NOT computed in-kernel: the XLA front end already
+  precomputes them data-parallel (trackscan.precompute_window_features);
+  the kernel streams the [12, 128] feature rows in through the grid's
+  BlockSpec pipeline, so there are ZERO dynamically indexed memory reads.
+- grid = (B*T, R/RB): instance (b, t) scans its track across row blocks;
+  decode state persists in VMEM scratch across grid steps (reset at
+  rblk == 0). Parmsets ride the SUBLANE axis: every state update is one
+  [SL, 128] vector op covering all P parmsets at once.
+- Within a row, admission is a commit loop: eligibility mask (candidate
+  positions past each parmset's blind window whose AGC-scaled thresholds
+  pass) -> first eligible lane per parmset (lane reduce) -> feature
+  extraction at that lane (masked reduces) -> state update -> repeat.
+  Admission slots are statically unrolled and guarded by an SMEM
+  work-remains flag, so rows with no admissions cost ~one eligibility
+  test and gap rows cost almost nothing.
+- Admitted records pack 4 f32 lanes each (s, t_peak, agc_after, is_top)
+  into a per-row [SL, 128] register, written back once per row; the
+  XLA side compacts them into the [K] transition buffers (same contract
+  as trackscan.nrzi_track_scan_pre).
+
+Parmset knob values are compile-time constants (a tape's parmsets are
+fixed for the whole decode); rebuilt per grid step from sublane iota +
+scalar selects because pallas_call forbids captured constant arrays.
+
+Mosaic-on-v5e constraints baked in (learned the hard way in round 1):
+no loop-carried vector registers (cssa copies crash the register
+allocator) -> state lives in VMEM scratch; no bool-branch selects; no
+sub-(8,128) blocked inputs; scalars for pl.when come from full reduces.
 """
 
 from __future__ import annotations
@@ -37,357 +53,691 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import common as cm
 from .common import F32, I32
+from .trackscan import _BITS_BIAS
 
-BIG = np.float32(1e30)
+RB = 8                      # feature rows (128 positions each) per grid step
 NEG = np.float32(-1e30)
-RECS_PER_ROW = 32          # 4 f32 lanes per record
+
+F_FIELDS = ("blind", "v_top", "v_bot", "n_adm", "agc", "vah", "vah_sum",
+            "vah_cnt", "hndx", "max_agc", "min_agc", "v_lasttop",
+            "v_lastbot", "peakcount", "overflow", "cnt")
+REC_SENT = np.float32(-1.0)         # s-field sentinel for unused record slots
 
 
-def _lane_iota():
-    return jax.lax.broadcasted_iota(I32, (1, 128), 1)
+def _kernel(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
+            G, P, SL, S, Ws, rises, minps, aalphas, awindows, groups,
+            A_MAX, K, ring):
+    n_rblks = pl.num_programs(1)
+    rblk = pl.program_id(1)
+    sub = jax.lax.broadcasted_iota(I32, (SL, 128), 0)
+    lane = jax.lax.broadcasted_iota(I32, (SL, 128), 1)
+    lane1 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+    active = sub < P
+    zf = (sub * 0).astype(F32)
 
+    def const_f(vals):
+        out = zf
+        for p, v in enumerate(vals):
+            out = jnp.where(sub == p, jnp.float32(v), out)
+        return out
 
-def _extract(vec, lane: int):
-    """Static-lane scalar extraction from a [1, 128] vreg."""
-    return jnp.sum(jnp.where(_lane_iota() == lane, vec, 0).astype(vec.dtype))
+    def const_i(vals):
+        out = sub * 0
+        for p, v in enumerate(vals):
+            out = jnp.where(sub == p, jnp.int32(v), out)
+        return out
 
+    W_v = const_f([float(w) for w in Ws])
+    rise_v = const_f(rises)
+    minp_v = const_f(minps)
+    aal_v = const_f(aalphas)
+    awin_v = const_i(awindows)
+    grp_v = const_i(groups)
+    no_min = minp_v == 0.0
+    use_exp = aal_v > 0.0
+    use_win = awin_v > 0
 
-def _lanes_const(vals, dtype):
-    """[P] python values -> [1, 128] vreg (lane p = vals[p]), built from
-    iota + scalar selects: pallas_call forbids captured constant ARRAYS,
-    but scalar constants are fine."""
-    lane = _lane_iota()
-    out = (lane * 0).astype(dtype)
-    for p, val in enumerate(vals):
-        out = jnp.where(lane == p, jnp.asarray(val, dtype), out)
-    return out
+    NF = len(F_FIELDS) + ring
+    FIDX = {k: n for n, k in enumerate(F_FIELDS)}
 
+    def st_read(k):
+        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
+        return st_ref[n * SL:(n + 1) * SL, :]
 
-F_FIELDS = ("v_top", "v_bot", "agc", "vah", "vah_sum", "max_agc",
-            "min_agc", "v_lasttop", "v_lastbot")
-I_FIELDS = ("blind", "n_adm", "vah_cnt", "hndx", "peakcount")
+    def st_write(k, val):
+        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
+        st_ref[n * SL:(n + 1) * SL, :] = val
 
+    rec_sent = jnp.where(lane % 4 == 0, REC_SENT, F32(0.0))
 
-def _kernel(v_ref, cand_ref, recs_ref, scal_ref, f_ref, i_ref, *,
-            S, R, Ccap, K, P, Ws, rises, minps, aalphas, awindows,
-            agc_ring):
-    KR = recs_ref.shape[3]
-    wgroups = sorted(set(Ws))
-    lane = _lane_iota()
-    active = lane < P
+    @pl.when(rblk == 0)
+    def _():
+        st_write("blind", zf - 1.0)
+        st_write("v_top", zf)
+        st_write("v_bot", zf)
+        st_write("n_adm", zf)
+        st_write("agc", zf + 1.0)
+        st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
+        st_write("vah_sum", zf)
+        st_write("vah_cnt", zf)
+        st_write("hndx", zf)
+        st_write("max_agc", zf)
+        st_write("min_agc", zf + cm.FLT_MAX)
+        st_write("v_lasttop", zf)
+        st_write("v_lastbot", zf)
+        st_write("peakcount", zf)
+        st_write("overflow", zf)
+        for k in range(ring):
+            st_write(k, zf)
 
-    # static lane constants -- keep the persistent set minimal (the v5e
-    # register allocator crashes under vreg pressure); booleans and group
-    # masks derive from these with one op at point of use
-    W_v = _lanes_const([float(w) for w in Ws], F32)
-    rise_v = _lanes_const(rises, F32)
-    minp_v = _lanes_const(minps, F32)
-    aal_v = _lanes_const(aalphas, F32)
-    awin_v = _lanes_const(awindows, I32)
-    no_min_v = minp_v == 0.0
-    use_exp_v = aal_v > 0.0
-    use_win_v = awin_v > 0
-    gmask = {Wd: W_v == float(Wd) for Wd in wgroups}
-
-    zi = lane * 0
-    zf = zi.astype(F32)
-
-    # zero the record buffer (unwritten rows must be inert); the iota*0
-    # construction avoids a captured constant array
-    zero_block = (jax.lax.broadcasted_iota(I32, (KR, 128), 0) * 0).astype(F32)
-    for p in range(P):
-        recs_ref[0, 0, p] = zero_block
-
-    # candidate count rides in the extra trailing row of the cand array
-    # (lane 0); TPU lowering rejects sub-(8,128) blocked scalar inputs
-    ncand = jnp.sum(jnp.where(lane == 0, cand_ref[0, 0, pl.ds(Ccap // 128, 1), :], 0))
-
-    gpos_iota = jax.lax.broadcasted_iota(I32, (2, 128), 0) * 128 + \
-        jax.lax.broadcasted_iota(I32, (2, 128), 1)
-
-    init = dict(
-        blind=zi - 1,
-        v_top=zf, v_bot=zf,
-        n_adm=zi,
-        agc=zf + 1.0,
-        vah=zf + cm.PKWW_PEAKHEIGHT,
-        vah_sum=zf, vah_cnt=zi,
-        hndx=zi,
-        max_agc=zf, min_agc=zf + cm.FLT_MAX,
-        v_lasttop=zf, v_lastbot=zf,
-        peakcount=zi,
-        ring=tuple(zf for _ in range(agc_ring)),
-    )
-
-    # state lives in VMEM scratch, not the fori carry: loop-carried vregs
-    # produce "copy for cssa" phis that crash the v5e register allocator
-    def pack(st):
-        f_ref[...] = jnp.concatenate(
-            [st[k] for k in F_FIELDS] + list(st["ring"]), axis=0)
-        i_ref[...] = jnp.concatenate([st[k] for k in I_FIELDS], axis=0)
-
-    def unpack():
-        f = f_ref[...]
-        i_ = i_ref[...]
-        st = {k: f[n:n + 1] for n, k in enumerate(F_FIELDS)}
-        st["ring"] = tuple(f[len(F_FIELDS) + k: len(F_FIELDS) + k + 1]
-                           for k in range(agc_ring))
-        st.update({k: i_[n:n + 1] for n, k in enumerate(I_FIELDS)})
-        return st
-
-    pack(init)
-
-    def compute(i, st):
-        # ---- candidate position (dynamic row + lane extract) ----
-        crow = cand_ref[0, 0, pl.ds(i // 128, 1), :]
-        s = jnp.sum(jnp.where(lane == i % 128, crow, 0))
-        # vector-form liveness: Mosaic mishandles scalar-bool -> vector
-        # broadcasts (i8 -> i1 truncation), so compare as [1, 128] vectors
-        live = ((zi + i) < ncand) & ((zi + s) < S)
-        s_c = jnp.minimum(s, S - 1)
-
-        # ---- shared waveform neighborhood ----
-        r = jnp.clip(s_c // 128 - 1, 0, R - 2)
-        two = jnp.concatenate([v_ref[0, 0, pl.ds(r, 1), :],
-                               v_ref[0, 0, pl.ds(r + 1, 1), :]], axis=0)
-        gpos = r * 128 + gpos_iota
-
-        # ---- per distinct W: window features (group scalars) ----
-        feat = {}
-        for Wd in wgroups:
-            left = jnp.maximum(s_c - Wd + 1, 0)
-            m = (gpos >= left) & (gpos <= s_c)
-            top = jnp.where(m, two, NEG)
-            bot = jnp.where(m, two, BIG)
-            wmax = jnp.max(top)
-            wmin = jnp.min(bot)
-            k_t = jnp.min(jnp.where((two >= wmax) & m, gpos, 2 ** 30))
-            k_b = jnp.min(jnp.where((two <= wmin) & m, gpos, 2 ** 30))
-            grab = lambda k: jnp.sum(jnp.where(gpos == k, two, 0.0))
-            feat[Wd] = dict(
-                wmax=wmax, wmin=wmin,
-                v_left=grab(left),
-                l_top=(k_t - left + 1).astype(F32),
-                l_bot=(k_b - left + 1).astype(F32),
-                prevmax=grab(k_t - 1), nextmax=grab(k_t + 1),
-                prevmin=grab(k_b - 1), nextmin=grab(k_b + 1),
-            )
-        v_right = jnp.sum(jnp.where(gpos == s_c, two, 0.0))
-
-        def bcast(name):
-            out = zf
-            for Wd in wgroups:
-                out = jnp.where(gmask[Wd], feat[Wd][name], out)
+    for rr in range(RB):
+        # ---- the row's precomputed features, group-selected per parmset ----
+        def fsel(f, rr=rr):
+            out = jnp.broadcast_to(feat_ref[0, 0, 0, f, rr:rr + 1, :],
+                                   (SL, 128))
+            for g in range(1, G):
+                out = jnp.where(grp_v == g,
+                                feat_ref[0, g, 0, f, rr:rr + 1, :], out)
             return out
 
-        wmax_v, wmin_v = bcast("wmax"), bcast("wmin")
-        vleft_v = bcast("v_left")
-        ltop_v, lbot_v = bcast("l_top"), bcast("l_bot")
+        wmax, wmin = fsel(0), fsel(1)
+        v_left, v_right = fsel(2), fsel(3)
+        l_top, l_bot = fsel(4), fsel(7)
+        prevmax, nextmax = fsel(5), fsel(6)
+        prevmin, nextmin = fsel(8), fsel(9)
+        # candidacy: nxt[s] == s (rows 10/11 are biased-bitcast int32)
+        enc_here = feat_ref[0, 0, 0, 11, rr:rr + 1, :]
+        nxt_here = jax.lax.bitcast_convert_type(enc_here, I32) - _BITS_BIAS
+        base = (rblk * RB + rr) * 128
+        pos1 = base + lane1                              # [1, 128] i32
+        cand1 = (nxt_here == pos1) & (pos1 < S)
+        posf = (base + lane).astype(F32)                 # [SL, 128]
 
-        # ---- admission test (decoder.c:781-810) ----
-        scale = st["vah"] / cm.PKWW_PEAKHEIGHT
-        rise = rise_v * scale / st["agc"]
-        rmin = minp_v * scale / st["agc"]
-        vis = active & live & (s > st["blind"])
-        is_top = (vis & (wmax_v > vleft_v + rise) &
-                  (wmax_v > v_right + rise) &
-                  (no_min_v | (wmax_v > rmin)))
-        is_bot = ((~is_top) & vis & (wmin_v < vleft_v - rise) &
-                  (wmin_v < v_right - rise) &
-                  (no_min_v | (wmin_v < -rmin)))
-        admit = is_top | is_bot
+        # polarity-combined rows (selected later at the admitted lane)
+        def elig(agc, vah, blind):
+            scale = vah / cm.PKWW_PEAKHEIGHT
+            rise = rise_v * scale / agc
+            rmin = minp_v * scale / agc
+            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
+                      (no_min | (wmax > rmin)))
+            is_bot = ((~is_top) & (wmin < v_left - rise) &
+                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
+            ok = cand1 & active & (posf > blind)
+            return (is_top | is_bot) & ok, is_top
 
-        # ---- refine_time (decoder.c:700-749) ----
-        L = jnp.where(is_top, ltop_v, lbot_v)
-        val = jnp.where(is_top, wmax_v, wmin_v)
-        prev = jnp.where(is_top, bcast("prevmax"), bcast("prevmin"))
-        nxt = jnp.where(is_top, bcast("nextmax"), bcast("nextmin"))
-        thr = cm.PEAK_THRESHOLD / st["agc"]
-        ref = jnp.where(is_top, val - thr, val + thr)
-        # logical (not select) combination: Mosaic can't lower selects with
-        # BOOL branches (i8->i1 truncation)
-        p_close = (is_top & (prev > ref)) | (~is_top & (prev < ref))
-        n_close = (is_top & (nxt > ref)) | (~is_top & (nxt < ref))
-        adj = jnp.where(p_close & ~n_close, F32(-0.5),
-                        jnp.where(n_close & ~p_close, F32(0.5), F32(0.0)))
-        t_peak = s.astype(F32) - ((W_v - L) - adj)
+        # row-leading eligibility -> work flag
+        e0, _t0 = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+        smem_ref[0] = jnp.sum(e0.astype(I32))
+        st_write("cnt", zf)
+        recs_ref[0, 0, rr] = rec_sent
 
-        # ---- state updates mirroring nrzi_track_scan's extra hook ----
-        v_top2 = jnp.where(is_top, wmax_v, st["v_top"])
-        v_bot2 = jnp.where(is_bot, wmin_v, st["v_bot"])
-        first = admit & (st["n_adm"] == 0)
-        max_agc2 = jnp.where(first, st["agc"], st["max_agc"])
+        def slot_body(j, carry, rr=rr):
+            @pl.when(smem_ref[0] > 0)
+            def _(rr=rr):
+                agc = st_read("agc")
+                vah = st_read("vah")
+                blind = st_read("blind")
+                e, is_top_row = elig(agc, vah, blind)
 
-        # nrzi_agc_policy (decode_nrzi.c:184-230)
-        pc = st["peakcount"] + admit.astype(I32)
-        height = v_top2 - v_bot2
-        in_base = is_top & (pc >= cm.AGC_STARTBASE) & (pc <= cm.AGC_ENDBASE)
-        past = pc > cm.AGC_ENDBASE
-        do_fin = is_top & past & (st["vah_cnt"] > 0)
-        do_agc = admit & past & (st["vah_cnt"] == 0)
+                # first eligible lane per parmset (+ broadcast back)
+                li = jnp.min(jnp.where(e, lane, 9999), axis=1, keepdims=True)
+                li = jnp.broadcast_to(li, (SL, 128))
+                adm = (li < 9999) & active
+                sel = (lane == li) & adm
 
-        # accumulate_baseline
-        vah_sum2 = jnp.where(in_base, st["vah_sum"] + height, st["vah_sum"])
-        vah_cnt2 = jnp.where(in_base, st["vah_cnt"] + 1, st["vah_cnt"])
-        ring2 = tuple(
-            jnp.where(in_base & (st["hndx"] == k), height, st["ring"][k])
-            for k in range(agc_ring))
-        hndx_acc = jnp.where(st["hndx"] + 1 >= awin_v, 0, st["hndx"] + 1)
-        hndx2 = jnp.where(in_base, hndx_acc, st["hndx"])
+                def ext(x):
+                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+                    return jnp.broadcast_to(v, (SL, 128))
 
-        # finish_baseline
-        vah_fin = st["vah_sum"] / jnp.maximum(st["vah_cnt"], 1).astype(F32)
-        vah2 = jnp.where(do_fin, vah_fin, st["vah"])
-        vah_cnt2 = jnp.where(do_fin, 0, vah_cnt2)
+                is_top = ext(jnp.where(is_top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(jnp.where(is_top_row, l_top, l_bot))
+                val = ext(jnp.where(is_top_row, wmax, wmin))
+                prev = ext(jnp.where(is_top_row, prevmax, prevmin))
+                nxt = ext(jnp.where(is_top_row, nextmax, nextmin))
+                s_f = li.astype(F32) + F32(base)         # admitted position
 
-        # adjust_agc (decoder.c:500-531)
-        lastheight = st["v_lasttop"] - st["v_lastbot"]
-        hgt_ok = lastheight > 0
-        g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
-        g_exp = jnp.minimum(aal_v * g_exp + (1 - aal_v) * st["agc"],
-                            cm.AGC_MAX_VALUE)
-        ring3 = tuple(
-            jnp.where(do_agc & use_win_v & hgt_ok & (st["hndx"] == k),
-                      lastheight, ring2[k]) for k in range(agc_ring))
-        minh = zf + cm.FLT_MAX
-        for k in range(agc_ring):
-            minh = jnp.minimum(minh, jnp.where(k < awin_v, ring3[k],
-                                               cm.FLT_MAX))
-        g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
-                            cm.AGC_MAX_VALUE)
-        agc2 = jnp.where(do_agc & use_exp_v & hgt_ok, g_exp, st["agc"])
-        agc2 = jnp.where(do_agc & use_win_v & hgt_ok, g_win, agc2)
-        hndx2 = jnp.where(do_agc & use_win_v & hgt_ok, hndx_acc, hndx2)
-        changed = do_agc & (use_exp_v | use_win_v) & hgt_ok
-        max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2, max_agc2)
-        min_agc2 = jnp.where(changed & (agc2 < st["min_agc"]), agc2,
-                             st["min_agc"])
+                # refine_peak (decoder.c:700-749)
+                thr = cm.PEAK_THRESHOLD / agc
+                ref = jnp.where(is_top, val - thr, val + thr)
+                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
+                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+                adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                                jnp.where(n_close & ~p_close, F32(0.5),
+                                          F32(0.0)))
+                t_peak = s_f - ((W_v - L) - adj)
 
-        # ---- streamed records: 32 per row, 4 lanes per record ----
-        for p in range(P):
-            adm_p = _extract(admit.astype(I32), p) > 0
+                # ---- state updates (nrzi_track_scan's extra hook) ----
+                n_adm = st_read("n_adm")
+                v_top2 = jnp.where(is_top, val, st_read("v_top"))
+                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+                first = adm & (n_adm == 0.0)
+                max_agc2 = jnp.where(first, agc, st_read("max_agc"))
 
-            @pl.when(adm_p)
-            def _(p=p):
-                n_p = _extract(st["n_adm"], p)
-                idx = jnp.minimum(n_p, K - 1)
-                row, c = idx // RECS_PER_ROW, idx % RECS_PER_ROW
-                cur = recs_ref[0, 0, p, pl.ds(row, 1), :]
-                l4 = lane - 4 * c
-                neww = jnp.where(l4 == 0, s.astype(F32),
-                        jnp.where(l4 == 1, _extract(t_peak, p),
-                         jnp.where(l4 == 2, _extract(agc2, p),
-                          jnp.where(l4 == 3,
-                                    _extract(is_top.astype(F32), p), cur))))
-                recs_ref[0, 0, p, pl.ds(row, 1), :] = neww
+                # nrzi_agc_policy (decode_nrzi.c:184-230)
+                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
+                height = v_top2 - v_bot2
+                in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
+                           (pc <= cm.AGC_ENDBASE))
+                past = pc > cm.AGC_ENDBASE
+                vah_cnt = st_read("vah_cnt")
+                do_fin = is_top & past & (vah_cnt > 0.0)
+                do_agc = adm & past & (vah_cnt == 0.0)
 
-        return dict(
-            blind=jnp.where(admit, s + L.astype(I32), st["blind"]),
-            v_top=v_top2, v_bot=v_bot2,
-            n_adm=st["n_adm"] + admit.astype(I32),
-            agc=agc2, vah=vah2, vah_sum=vah_sum2, vah_cnt=vah_cnt2,
-            hndx=hndx2, max_agc=max_agc2, min_agc=min_agc2,
-            v_lasttop=jnp.where(is_top, wmax_v, st["v_lasttop"]),
-            v_lastbot=jnp.where(is_bot, wmin_v, st["v_lastbot"]),
-            peakcount=pc, ring=ring3,
-        )
+                vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
+                                     st_read("vah_sum"))
+                vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
+                hndx = st_read("hndx")
+                hndx_acc = jnp.where(hndx + 1.0 >= awin_v.astype(F32),
+                                     F32(0.0), hndx + 1.0)
+                hndx2 = jnp.where(in_base, hndx_acc, hndx)
+                ring_rows = [st_read(k) for k in range(ring)]
+                ring2 = [jnp.where(in_base & (hndx == k), height, ring_rows[k])
+                         for k in range(ring)]
 
-    def body(i, _):
-        pack(compute(i, unpack()))
-        return 0
+                vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
+                vah2 = jnp.where(do_fin, vah_fin, vah)
+                vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
 
-    jax.lax.fori_loop(0, jnp.minimum(ncand, Ccap), body, 0)
-    fin = unpack()
+                # adjust_agc (decoder.c:500-531)
+                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+                hgt_ok = lastheight > 0.0
+                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
+                g_exp = jnp.minimum(aal_v * g_exp + (1 - aal_v) * agc,
+                                    cm.AGC_MAX_VALUE)
+                ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
+                                   lastheight, ring2[k]) for k in range(ring)]
+                minh = zf + cm.FLT_MAX
+                for k in range(ring):
+                    minh = jnp.minimum(
+                        minh, jnp.where(k < awin_v, ring3[k], cm.FLT_MAX))
+                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
+                                    cm.AGC_MAX_VALUE)
+                agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
+                agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
+                hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc, hndx2)
+                changed = do_agc & (use_exp | use_win) & hgt_ok
+                max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2,
+                                     max_agc2)
+                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                     agc2, st_read("min_agc"))
 
-    scal_ref[0, 0, 0, :] = fin["n_adm"].astype(F32)[0]
-    scal_ref[0, 0, 1, :] = fin["max_agc"][0]
-    scal_ref[0, 0, 2, :] = fin["min_agc"][0]
-    scal_ref[0, 0, 3, :] = fin["agc"][0]
-    scal_ref[0, 0, 4, :] = fin["vah"][0]
-    scal_ref[0, 0, 5, :] = fin["peakcount"].astype(F32)[0]
+                # ---- record write: lanes 4c..4c+3 = s, t_peak, agc', top ----
+                cnt = st_read("cnt")
+                c4 = cnt * 4.0
+                lf = lane.astype(F32)
+                in_slot = adm & (lf >= c4) & (lf < c4 + 4.0) & (cnt < A_MAX)
+                fld = lane % 4
+                newrec = jnp.where(fld == 0, s_f,
+                          jnp.where(fld == 1, t_peak,
+                           jnp.where(fld == 2, agc2,
+                                     jnp.where(is_top, F32(1.0), F32(0.0)))))
+                cur = recs_ref[0, 0, rr]
+                recs_ref[0, 0, rr] = jnp.where(in_slot, newrec, cur)
+
+                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+                st_write("blind", blind2)
+                st_write("v_top", v_top2)
+                st_write("v_bot", v_bot2)
+                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
+                st_write("agc", agc2)
+                st_write("vah", vah2)
+                st_write("vah_sum", vah_sum2)
+                st_write("vah_cnt", vah_cnt2)
+                st_write("hndx", hndx2)
+                st_write("max_agc", max_agc2)
+                st_write("min_agc", min_agc2)
+                st_write("v_lasttop", jnp.where(is_top, val,
+                                                st_read("v_lasttop")))
+                st_write("v_lastbot", jnp.where(is_bot, val,
+                                                st_read("v_lastbot")))
+                st_write("peakcount", pc)
+                st_write("cnt", cnt + jnp.where(adm, 1.0, 0.0))
+                for k in range(ring):
+                    st_write(k, ring3[k])
+
+                # remaining eligibility under the new state; slot overflow
+                e2, _ = elig(agc2, vah2, blind2)
+                nleft = jnp.sum(e2.astype(F32), axis=1, keepdims=True)
+                ovf = (jnp.broadcast_to(nleft, (SL, 128)) > 0.0) & \
+                    (cnt + 1.0 >= A_MAX)
+                st_write("overflow",
+                         jnp.where(ovf, zf + 1.0, st_read("overflow")))
+                smem_ref[0] = jnp.sum(e2.astype(I32))
+
+            return carry
+
+        jax.lax.fori_loop(0, A_MAX, slot_body, 0)
+
+    # ---- final scalars at the last row block ----
+    @pl.when(rblk == n_rblks - 1)
+    def _():
+        scal_ref[0, 0, 0] = st_read("n_adm")
+        scal_ref[0, 0, 1] = st_read("max_agc")
+        scal_ref[0, 0, 2] = st_read("min_agc")
+        ov = st_read("overflow") + jnp.where(st_read("n_adm") > K, 1.0, 0.0)
+        scal_ref[0, 0, 3] = ov
+
+
+def _kernel_tracks(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
+                   P, T, SL, S, W, rises, minps, aalphas, awindows,
+                   A_MAX, K, ring):
+    """Variant with SUBLANE = TRACK (one instance scans a whole segment
+    for one parmset; grid = (B*P, row blocks)). Requires every parmset to
+    share one window width (G == 1): the feature rows are then common to
+    all parmsets and each instance selects its scalar knobs by parmset id.
+    ~T x better VPU occupancy than the sublane=parmset variant when P is
+    small -- which is the staged retry's dominant phase (P=1)."""
+    n_rblks = pl.num_programs(1)
+    rblk = pl.program_id(1)
+    p_id = pl.program_id(0) % P
+    sub = jax.lax.broadcasted_iota(I32, (SL, 128), 0)
+    lane = jax.lax.broadcasted_iota(I32, (SL, 128), 1)
+    lane1 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+    active = sub < T
+    zf = (sub * 0).astype(F32)
+
+    # knob constants as [SL, 128] vectors (not scalars): scalar-constant
+    # arithmetic fuses differently (FMA association) and diverges from the
+    # XLA scan by 1 ULP in the AGC update, which can cascade into
+    # admission decisions on marginal peaks
+    def kf(vals):
+        out = (sub * 0).astype(F32) + jnp.float32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p,
+                            (sub * 0).astype(F32) + jnp.float32(vals[p]),
+                            out)
+        return out
+
+    def ki(vals):
+        out = sub * 0 + jnp.int32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, sub * 0 + jnp.int32(vals[p]), out)
+        return out
+
+    rise_p = kf(rises)
+    minp_p = kf(minps)
+    aal_p = kf(aalphas)
+    awin_p = ki(awindows)
+    no_min = minp_p == 0.0
+    use_exp = aal_p > 0.0
+    use_win = awin_p > 0
+    W_f = jnp.float32(W)
+
+    NF = len(F_FIELDS) + ring
+    FIDX = {k: n for n, k in enumerate(F_FIELDS)}
+
+    def st_read(k):
+        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
+        return st_ref[n * SL:(n + 1) * SL, :]
+
+    def st_write(k, val):
+        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
+        st_ref[n * SL:(n + 1) * SL, :] = val
+
+    rec_sent = jnp.where(lane % 4 == 0, REC_SENT, F32(0.0))
+
+    @pl.when(rblk == 0)
+    def _():
+        st_write("blind", zf - 1.0)
+        st_write("v_top", zf)
+        st_write("v_bot", zf)
+        st_write("n_adm", zf)
+        st_write("agc", zf + 1.0)
+        st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
+        st_write("vah_sum", zf)
+        st_write("vah_cnt", zf)
+        st_write("hndx", zf)
+        st_write("max_agc", zf)
+        st_write("min_agc", zf + cm.FLT_MAX)
+        st_write("v_lasttop", zf)
+        st_write("v_lastbot", zf)
+        st_write("peakcount", zf)
+        st_write("overflow", zf)
+        for k in range(ring):
+            st_write(k, zf)
+
+    for rr in range(RB):
+        # feature rows cover ALL tracks at once (sublane-major reads)
+        wmax = feat_ref[0, 0, :, 0, rr, :]
+        wmin = feat_ref[0, 0, :, 1, rr, :]
+        v_left = feat_ref[0, 0, :, 2, rr, :]
+        v_right = feat_ref[0, 0, :, 3, rr, :]
+        l_top = feat_ref[0, 0, :, 4, rr, :]
+        prevmax = feat_ref[0, 0, :, 5, rr, :]
+        nextmax = feat_ref[0, 0, :, 6, rr, :]
+        l_bot = feat_ref[0, 0, :, 7, rr, :]
+        prevmin = feat_ref[0, 0, :, 8, rr, :]
+        nextmin = feat_ref[0, 0, :, 9, rr, :]
+        enc_here = feat_ref[0, 0, :, 11, rr, :]
+        nxt_here = jax.lax.bitcast_convert_type(enc_here, I32) - _BITS_BIAS
+        base = (rblk * RB + rr) * 128
+        pos = base + lane                                # [SL, 128]
+        cand = (nxt_here == pos) & (pos < S) & active
+        posf = pos.astype(F32)
+
+        def elig(agc, vah, blind):
+            scale = vah / cm.PKWW_PEAKHEIGHT
+            rise = rise_p * scale / agc
+            rmin = minp_p * scale / agc
+            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
+                      (no_min | (wmax > rmin)))
+            is_bot = ((~is_top) & (wmin < v_left - rise) &
+                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
+            return (is_top | is_bot) & cand & (posf > blind), is_top
+
+        e0, _t0 = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+        smem_ref[0] = jnp.sum(e0.astype(I32))
+        st_write("cnt", zf)
+        recs_ref[0, 0, rr] = rec_sent
+
+        def slot_body(j, carry, rr=rr):
+            @pl.when(smem_ref[0] > 0)
+            def _(rr=rr):
+                agc = st_read("agc")
+                vah = st_read("vah")
+                blind = st_read("blind")
+                e, is_top_row = elig(agc, vah, blind)
+
+                li = jnp.min(jnp.where(e, lane, 9999), axis=1, keepdims=True)
+                li = jnp.broadcast_to(li, (SL, 128))
+                adm = (li < 9999) & active
+                sel = (lane == li) & adm
+
+                def ext(x):
+                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                keepdims=True)
+                    return jnp.broadcast_to(v, (SL, 128))
+
+                is_top = ext(jnp.where(is_top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(jnp.where(is_top_row, l_top, l_bot))
+                val = ext(jnp.where(is_top_row, wmax, wmin))
+                prev = ext(jnp.where(is_top_row, prevmax, prevmin))
+                nxt = ext(jnp.where(is_top_row, nextmax, nextmin))
+                s_f = li.astype(F32) + F32(base)
+
+                thr = cm.PEAK_THRESHOLD / agc
+                ref = jnp.where(is_top, val - thr, val + thr)
+                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
+                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+                adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                                jnp.where(n_close & ~p_close, F32(0.5),
+                                          F32(0.0)))
+                t_peak = s_f - ((W_f - L) - adj)
+
+                n_adm = st_read("n_adm")
+                v_top2 = jnp.where(is_top, val, st_read("v_top"))
+                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+                first = adm & (n_adm == 0.0)
+                max_agc2 = jnp.where(first, agc, st_read("max_agc"))
+
+                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
+                height = v_top2 - v_bot2
+                in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
+                           (pc <= cm.AGC_ENDBASE))
+                past = pc > cm.AGC_ENDBASE
+                vah_cnt = st_read("vah_cnt")
+                do_fin = is_top & past & (vah_cnt > 0.0)
+                do_agc = adm & past & (vah_cnt == 0.0)
+
+                vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
+                                     st_read("vah_sum"))
+                vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
+                hndx = st_read("hndx")
+                hndx_acc = jnp.where(hndx + 1.0 >= awin_p.astype(F32),
+                                     F32(0.0), hndx + 1.0)
+                hndx2 = jnp.where(in_base, hndx_acc, hndx)
+                ring_rows = [st_read(k) for k in range(ring)]
+                ring2 = [jnp.where(in_base & (hndx == k), height,
+                                   ring_rows[k]) for k in range(ring)]
+
+                vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
+                vah2 = jnp.where(do_fin, vah_fin, vah)
+                vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
+
+                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+                hgt_ok = lastheight > 0.0
+                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
+                g_exp = jnp.minimum(aal_p * g_exp + (1 - aal_p) * agc,
+                                    cm.AGC_MAX_VALUE)
+                ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
+                                   lastheight, ring2[k])
+                         for k in range(ring)]
+                minh = zf + cm.FLT_MAX
+                for k in range(ring):
+                    minh = jnp.minimum(
+                        minh, jnp.where(k < awin_p, ring3[k], cm.FLT_MAX))
+                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
+                                    cm.AGC_MAX_VALUE)
+                agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
+                agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
+                hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc, hndx2)
+                changed = do_agc & (use_exp | use_win) & hgt_ok
+                max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2,
+                                     max_agc2)
+                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                     agc2, st_read("min_agc"))
+
+                cnt = st_read("cnt")
+                c4 = cnt * 4.0
+                lf = lane.astype(F32)
+                in_slot = adm & (lf >= c4) & (lf < c4 + 4.0) & (cnt < A_MAX)
+                fld = lane % 4
+                newrec = jnp.where(fld == 0, s_f,
+                          jnp.where(fld == 1, t_peak,
+                           jnp.where(fld == 2, agc2,
+                                     jnp.where(is_top, F32(1.0),
+                                               F32(0.0)))))
+                cur = recs_ref[0, 0, rr]
+                recs_ref[0, 0, rr] = jnp.where(in_slot, newrec, cur)
+
+                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+                st_write("blind", blind2)
+                st_write("v_top", v_top2)
+                st_write("v_bot", v_bot2)
+                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
+                st_write("agc", agc2)
+                st_write("vah", vah2)
+                st_write("vah_sum", vah_sum2)
+                st_write("vah_cnt", vah_cnt2)
+                st_write("hndx", hndx2)
+                st_write("max_agc", max_agc2)
+                st_write("min_agc", min_agc2)
+                st_write("v_lasttop", jnp.where(is_top, val,
+                                                st_read("v_lasttop")))
+                st_write("v_lastbot", jnp.where(is_bot, val,
+                                                st_read("v_lastbot")))
+                st_write("peakcount", pc)
+                st_write("cnt", cnt + jnp.where(adm, 1.0, 0.0))
+                for k in range(ring):
+                    st_write(k, ring3[k])
+
+                e2, _ = elig(agc2, vah2, blind2)
+                nleft = jnp.sum(e2.astype(F32), axis=1, keepdims=True)
+                ovf = (jnp.broadcast_to(nleft, (SL, 128)) > 0.0) & \
+                    (cnt + 1.0 >= A_MAX)
+                st_write("overflow",
+                         jnp.where(ovf, zf + 1.0, st_read("overflow")))
+                smem_ref[0] = jnp.sum(e2.astype(I32))
+
+            return carry
+
+        jax.lax.fori_loop(0, A_MAX, slot_body, 0)
+
+    @pl.when(rblk == n_rblks - 1)
+    def _():
+        scal_ref[0, 0, 0] = st_read("n_adm")
+        scal_ref[0, 0, 1] = st_read("max_agc")
+        scal_ref[0, 0, 2] = st_read("min_agc")
+        ov = st_read("overflow") + jnp.where(st_read("n_adm") > K, 1.0, 0.0)
+        scal_ref[0, 0, 3] = ov
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "Ccap", "K", "Ws", "rises", "minps", "aalphas", "awindows",
-    "agc_ring", "interpret"))
-def nrzi_track_scan_pallas(v, cand, ncand, *, S: int, Ccap: int, K: int,
-                           Ws: tuple, rises: tuple, minps: tuple,
-                           aalphas: tuple, awindows: tuple,
-                           agc_ring: int = 0,
-                           interpret: bool = False):
-    """v: [B, T, S] f32 volts; cand: [B, T, Ccap] i32 ascending union
-    candidate positions (S-padded); ncand: [B, T] i32 true counts.
-    Returns the nrzi_track_scan finals contract, axes [B, P, T, ...]."""
-    B, T, _ = v.shape
+    "S", "K", "Ws", "rises", "minps", "aalphas", "awindows", "groups",
+    "interpret"))
+def nrzi_track_scan_pallas_tracks(feat, *, S: int, K: int, Ws: tuple,
+                                  rises: tuple, minps: tuple,
+                                  aalphas: tuple, awindows: tuple,
+                                  groups: tuple = None,
+                                  interpret: bool = False):
+    """Track-sublane variant: feat [B, 1, T, 12, S] (single shared window
+    width), grid (B*P, rowblocks). Returns the same contract as
+    nrzi_track_scan_pallas, axes [B, P, T, ...]."""
+    B, G, T, NR, S_ = feat.shape
+    assert G == 1 and NR == 12 and S_ == S and S % (128 * RB) == 0
     P = len(Ws)
-    assert S % 128 == 0 and Ccap % 128 == 0
+    W = Ws[0]
+    assert all(w == W for w in Ws)
+    SL = 16
+    assert T <= SL
     R = S // 128
-    KR = -(-K // RECS_PER_ROW)
-    if agc_ring <= 0:
-        # ring entries past the largest active agc_window are never read
-        agc_ring = max(1, max(awindows))
+    n_rblks = R // RB
+    A_MAX = min(32, 128 // (W + 1) + 2)
+    if 128 // (W + 1) + 1 > 32:
+        raise ValueError("window too narrow for the 32-slot row record")
+    ring = max(1, max(awindows))
+
+    # pad the track axis to the full sublane tile so kernel reads are
+    # [SL, 128]; padded tracks have zero features -> never candidates
+    featp = jnp.pad(feat, ((0, 0), (0, 0), (0, SL - T), (0, 0), (0, 0)))
 
     kern = functools.partial(
-        _kernel, S=S, R=R, Ccap=Ccap, K=K, P=P, Ws=Ws, rises=rises,
-        minps=minps, aalphas=aalphas, awindows=awindows, agc_ring=agc_ring)
-    cand2 = jnp.concatenate(
-        [cand.reshape(B, T, Ccap // 128, 128),
-         jnp.broadcast_to(
-             jnp.where(jnp.arange(128) == 0, 1, 0)[None, None, None, :] *
-             ncand[:, :, None, None], (B, T, 1, 128)).astype(I32)],
-        axis=2)
+        _kernel_tracks, P=P, T=T, SL=SL, S=S, W=W, rises=rises,
+        minps=minps, aalphas=aalphas, awindows=awindows, A_MAX=A_MAX,
+        K=K, ring=ring)
+    NF = len(F_FIELDS) + ring
     recs, scal = pl.pallas_call(
         kern,
-        grid=(B * T,),
+        grid=(B * P, n_rblks),
         in_specs=[
-            pl.BlockSpec((1, 1, R, 128), lambda i: (i // T, i % T, 0, 0)),
-            pl.BlockSpec((1, 1, Ccap // 128 + 1, 128),
-                         lambda i: (i // T, i % T, 0, 0)),
+            pl.BlockSpec((1, 1, SL, 12, RB, 128),
+                         lambda i, r, P=P: (i // P, 0, 0, 0, r, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, P, KR, 128),
-                         lambda i: (i // T, i % T, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 8, 128), lambda i: (i // T, i % T, 0, 0)),
+            pl.BlockSpec((1, 1, RB, SL, 128),
+                         lambda i, r, P=P: (i // P, i % P, r, 0, 0)),
+            pl.BlockSpec((1, 1, 4, SL, 128),
+                         lambda i, r, P=P: (i // P, i % P, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, P, KR, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, R, SL, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 4, SL, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((len(F_FIELDS) + agc_ring, 128), jnp.float32),
-            pltpu.VMEM((len(I_FIELDS), 128), jnp.int32),
+            pltpu.VMEM((NF * SL, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(v.reshape(B, T, R, 128), cand2)
+    )(featp.reshape(B, 1, SL, 12, R, 128))
 
-    # unpack records -> [B, P, T, K] transition buffers
-    r4 = recs.reshape(B, T, P, KR, RECS_PER_ROW, 4)[..., :, :, :]
-    r4 = r4.reshape(B, T, P, KR * RECS_PER_ROW, 4)[:, :, :, :K, :]
-    r4 = r4.transpose(0, 2, 1, 3, 4)                  # [B, P, T, K, 4]
-    n_adm = scal[:, :, 0, :P].astype(I32).transpose(0, 2, 1)  # [B, P, T]
-    rank = jnp.arange(K, dtype=I32)
-    keep = rank[None, None, None, :] < n_adm[..., None]
+    # recs[b, p, r, t, 4c + f] -> [B, P, T, K]
+    r4 = recs.reshape(B, P, R, SL, 32, 4)[:, :, :, :T]      # [B,P,R,T,32,4]
+    r4 = r4.transpose(0, 1, 3, 2, 4, 5).reshape(B, P, T, R * 32, 4)
+    written = r4[..., 0] >= 0.0
+    rank = jnp.cumsum(written.astype(I32), axis=-1) - 1
+    idx = jnp.where(written & (rank < K), rank, K)
+    buf = jnp.zeros((B, P, T, K + 1, 4), F32)
+    bi = jnp.arange(B)[:, None, None, None]
+    pi = jnp.arange(P)[None, :, None, None]
+    ti = jnp.arange(T)[None, None, :, None]
+    packed = buf.at[bi, pi, ti, idx].set(r4, mode="drop")[..., :K, :]
+
+    n_adm = scal[:, :, 0, :T, 0].astype(I32)                 # [B, P, T]
+    keep = jnp.arange(K)[None, None, None, :] < n_adm[..., None]
     return dict(
-        tr_s=jnp.where(keep, r4[..., 0].astype(I32), jnp.int32(2 ** 30)),
-        tr_t=jnp.where(keep, r4[..., 1], 0.0),
-        tr_agc=jnp.where(keep, r4[..., 2], 1.0),
-        tr_top=keep & (r4[..., 3] > 0.5),
+        tr_s=jnp.where(keep, packed[..., 0].astype(I32), jnp.int32(2 ** 30)),
+        tr_t=jnp.where(keep, packed[..., 1], 0.0),
+        tr_agc=jnp.where(keep, packed[..., 2], 1.0),
+        tr_top=keep & (packed[..., 3] > 0.5),
         n_admitted=n_adm,
-        max_agc_gain=scal[:, :, 1, :P].transpose(0, 2, 1),
-        min_agc_gain=scal[:, :, 2, :P].transpose(0, 2, 1),
-        incomplete=jnp.broadcast_to(
-            (ncand > Ccap)[:, None, :], (B, P, T)),
+        max_agc_gain=scal[:, :, 1, :T, 0],
+        min_agc_gain=scal[:, :, 2, :T, 0],
+        incomplete=scal[:, :, 3, :T, 0] > 0.0,
     )
 
 
-def union_candidates(loose_mask: jnp.ndarray, Ccap: int):
-    """[T, S] bool union candidate mask -> (positions [T, Ccap] ascending,
-    S-padded; counts [T])."""
-    T, S = loose_mask.shape
-    idxs = jnp.broadcast_to(jnp.arange(S, dtype=I32), (T, S))
-    rank = jnp.cumsum(loose_mask, axis=1) - 1
-    scat = jnp.where(loose_mask, jnp.minimum(rank, Ccap - 1), Ccap)
-    out = jnp.full((T, Ccap + 1), S, I32)
-    out = jax.vmap(lambda o, st, v_: o.at[st].set(v_, mode="drop"))(
-        out, scat, idxs)
-    return out[:, :Ccap], jnp.sum(loose_mask, axis=1)
+@functools.partial(jax.jit, static_argnames=(
+    "S", "K", "Ws", "rises", "minps", "aalphas", "awindows", "groups",
+    "interpret"))
+def nrzi_track_scan_pallas(feat, *, S: int, K: int, Ws: tuple, rises: tuple,
+                           minps: tuple, aalphas: tuple, awindows: tuple,
+                           groups: tuple, interpret: bool = False):
+    """feat: [B, G, T, 12, S] f32 — per distinct window width g, the
+    12-row precomputed feature pack (trackscan.precompute_window_features
+    with the masked jump table; rows 10/11 biased-bitcast int32). groups:
+    per-parmset index into the G axis. Returns the nrzi_track_scan finals
+    contract with axes [B, P, T, ...]."""
+    B, G, T, NR, S_ = feat.shape
+    assert NR == 12 and S_ == S and S % (128 * RB) == 0
+    P = len(Ws)
+    SL = 8 if P <= 8 else 16
+    assert P <= SL
+    R = S // 128
+    n_rblks = R // RB
+    A_MAX = min(32, 128 // (min(Ws) + 1) + 2)
+    if 128 // (min(Ws) + 1) + 1 > 32:
+        raise ValueError("window too narrow for the 32-slot row record")
+    ring = max(1, max(awindows))
+
+    kern = functools.partial(
+        _kernel, G=G, P=P, SL=SL, S=S, Ws=Ws, rises=rises, minps=minps,
+        aalphas=aalphas, awindows=awindows, groups=groups, A_MAX=A_MAX,
+        K=K, ring=ring)
+    NF = len(F_FIELDS) + ring
+    recs, scal = pl.pallas_call(
+        kern,
+        grid=(B * T, n_rblks),
+        in_specs=[
+            pl.BlockSpec((1, G, 1, 12, RB, 128),
+                         lambda i, r: (i // T, 0, i % T, 0, r, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, RB, SL, 128),
+                         lambda i, r: (i // T, i % T, r, 0, 0)),
+            pl.BlockSpec((1, 1, 4, SL, 128),
+                         lambda i, r: (i // T, i % T, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, R, SL, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, 4, SL, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NF * SL, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(feat.reshape(B, G, T, 12, R, 128))
+
+    # ---- unpack: per-row record slots -> [B, P, T, K] transition buffers ----
+    # recs[b, t, r, p, 4c + f]: record c of row r for parmset p
+    r4 = recs.reshape(B, T, R, SL, 32, 4)[:, :, :, :P]       # [B,T,R,P,32,4]
+    r4 = r4.transpose(0, 3, 1, 2, 4, 5).reshape(B, P, T, R * 32, 4)
+    written = r4[..., 0] >= 0.0                               # s-field valid
+    # records are in scan order; compact to the first-K dense prefix
+    # (overflow records beyond K are dropped -- flagged via `incomplete`;
+    # the XLA path instead overwrites the last slot, an only-on-overflow
+    # difference)
+    rank = jnp.cumsum(written.astype(I32), axis=-1) - 1
+    idx = jnp.where(written & (rank < K), rank, K)
+    buf = jnp.zeros((B, P, T, K + 1, 4), F32)
+    bi = jnp.arange(B)[:, None, None, None]
+    pi = jnp.arange(P)[None, :, None, None]
+    ti = jnp.arange(T)[None, None, :, None]
+    packed = buf.at[bi, pi, ti, idx].set(r4, mode="drop")[..., :K, :]
+
+    n_adm = scal[:, :, 0, :P, 0].astype(I32).transpose(0, 2, 1)   # [B, P, T]
+    keep = jnp.arange(K)[None, None, None, :] < n_adm[..., None]
+    return dict(
+        tr_s=jnp.where(keep, packed[..., 0].astype(I32), jnp.int32(2 ** 30)),
+        tr_t=jnp.where(keep, packed[..., 1], 0.0),
+        tr_agc=jnp.where(keep, packed[..., 2], 1.0),
+        tr_top=keep & (packed[..., 3] > 0.5),
+        n_admitted=n_adm,
+        max_agc_gain=scal[:, :, 1, :P, 0].transpose(0, 2, 1),
+        min_agc_gain=scal[:, :, 2, :P, 0].transpose(0, 2, 1),
+        incomplete=scal[:, :, 3, :P, 0].transpose(0, 2, 1) > 0.0,
+    )

@@ -53,6 +53,20 @@ DIFFERENTIATE_THRESHOLD = 0.05
 DIFFERENTIATE_SCALE = 0.4
 
 
+def _pallas_enabled() -> bool:
+    """The Mosaic admission kernel is the default on TPU backends;
+    READTAPE_PALLAS=0/1 overrides. CPU (tests, virtual mesh) uses the XLA
+    scans -- pallas interpret mode is far slower there."""
+    env = os.environ.get("READTAPE_PALLAS")
+    if env is not None:
+        return env == "1"
+    try:
+        import jax
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @dataclass
 class DecodeOptions:
     mode: int = tb.MODE_NRZI
@@ -199,7 +213,14 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
             ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
             expected_parity, do_correct, maxb, max_slots,
             stat_leftbin, stat_binwidth, clk_ring=clk_ring)
-        return nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
+        r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
+        # multi-block support: where the block ended and how many admitted
+        # transitions remain unconsumed past it (a sub-min_gap gap means
+        # another block lives in this segment; the host re-dispatches the
+        # remainder, mirroring readtape.c:1720-1882's per-block loop)
+        r["end_s"] = st["end_s"]
+        r["unconsumed"] = jnp.sum(jnp.maximum(cnt1 - st["kvis"], 0))
+        return r
 
     res = jax.vmap(global_lane)(
         finals["tr_s"], finals["tr_t"], finals["tr_agc"],
@@ -311,13 +332,78 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
     return res
 
 
+def _nrzi_segment_pallas_finals(v, nxt, knobs, *, S, T, K, Ws):
+    """Per-segment front end for the Pallas admission kernel: stack the
+    per-distinct-width feature packs. Returns [G, T, 12, S]."""
+    wset = sorted(set(Ws))
+    return jnp.stack(
+        [trackscan.precompute_window_features(v, Wd, nxt) for Wd in wset])
+
+
+def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
+                       skew_delay, pa: ParmArrays, spb, expected_parity,
+                       revparity, rise_floor, min_floor,
+                       stat_leftbin, stat_binwidth, *,
+                       S, T, P, nsteps, K, maxb, max_slots, Ws, knobs,
+                       do_correct, differentiate, spb_int,
+                       clk_ring, agc_ring):
+    """Pallas-kernel variant of one NRZI segment-batch group: the
+    admission scans for ALL (segment, track, parmset) lanes run as ONE
+    Mosaic kernel (pallas_scan.nrzi_track_scan_pallas) instead of B*T*P
+    XLA jump scans; the slot scans and finish are unchanged."""
+    from .pallas_scan import (nrzi_track_scan_pallas,
+                              nrzi_track_scan_pallas_tracks)
+
+    def prep(o, ln, ld):
+        v_i16 = jax.lax.dynamic_slice(tape, (0, o), (T, S))
+        v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
+                        S=S, T=T, differentiate=differentiate,
+                        spb_int=spb_int)
+        nxt = _mask_jump_table(
+            _union_jump_table(v, Ws, rise_floor, min_floor), ln, ld, S)
+        return _nrzi_segment_pallas_finals(v, nxt, knobs, S=S, T=T, K=K,
+                                           Ws=Ws)
+
+    feat = jax.vmap(prep)(off, seg_lens, leads)       # [B, G, T, 12, S]
+    wset = sorted(set(Ws))
+    rises, minps, aalphas, awindows = zip(*knobs)
+    # one shared window width -> the track-sublane variant (full VPU
+    # occupancy per instance); mixed widths -> the parmset-sublane variant
+    kernel = (nrzi_track_scan_pallas_tracks if len(wset) == 1
+              else nrzi_track_scan_pallas)
+    finals = kernel(
+        feat, S=S, K=K, Ws=Ws, rises=rises, minps=minps, aalphas=aalphas,
+        awindows=awindows, groups=tuple(wset.index(w) for w in Ws))
+
+    def seg_lane(f):          # per segment: [P, T, ...] finals
+        def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
+            st = nrzi_mod.nrzi_slot_scan(
+                ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
+                expected_parity, do_correct, maxb, max_slots,
+                stat_leftbin, stat_binwidth, clk_ring=clk_ring)
+            r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
+                                     maxb)
+            r["end_s"] = st["end_s"]
+            r["unconsumed"] = jnp.sum(jnp.maximum(cnt1 - st["kvis"], 0))
+            return r
+        res = jax.vmap(global_lane)(
+            f["tr_s"], f["tr_t"], f["tr_agc"], f["n_admitted"],
+            pa.clk_window, pa.clk_alpha, pa.pulse_adj, pa.midbit)
+        res["alltrk_max_agc"] = jnp.max(f["max_agc_gain"], axis=1)
+        res["alltrk_min_agc"] = jnp.min(f["min_agc_gain"], axis=1)
+        res["event_overflow"] = jnp.any(f["incomplete"])
+        return res
+
+    return jax.vmap(seg_lane)(finals)
+
+
 from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 do_correct, do_correct2, find_zeros, differentiate, spb_int,
-                clk_ring, agc_ring):
+                clk_ring, agc_ring, pallas_knobs=None):
     """Cached jitted segment-batch decoder for one static configuration.
 
     The returned function takes (tape [T, N] int16, offsets [B] int32,
@@ -364,11 +450,19 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 bkeys.append(k)
         return ikeys, fkeys, bkeys
 
-    def _group(tape, off, lens, leads, *args):
-        v = jax.vmap(lambda o: jax.lax.dynamic_slice(
-            tape, (0, o), (T, S)))(off)
-        return jax.vmap(base, in_axes=(0, 0, 0) + (None,) * n_in)(
-            v, lens, leads, *args)
+    if mode == tb.MODE_NRZI and pallas_knobs is not None:
+        _group = partial(_nrzi_group_pallas,
+                         S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
+                         max_slots=max_slots, Ws=Ws, knobs=pallas_knobs,
+                         do_correct=do_correct, differentiate=differentiate,
+                         spb_int=spb_int, clk_ring=clk_ring,
+                         agc_ring=agc_ring)
+    else:
+        def _group(tape, off, lens, leads, *args):
+            v = jax.vmap(lambda o: jax.lax.dynamic_slice(
+                tape, (0, o), (T, S)))(off)
+            return jax.vmap(base, in_axes=(0, 0, 0) + (None,) * n_in)(
+                v, lens, leads, *args)
 
     def run(tape, offsets, seg_lens, leads, *args):
         """offsets, seg_lens: [nb, B]. The nb sub-batches run inside ONE
@@ -617,10 +711,22 @@ class TapeDecoder:
         # carried ring sizes shrink to the largest ACTIVE parmset's windows
         clk_ring = max(max(p.clk_window for p in active), 1)
         agc_ring = max(max(p.agc_window for p in active), 1)
+        # Pallas admission kernel (NRZI): one Mosaic kernel replaces the
+        # B*T*P XLA jump scans. Requires row-aligned buckets and a wide
+        # enough window for the 32-slot per-row record format; parmset
+        # knobs become compile-time constants of the kernel.
+        pallas_knobs = None
+        if (opts.mode == tb.MODE_NRZI and _pallas_enabled()
+                and S % 1024 == 0 and nparms <= 16
+                and 128 // (min(Ws) + 1) + 1 <= 32):
+            pallas_knobs = tuple(
+                (float(p.pkww_rise), float(p.min_peak),
+                 float(p.agc_alpha), int(p.agc_window)) for p in active)
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.do_correct2,
                          opts.find_zeros,
-                         opts.differentiate, spb_int, clk_ring, agc_ring)
+                         opts.differentiate, spb_int, clk_ring, agc_ring,
+                         pallas_knobs=pallas_knobs)
         args = [tape, offsets, seg_lens, leads, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
@@ -894,7 +1000,10 @@ def _decode_tape_ww(samples, opts, log):
                  skew=np.asarray(skew).tolist(),
                  peak_hist=res_host["hist"].astype(np.int64),
                  peak_trksums=res_host["trksums"].astype(np.int64),
-                 peak_bins=(lb, bw))
+                 peak_bins=(lb, bw),
+                 num_flux_changes=int(res_host["num_flux_changes"]),
+                 flux_dir_final=("pos" if int(res_host["flux"]) ==
+                                 ww_mod.FLUX_POS else "neg"))
     for rb in raw:
         if stats["nblocks"] >= opts.blklimit:
             break
@@ -946,7 +1055,8 @@ def _decode_tape_nrzi_like(samples, opts, log):
     buckets = [seg.bucket_length(b - max(a - SEG_WARMUP, 0))
                for a, b in segs]
     maxbkt = max(buckets)
-    if opts.mode == tb.MODE_NRZI and maxbkt <= 65536:
+    unified = opts.mode == tb.MODE_NRZI and maxbkt <= 65536
+    if unified:
         buckets = [maxbkt] * len(buckets)
     # batches cap at 8 segments by default: larger batched while-loops
     # miscompile on some TPU runtime/compiler stacks (lane corruption
@@ -999,7 +1109,6 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # best-picked over the tried prefix. On clean tapes this is ~P x less
     # device work than decoding every parmset everywhere.
     results = [None] * len(segs)
-    collect(dispatch(range(len(segs)), 1), results)
 
     def stopper(res):
         bt = int(res["blktype"][0])
@@ -1009,12 +1118,54 @@ def _decode_tape_nrzi_like(samples, opts, log):
                 or perfect
                 or (opts.mode == tb.MODE_PE and int(res["minbits"][0]) == 0))
 
-    if opts.multiple_tries and dec.P > 1:
-        retry = [i for i in range(len(segs)) if not stopper(results[i])]
-        collect(dispatch(retry, dec.P), results)
+    def decode_indices(idxs):
+        collect(dispatch(idxs, 1), results)
+        if opts.multiple_tries and dec.P > 1:
+            retry = [i for i in idxs if not stopper(results[i])]
+            collect(dispatch(retry, dec.P), results)
+
+    order = list(range(len(segs)))
+    decode_indices(order[:])
+
+    # Multi-block segments (NRZI): the slot scan self-terminates at the
+    # block's postamble idle; if admitted transitions remain past that
+    # point, the segment holds ANOTHER block behind a sub-min_gap gap.
+    # Re-dispatch the remainder as a fresh segment starting after the
+    # reference's interblock blanking (decode_nrzi.c:112), exactly the
+    # per-block re-entry of readtape.c:1720-1882.
+    if opts.mode == tb.MODE_NRZI:
+        ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
+        frontier = order[:]
+        for _round in range(16):
+            spawned = []
+            for i in frontier:
+                a, b = segs[i]
+                res = results[i]
+                if "unconsumed" not in res:
+                    continue
+                p, _ = pick_best(res, len(res["blktype"]),
+                                 opts.multiple_tries, opts.mode)
+                if int(res["unconsumed"][p]) <= 0:
+                    continue
+                a0 = max(a - SEG_WARMUP, 0)
+                a_rem = a0 + int(res["end_s"][p]) + ibg_blank
+                if a_rem <= a or a_rem >= b - 4:
+                    continue
+                j = len(segs)
+                segs.append((a_rem, b))
+                bkt = seg.bucket_length(b - max(a_rem - SEG_WARMUP, 0))
+                buckets.append(maxbkt if unified else bkt)
+                results.append(None)
+                order.insert(order.index(i) + 1, j)
+                spawned.append(j)
+            if not spawned:
+                break
+            decode_indices(spawned)
+            frontier = spawned
 
     blocks = []
-    for i, (a, b) in enumerate(segs):
+    for i in order:
+        a, b = segs[i]
         if stats["nblocks"] >= opts.blklimit:
             break
         res = results[i]

@@ -1,115 +1,138 @@
-"""Pallas NRZI admission kernel vs the XLA jump scan: identical admitted
-transitions, times, AGC trajectories and counts on real synthesized
-waveforms (interpret mode; the TPU path compiles the same kernel)."""
+"""The Pallas admission kernel must reproduce the XLA jump scan EXACTLY:
+same admitted positions, times, AGC values, polarity flags, and scalars,
+for multiple parmsets with distinct window widths, on synthesized NRZI
+waveforms with a masked segment range (warmup lead + bucket tail)."""
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
+import pytest
 
 from readtape_tpu.decode import common as cm
-from readtape_tpu.decode import pallas_scan as psc
-from readtape_tpu.decode import stage1
 from readtape_tpu.decode import trackscan as ts
+from readtape_tpu.decode.common import F32, I32
+from readtape_tpu.decode.pallas_scan import (nrzi_track_scan_pallas,
+                                             nrzi_track_scan_pallas_tracks)
 from readtape_tpu.formats import tbin as tb
 from readtape_tpu.formats.parms import builtin_parmsets
 from readtape_tpu.synth import default_spec, synthesize_tape
 
 
-def _make_inputs(nbytes=128, seed=3):
-    rng = np.random.default_rng(seed)
-    spec = default_spec(tb.MODE_NRZI, ibg_secs=0.002, start_gap_secs=0.002)
-    blk = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
-    hdr, samples = synthesize_tape(spec, [("block", blk)])
-    S = 4096
-    v = samples[:S].T.astype(np.float32) * (hdr.maxvolts / 32767.0)
-    if v.shape[1] < S:
-        v = np.pad(v, ((0, 0), (0, S - v.shape[1])))
-    deltat = hdr.tdelta_ns * 1e-9
-    return jnp.asarray(v), hdr, deltat, S
+def _setup(B=2, S=4096, P=3, uniform_w=False):
+    rng = np.random.default_rng(11)
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=0.002, start_gap_secs=0.001)
+    segs = []
+    for b in range(B):
+        blk = bytes(rng.integers(0, 256, 120, dtype=np.uint8))
+        hdr, samples = synthesize_tape(spec, [("block", blk)])
+        v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
+        v = v[:, :S]
+        if v.shape[1] < S:
+            v = np.pad(v, ((0, 0), (0, S - v.shape[1])))
+        segs.append(v)
+    v = jnp.asarray(np.stack(segs))                     # [B, T, S]
+    T = v.shape[1]
 
-
-def test_pallas_matches_xla_scan():
-    v, hdr, deltat, S = _make_inputs()
-    T = v.shape[0]
     ps = builtin_parmsets(tb.MODE_NRZI)
+    sets = ps.sets[:P]
+    if uniform_w:
+        import dataclasses
+        sets = [dataclasses.replace(p, pkww_bitfrac=0.7) for p in sets]
+    deltat = 1.28e-6
     Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, 800, 50, deltat)
-               for p in ps.sets)
-    P = len(ps.sets)
-    spb = 1 / (800 * 50 * deltat)
-    K = int(S / spb * 2.5) + 64
+               for p in sets)
+    rises = tuple(p.pkww_rise for p in sets)
+    minps = tuple(p.min_peak for p in sets)
+    aalphas = tuple(p.agc_alpha for p in sets)
+    awindows = tuple(p.agc_window for p in sets)
+    wset = sorted(set(Ws))
+    groups = tuple(wset.index(w) for w in Ws)
 
-    rise_floor = jnp.full(T, min(p.pkww_rise for p in ps.sets) / 2, jnp.float32)
-    min_floor = jnp.zeros(T, jnp.float32)
+    rise_floor = jnp.full(T, 0.02, F32)
+    min_floor = jnp.full(T, 0.0, F32)
+    seg_len, lead = S - 700, 64
+    nxts, feats = [], []
+    for b in range(B):
+        nxt = None
+        for W in wset:
+            t_ = ts.loose_jump_table(v[b], W, rise_floor, min_floor)
+            nxt = t_ if nxt is None else jnp.minimum(nxt, t_)
+        nxt = jnp.where(nxt < seg_len, nxt, S)
+        iota = jnp.arange(S + 1, dtype=I32)[None, :]
+        first = jnp.take_along_axis(
+            nxt, jnp.full((T, 1), lead, I32), axis=1)
+        nxt = jnp.where(iota < lead, first, nxt)
+        nxts.append(nxt)
+        feats.append(jnp.stack(
+            [ts.precompute_window_features(v[b], W, nxt) for W in wset]))
+    feat = jnp.stack(feats)                             # [B, G, T, 12, S]
+    nxt = jnp.stack(nxts)                               # [B, T, S+1]
+    return dict(v=v, feat=feat, nxt=nxt, S=S, T=T, P=P, Ws=Ws, rises=rises,
+                minps=minps, aalphas=aalphas, awindows=awindows,
+                groups=groups, wset=wset)
 
-    # union candidate mask across distinct Ws (same stage-1 the XLA path uses)
-    mask = None
-    for Wd in sorted(set(Ws)):
-        wmax, wmin = stage1.window_minmax(v, Wd)
-        v_left = stage1.left_edge_values(v, Wd)
-        m = stage1.candidate_mask(v, wmax, wmin, v_left, rise_floor,
-                                  min_floor)
-        mask = m if mask is None else (mask | m)
-    # kernel capacity covers ALL union candidates (it visits each one);
-    # give the XLA reference the same budget so neither truncates
-    Ccap = -(-(int(jnp.max(jnp.sum(mask, axis=1))) + 64) // 128) * 128
-    nsteps = Ccap
-    cand, counts = psc.union_candidates(mask, Ccap)
 
-    # XLA reference: per-(parmset, track) jump scan over the union table
-    idx = jnp.where(mask, jnp.arange(S, dtype=jnp.int32)[None, :], S)
-    rev = jnp.flip(idx, axis=-1)
-    run = jax.lax.associative_scan(jnp.minimum, rev, axis=-1)
-    nxt = jnp.concatenate([jnp.flip(run, axis=-1),
-                           jnp.full((T, 1), S, jnp.int32)], axis=-1)
+def _xla_reference(cfg, K):
+    """Per-lane XLA jump scans (the production path)."""
+    B, T, P, S = (cfg["v"].shape[0], cfg["T"], cfg["P"], cfg["S"])
+    out = {k: [] for k in ("tr_s", "tr_t", "tr_agc", "tr_top", "n_admitted",
+                           "max_agc_gain", "min_agc_gain")}
+    for b in range(B):
+        per_p = {k: [] for k in out}
+        for p in range(P):
+            g = cfg["groups"][p]
+            W = cfg["Ws"][p]
+            per_t = {k: [] for k in out}
+            for t in range(T):
+                fin = ts.nrzi_track_scan_pre(
+                    cfg["feat"][b, g, t], cfg["nxt"][b, t], W, S,
+                    nsteps=S, K=K,
+                    rise_parm=jnp.float32(cfg["rises"][p]),
+                    min_parm=jnp.float32(cfg["minps"][p]),
+                    agc_alpha=jnp.float32(cfg["aalphas"][p]),
+                    agc_window=jnp.int32(cfg["awindows"][p]))
+                for k in per_t:
+                    per_t[k].append(np.asarray(fin[k]))
+            for k in per_p:
+                per_p[k].append(np.stack(per_t[k]))
+        for k in out:
+            out[k].append(np.stack(per_p[k]))
+    return {k: np.stack(v) for k, v in out.items()}     # [B, P, T, ...]
 
-    feats = {Wd: ts.precompute_window_features(v, Wd)
-             for Wd in sorted(set(Ws))}
-    ref = {}
-    for pi, p in enumerate(ps.sets):
-        lane = jax.vmap(lambda ft, nx: ts.nrzi_track_scan_pre(
-            ft, nx, Ws[pi], S, nsteps, K,
-            jnp.float32(p.pkww_rise), jnp.float32(p.min_peak),
-            jnp.float32(p.agc_alpha), jnp.int32(p.agc_window)))
-        ref[pi] = lane(feats[Ws[pi]], nxt)
 
-    # Pallas kernel (interpret mode = same program, CPU execution)
-    out = psc.nrzi_track_scan_pallas(
-        v[None], cand[None], counts[None], S=S, Ccap=Ccap, K=K, Ws=Ws,
-        rises=tuple(p.pkww_rise for p in ps.sets),
-        minps=tuple(p.min_peak for p in ps.sets),
-        aalphas=tuple(p.agc_alpha for p in ps.sets),
-        awindows=tuple(p.agc_window for p in ps.sets),
-        interpret=True)
+@pytest.mark.parametrize("variant", ["parmset_sublane", "track_sublane"])
+def test_pallas_matches_xla_scan(variant):
+    cfg = _setup(uniform_w=(variant == "track_sublane"))
+    K = 512
+    ref = _xla_reference(cfg, K)
+    kernel = (nrzi_track_scan_pallas_tracks if variant == "track_sublane"
+              else nrzi_track_scan_pallas)
+    got = kernel(
+        cfg["feat"], S=cfg["S"], K=K, Ws=cfg["Ws"], rises=cfg["rises"],
+        minps=cfg["minps"], aalphas=cfg["aalphas"],
+        awindows=cfg["awindows"], groups=cfg["groups"], interpret=True)
+    got = {k: np.asarray(x) for k, x in got.items()}
 
-    total = 0
-    for pi in range(P):
-        r = ref[pi]
-        n_ref = np.asarray(r["n_admitted"])
-        n_pal = np.asarray(out["n_admitted"][0, pi])
-        np.testing.assert_array_equal(n_ref, n_pal, err_msg=f"p{pi} count")
-        total += int(n_ref.sum())
-        for trk in range(T):
-            n = n_ref[trk]
-            np.testing.assert_array_equal(
-                np.asarray(r["tr_s"][trk][:n]),
-                np.asarray(out["tr_s"][0, pi, trk][:n]),
-                err_msg=f"p{pi} trk{trk} tr_s")
-            np.testing.assert_allclose(
-                np.asarray(r["tr_t"][trk][:n]),
-                np.asarray(out["tr_t"][0, pi, trk][:n]),
-                rtol=0, atol=1e-4, err_msg=f"p{pi} trk{trk} tr_t")
-            np.testing.assert_allclose(
-                np.asarray(r["tr_agc"][trk][:n]),
-                np.asarray(out["tr_agc"][0, pi, trk][:n]),
-                rtol=1e-6, atol=1e-6, err_msg=f"p{pi} trk{trk} tr_agc")
-            np.testing.assert_array_equal(
-                np.asarray(r["tr_top"][trk][:n]),
-                np.asarray(out["tr_top"][0, pi, trk][:n]),
-                err_msg=f"p{pi} trk{trk} tr_top")
-        np.testing.assert_allclose(
-            np.asarray(r["max_agc_gain"]),
-            np.asarray(out["max_agc_gain"][0, pi]), rtol=1e-6, atol=1e-6)
-        np.testing.assert_allclose(
-            np.asarray(r["min_agc_gain"]),
-            np.asarray(out["min_agc_gain"][0, pi]), rtol=1e-6, atol=1e-6)
-    assert total > 1000, f"too few admitted transitions ({total})"
+    np.testing.assert_array_equal(got["n_admitted"], ref["n_admitted"])
+    n = ref["n_admitted"]
+    assert n.sum() > 100, "test waveform produced too few admissions"
+    for b in range(n.shape[0]):
+        for p in range(n.shape[1]):
+            for t in range(n.shape[2]):
+                m = n[b, p, t]
+                np.testing.assert_array_equal(
+                    got["tr_s"][b, p, t][:m], ref["tr_s"][b, p, t][:m],
+                    err_msg=f"tr_s lane {b},{p},{t}")
+                np.testing.assert_allclose(
+                    got["tr_t"][b, p, t][:m], ref["tr_t"][b, p, t][:m],
+                    rtol=0, atol=0, err_msg=f"tr_t lane {b},{p},{t}")
+                np.testing.assert_allclose(
+                    got["tr_agc"][b, p, t][:m], ref["tr_agc"][b, p, t][:m],
+                    rtol=0, atol=0, err_msg=f"tr_agc lane {b},{p},{t}")
+                np.testing.assert_array_equal(
+                    got["tr_top"][b, p, t][:m], ref["tr_top"][b, p, t][:m],
+                    err_msg=f"tr_top lane {b},{p},{t}")
+    np.testing.assert_allclose(got["max_agc_gain"], ref["max_agc_gain"],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(got["min_agc_gain"], ref["min_agc_gain"],
+                               rtol=0, atol=0)
