@@ -491,13 +491,13 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
 
     # ---- outputs ----
     write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
-                  len(samples))
+                  len(samples), t0=t0, deltat=deltat, hdr=hdr)
     log.close()
     return stats["nerrblocks"] == 0 and stats["nunusable"] == 0
 
 
 def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
-                  nsamples):
+                  nsamples, t0=0.0, deltat=1.0, hdr=None):
     txt = None
     if o.txt or o.numtype != "none" or o.chartype != "none":
         topt = TxtOptions(o.numtype, o.chartype, o.linesize,
@@ -629,18 +629,41 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
                  f'{total:,} measurements of flux transition positions')
 
     elapsed = time.time() - start_time
+    # tape-data extent: first output's time to the end of sampling
+    # (readtape.c:2028: timenow - data_start_time)
+    data_blocks = [b for b in blocks if b.kind == "data" and len(b.data)]
+    tape_end = t0 + nsamples * deltat
+    data_start = data_blocks[0].t_end if data_blocks else tape_end
+    data_secs = max(tape_end - data_start, 0.0)
+    last_block_time = data_blocks[-1].t_end if data_blocks else 0.0
     log.info("")
     log.sum_active = True
     log.info(f'summary for file "{outbase}":')
     log.info(f"  {nsamples:,} samples were processed in {elapsed:.0f} "
              f"seconds ({0 if numblks == 0 else elapsed/numblks:.3f} "
              f"seconds/block)")
+    log.info(f"  created {numfiles} output file"
+             f"{'s' if numfiles != 1 else ''} with a total of "
+             f"{numoutbytes:,} bytes")
     log.info(f"  decoded {stats['ntapemarks']} tape marks and "
-             f"{numblks} blocks with {numoutbytes:,} bytes")
-    log.info(f"  {stats['nerrblocks']} blocks had errors, "
-             f"{stats['nwarnblocks']} had warnings, "
-             f"{stats['nmismatched']} had mismatched tracks, "
-             f"{stats['ncorrected']} had bits corrected")
+             f"{numblks} blocks with {numoutbytes:,} bytes from "
+             f"{data_secs:.2f} seconds of tape data")
+    if last_block_time:
+        log.info(f"  the last block written was {last_block_time:.8f} "
+                 "seconds into the tape")
+    line = (f"  {stats['nerrblocks']} block"
+            f"{'s' if stats['nerrblocks'] != 1 else ''} had errors, "
+            f"{stats['nwarnblocks']} had warnings")
+    if dopts.mode != MODE_WW:
+        line += (f", {stats['nmismatched']} had mismatched tracks, "
+                 f"{stats['ncorrected']} had bits corrected")
+    if dopts.mode == MODE_NRZI:
+        line += f", {stats['nmidbiterr']} had midbit timing errors"
+    log.info(line)
+    if dopts.mode == MODE_WW and stats.get("num_flux_changes", 0) > 0:
+        n = stats["num_flux_changes"]
+        log.info(f"  the flux polarity changed {n} time"
+                 f"{'s' if n > 1 else ''} during decoding")
     if stats["nunusable"]:
         log.info(f"  {stats['nunusable']} blocks were unusable and were "
                  "not written")
@@ -652,11 +675,78 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
             if t > 0:
                 log.info(f"  parmset {i} was tried {t:4d} times and used "
                          f"{c:4d} times, or {100.0*c/t:5.1f}%")
+    # head-skew report (skew_compute_deskew(false), decoder.c:243-283)
+    skew_ok = True
+    if stats.get("peak_trksums") is not None and \
+            np.asarray(stats["peak_trksums"]).min() > 0:
+        skew_ok = report_skew(stats, dopts, o, log)
     if o.sumc:
         with open(o.sumc, "a") as f:
-            f.write(f'="{outbase}",,,,{0.0:.2f}, {stats["ntapemarks"]}, '
+            inverted = "yes" if (hdr is not None and
+                                 hdr.flags & tb.TBIN_INVERTED) else ""
+            if dopts.mode == MODE_WW:
+                fluxdir = ("pos&neg" if stats.get("num_flux_changes", 0)
+                           else stats.get("flux_dir_final", "neg"))
+            else:
+                fluxdir = ""
+            order_str = o.order or ""
+            f.write(f'="{outbase}",="{inverted}",="{fluxdir}",'
+                    f'="{order_str}", {data_secs:.2f}, '
+                    f'{stats["ntapemarks"]}, '
                     f'{numblks}, {numoutbytes}, '
-                    f'{stats["nerrblocks"]}, {stats["nwarnblocks"]}, 0,"y"\n')
+                    f'{stats["nerrblocks"]}, {stats["nwarnblocks"]}, '
+                    f'{stats.get("num_flux_changes", 0)},'
+                    f'"{"y" if skew_ok else "n"}"\n')
+
+
+def report_skew(stats, dopts, o, log) -> bool:
+    """skew_compute_deskew(false) at end of run (decoder.c:243-283): peak
+    position average/std-dev per track from the peakstats histogram, with
+    the reference's warning thresholds."""
+    hist = np.asarray(stats["peak_hist"], np.float64)       # [T, 50]
+    sums = np.asarray(stats["peak_trksums"], np.float64)
+    lb, bw = stats["peak_bins"]
+    us = bw * 1e6 * np.arange(50) + lb * 1e6
+    interior = slice(1, 49)
+    avg = (hist[:, interior] * us[interior]).sum(axis=1) / np.maximum(sums, 1)
+    dev = us[interior][None, :] - avg[:, None]
+    stddev = np.sqrt((hist[:, interior] * dev * dev).sum(axis=1) /
+                     np.maximum(sums, 1))
+    maxavg, minavg = avg.max(), avg.min()
+    bitspace_us = 1e6 / (dopts.bpi * dopts.ips)
+    peak_frac = (maxavg - minavg) / bitspace_us
+    stddev_frac = stddev.max() / bitspace_us
+    if not o.quiet:
+        log.info(f"  the earliest peak is {minavg:.2f} usec, and the "
+                 f"latest peak is {maxavg:.2f} usec")
+        log.info(f"  that peak difference of {maxavg-minavg:.2f} usec, and "
+                 f"the largest standard deviation of {stddev.max():.2f} "
+                 f"usec, are {peak_frac*100:.1f}% and {stddev_frac*100:.1f}%"
+                 f" of the nominal bit spacing")
+    # DESKEW_PEAKDIFF_WARNING / DESKEW_STDDEV_WARNING (decoder.h:44-45)
+    skew_ok = peak_frac < 0.20 and stddev_frac < 0.05
+    log.sum_active = True
+    if skew_ok:
+        if o.deskew:
+            log.info(f"  deskewing with delays up to "
+                     f"{stats['deskew_percent']:.1f}% of a bit time seems "
+                     "to have been successful")
+        else:
+            log.info("  the tape data head skew is minimal")
+    else:
+        if o.deskew:
+            log.info(f"  deskewing with delays up to "
+                     f"{stats['deskew_percent']:.1f}% of a bit time wasn't "
+                     "entirely effective")
+            log.info("  the tape might have been written by two different "
+                     "drives")
+            log.info("  if so you should consider separating the data into "
+                     "those sections")
+        else:
+            log.info("  head skew is significant; you should try again "
+                     "with the -deskew option")
+    log.sum_active = False
+    return skew_ok
 
 
 def format_block_errors(blk) -> str:

@@ -210,12 +210,17 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         st["t_lastblockmark"] = jnp.where(emit_mark, t,
                                           st["t_lastblockmark"])
 
-        # flux direction (decode_ww.c:244-271)
+        # flux direction (decode_ww.c:244-271); mid-tape polarity changes
+        # are counted like num_flux_polarity_changes (decode_ww.c:246)
         if fluxdir_req == FLUX_AUTO:
             faraway = (t - st["ww_lastpeak"]) > b * cm.WW_PEAKSFAR_BITS
-            st["flux"] = jnp.where(
-                valid & faraway,
-                jnp.where(is_top, FLUX_POS, FLUX_NEG), st["flux"])
+            newdir = jnp.where(is_top, FLUX_POS, FLUX_NEG)
+            setev = valid & faraway
+            changed = setev & st["flux_set"] & (newdir != st["flux"])
+            st["num_flux_changes"] = (st["num_flux_changes"] +
+                                      changed.astype(I32))
+            st["flux"] = jnp.where(setev, newdir, st["flux"])
+            st["flux_set"] = st["flux_set"] | setev
             flux = st["flux"]
         else:
             flux = jnp.int32(fluxdir_req)
@@ -326,6 +331,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         t_lastblockmark=F32(0.0),
         ww_lastpeak=F32(0.0),
         flux=jnp.int32(FLUX_NEG if fluxdir_req == FLUX_AUTO else fluxdir_req),
+        flux_set=jnp.bool_(False),
         trk_lastpulsestart=jnp.zeros(T, F32),
         trk_lastpulseend=jnp.zeros(T, F32),
         trk_lastpeak=jnp.zeros(T, F32),
