@@ -62,9 +62,46 @@ static inline const char *parse_double(const char *p, const char *end,
     return p;
 }
 
+// Float32 digit-accumulating parser replicating the reference's
+// scanfast_float (csvtbin.c:403-417) BIT-EXACTLY: integer digits fold as
+// n = n*10 + d and fraction digits as n += d/divisor with a float32
+// divisor advancing by *= 10 -- a rounding sequence that differs from a
+// correctly-rounded decimal parse by 1 ulp on some inputs, which matters
+// when csvtbin output must be byte-identical to the reference's.
+static inline const char *parse_float_scanfast(const char *p,
+                                               const char *end, float *out) {
+    p = skip_sep(p, end);
+    bool neg = false;
+    if (p < end && *p == '-') { neg = true; ++p; }
+    float n = 0;
+    while (p < end && *p >= '0' && *p <= '9') { n = n * 10 + (*p - '0'); ++p; }
+    if (p < end && *p == '.') {
+        ++p;
+        float div = 10;
+        while (p < end && *p >= '0' && *p <= '9') {
+            n += (*p - '0') / div;
+            div *= 10;
+            ++p;
+        }
+    }
+    *out = neg ? -n : n;
+    return p;
+}
+
 // Scan a Saleae-style CSV: two title lines then "time, v0, v1, ...".
 // Returns 0 on success; caller frees with csv_free().
+// scanfast != 0 selects the reference-exact float32 parser above.
+static int csv_scan_impl(const char *path, CsvScan *out, int scanfast);
+
 int csv_scan(const char *path, CsvScan *out) {
+    return csv_scan_impl(path, out, 0);
+}
+
+extern "C" int csv_scan_scanfast(const char *path, CsvScan *out) {
+    return csv_scan_impl(path, out, 1);
+}
+
+static int csv_scan_impl(const char *path, CsvScan *out, int scanfast) {
     int fd = open(path, O_RDONLY);
     if (fd < 0) return -1;
     struct stat st;
@@ -103,10 +140,15 @@ int csv_scan(const char *path, CsvScan *out) {
         if (row == 0) first_time = t;
         else if (row == 1) second_time = t;
         float *dst = volts + row * ncols;
-        for (int c = 0; c < ncols; ++c) {
-            double v;
-            q = parse_double(q, end, &v);
-            dst[c] = (float)v;
+        if (scanfast) {
+            for (int c = 0; c < ncols; ++c)
+                q = parse_float_scanfast(q, end, &dst[c]);
+        } else {
+            for (int c = 0; c < ncols; ++c) {
+                double v;
+                q = parse_double(q, end, &v);
+                dst[c] = (float)v;
+            }
         }
         while (q < end && *q != '\n') ++q;
         if (q < end) ++q;

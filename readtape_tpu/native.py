@@ -44,6 +44,9 @@ def _load():
         return None
     lib.csv_scan.argtypes = [ctypes.c_char_p, ctypes.POINTER(_CsvScan)]
     lib.csv_scan.restype = ctypes.c_int
+    lib.csv_scan_scanfast.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(_CsvScan)]
+    lib.csv_scan_scanfast.restype = ctypes.c_int
     lib.csv_deltat.argtypes = [ctypes.c_char_p,
                                ctypes.POINTER(ctypes.c_double)]
     lib.csv_deltat.restype = ctypes.c_int
@@ -64,14 +67,17 @@ def available() -> bool:
     return _load() is not None
 
 
-def csv_scan_native(path: str):
+def csv_scan_native(path: str, scanfast: bool = False):
     """Returns (first_time, deltat, volts [N, T] float32). Raises if the
-    native library is unavailable or parsing fails."""
+    native library is unavailable or parsing fails. scanfast=True uses the
+    float32 digit-accumulating parser that bit-exactly replicates the
+    reference's scanfast_float (csvtbin.c:403-417)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO library unavailable")
     scan = _CsvScan()
-    rc = lib.csv_scan(path.encode(), ctypes.byref(scan))
+    fn = lib.csv_scan_scanfast if scanfast else lib.csv_scan
+    rc = fn(path.encode(), ctypes.byref(scan))
     if rc != 0:
         raise RuntimeError(f"csv_scan failed ({rc}) for {path}")
     try:
