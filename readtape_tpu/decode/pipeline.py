@@ -53,6 +53,15 @@ DIFFERENTIATE_THRESHOLD = 0.05
 DIFFERENTIATE_SCALE = 0.4
 
 
+_TIMING = os.environ.get("READTAPE_TIMING") == "1"
+
+
+def _tlog(msg):
+    if _TIMING:
+        import sys as _sys
+        print(f"# timing: {msg}", file=_sys.stderr, flush=True)
+
+
 def _pallas_enabled() -> bool:
     """The Mosaic admission kernel is the default on TPU backends;
     READTAPE_PALLAS=0/1 overrides. CPU (tests, virtual mesh) uses the XLA
@@ -608,6 +617,8 @@ class TapeDecoder:
     """Holds device state for one tape and runs decode passes over it."""
 
     def __init__(self, samples: np.ndarray, opts: DecodeOptions):
+        import time as _time
+        t0 = _time.perf_counter()
         self.opts = opts
         samples = permute_heads(samples, opts.head_to_trk)
         self.n_samples = samples.shape[0]
@@ -619,6 +630,7 @@ class TapeDecoder:
             jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
         self.h_est = float(h_est)
         self._act = np.asarray(act)
+        _tlog(f"upload+activity {_time.perf_counter() - t0:.2f}s")
         self.pa = ParmArrays.from_parmsets(opts.parmsets)
         self.P = len(opts.parmsets)
         self.skew = np.zeros(opts.ntrks, np.int32)
@@ -630,7 +642,28 @@ class TapeDecoder:
     def segments(self):
         opts = self.opts
         act = self._act
-        min_gap_secs = max(20 * opts.spb * opts.deltat, 0.0015)
+        # Per-mode gap thresholds mirror the reference's END-OF-BLOCK
+        # machinery: PE tracks go idle 2.5 bit-times after the last peak
+        # (PE_IDLE_FACTOR, decoder.c:868-877) and GCR 6 bit-times
+        # (GCR_IDLE_THRESH, decoder.c:879-888), so any all-track quiet run
+        # that long ends the block and the next block decodes from a FRESH
+        # track state -- which is exactly what a segment boundary gives us.
+        # (PE/GCR signals transition at least every 1/3 bit-cells per
+        # track, so an in-block quiet run this long is impossible.) NRZI
+        # allows indefinite per-track idle; its blocks end via the global
+        # clock's post counter, handled by the multi-block slot scan.
+        blank = 0
+        if opts.mode == tb.MODE_PE:
+            min_gap_secs = cm.PE_IDLE_FACTOR * opts.spb * opts.deltat
+            # idle horizon + PE_IBG_SECS samples are blanked after a block
+            blank = int(cm.PE_IDLE_FACTOR * opts.spb +
+                        cm.PE_IBG_SECS / opts.deltat)
+        elif opts.mode == tb.MODE_GCR:
+            min_gap_secs = cm.GCR_IDLE_THRESH * opts.spb * opts.deltat
+            blank = int(cm.GCR_IDLE_THRESH * opts.spb +
+                        cm.GCR_IBG_SECS / opts.deltat)
+        else:
+            min_gap_secs = max(20 * opts.spb * opts.deltat, 0.0015)
         min_gap_chunks = max(2, int(min_gap_secs / (opts.deltat * seg.CHUNK)))
         # post margin = the mode's idle-detection horizon (see decoder.h:
         # PE_IDLE_FACTOR 2.5 bits, GCR_IDLE_THRESH 6 bits; NRZI needs ~10
@@ -640,7 +673,8 @@ class TapeDecoder:
         return seg.find_segments(
             act, min_gap_chunks, self.n_samples,
             pre_margin=int(2 * opts.spb),
-            post_margin=int(post_bits * opts.spb))
+            post_margin=int(post_bits * opts.spb),
+            blank=blank)
 
     # ---- per-segment decode ----
     def decode_segment(self, a: int, b: int, nparms=None):
@@ -1119,10 +1153,18 @@ def _decode_tape_nrzi_like(samples, opts, log):
                 or (opts.mode == tb.MODE_PE and int(res["minbits"][0]) == 0))
 
     def decode_indices(idxs):
-        collect(dispatch(idxs, 1), results)
+        import time as _time
+        t0 = _time.perf_counter()
+        pend = dispatch(idxs, 1)
+        t1 = _time.perf_counter()
+        collect(pend, results)
+        t2 = _time.perf_counter()
+        _tlog(f"phase1({len(idxs)} segs) dispatch {t1-t0:.2f}s "
+              f"collect {t2-t1:.2f}s")
         if opts.multiple_tries and dec.P > 1:
             retry = [i for i in idxs if not stopper(results[i])]
             collect(dispatch(retry, dec.P), results)
+            _tlog(f"retry({len(retry)} segs) {_time.perf_counter()-t2:.2f}s")
 
     order = list(range(len(segs)))
     decode_indices(order[:])

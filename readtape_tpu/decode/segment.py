@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-CHUNK = 64          # gap-resolution granularity in samples
+CHUNK = 16          # gap-resolution granularity in samples: fine enough
+                    # to resolve PE's 2.5-bit idle horizon (~50 samples at
+                    # 20 samples/bit), which is where the reference ends a
+                    # PE block (decoder.c:868-877)
 
 
 @partial(jax.jit, static_argnames=())
@@ -68,13 +71,21 @@ def estimate_height(samples_i16: np.ndarray, maxvolts: float) -> float:
 
 
 def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
-                  pre_margin: int = 0, post_margin: int = 0):
+                  pre_margin: int = 0, post_margin: int = 0,
+                  blank: int = 0):
     """active: host bool array per CHUNK. Returns a list of (start, end)
     sample ranges covering each active region plus margins. The post margin
     reproduces the reference's end-of-block point: its per-mode idle
     detection fires a few bit-times after the last transition
     (decoder.c:868-894), so trailing gap noise is never scanned -- exactly
     as the reference stops sampling a block at all-tracks-idle.
+
+    `blank` reproduces the reference's interblock blanking: after a block
+    ends, interblock_counter skips idle-horizon + *_IBG_SECS worth of
+    samples outright (decoder.c:841,901; decode_pe.c:95, decode_gcr.c:673),
+    so a following segment never starts earlier than the previous ACTIVE
+    region's end plus `blank` -- on sub-blank gaps the reference (and we)
+    sacrifice the start of the next block's preamble.
 
     The reference scans the tape gap-to-gap, so its moving window is full
     of REAL gap samples when a block's first peaks arrive; here each
@@ -91,12 +102,17 @@ def find_segments(active: np.ndarray, min_gap_chunks: int, total_samples: int,
     run_ends = np.concatenate([idx[gaps], [idx[-1]]])       # inclusive chunks
     segs = []
     prev_end = 0          # the reference starts scanning at sample 0
+    prev_active_end = None
     for s, e in zip(run_starts, run_ends):
         a = max(0, s * CHUNK - pre_margin)
         a = max(a, prev_end if segs else 0)
+        if blank and prev_active_end is not None:
+            a = max(a, prev_active_end + blank)
         b = min(total_samples, (e + 1) * CHUNK + post_margin)
-        segs.append((int(a), int(b)))
-        prev_end = int(b)
+        if b - a > 4:
+            segs.append((int(a), int(b)))
+            prev_end = int(b)
+        prev_active_end = (e + 1) * CHUNK
     return segs
 
 

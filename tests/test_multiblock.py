@@ -57,3 +57,47 @@ def test_sub_min_gap_tap_identical_to_oracle(oracle, tmp_path):
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert (tmp_path / "ref" / "mb.tap").read_bytes() == \
         (tmp_path / "ours" / "mb.tap").read_bytes()
+
+
+def _diff_vs_oracle(oracle, tmp_path, hdr, samples, args, name):
+    tb.write_tbin(str(tmp_path / f"{name}.tbin"), hdr, samples)
+    (tmp_path / "ref").mkdir(exist_ok=True)
+    (tmp_path / "ours").mkdir(exist_ok=True)
+    r1 = subprocess.run([oracle] + args + ["-outp=ref/", f"{name}.tbin"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-outp=ours/", f"{name}.tbin"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert (tmp_path / "ref" / f"{name}.tap").read_bytes() == \
+        (tmp_path / "ours" / f"{name}.tap").read_bytes()
+
+
+def test_pe_short_gap_blocks_identical_to_oracle(oracle, tmp_path):
+    """PE blocks separated by gaps just past the 2.5-bit idle horizon:
+    the reference ends each block at all-tracks-idle and resets track
+    state; our mode-aware segmentation must split identically."""
+    rng = np.random.default_rng(89)
+    blocks = [bytes(rng.integers(0, 256, 90, dtype=np.uint8))
+              for _ in range(3)]
+    spec = default_spec(tb.MODE_PE, ibg_secs=0.0006,   # ~19 bits at 1600/50
+                        start_gap_secs=0.003)
+    hdr, samples = synthesize_tape(spec, [("block", b) for b in blocks])
+    _diff_vs_oracle(oracle, tmp_path, hdr, samples,
+                    ["-v", "-m", "-pe", "-bpi=1600", "-ips=50", "-tap"],
+                    "pes")
+
+
+def test_gcr_short_gap_blocks_identical_to_oracle(oracle, tmp_path):
+    rng = np.random.default_rng(91)
+    blocks = [bytes(rng.integers(0, 256, 80, dtype=np.uint8))
+              for _ in range(3)]
+    spec = default_spec(tb.MODE_GCR, ibg_secs=0.0005,
+                        start_gap_secs=0.003)
+    hdr, samples = synthesize_tape(spec, [("block", b) for b in blocks])
+    _diff_vs_oracle(oracle, tmp_path, hdr, samples,
+                    ["-v", "-m", "-gcr", "-bpi=9042", "-ips=25", "-tap"],
+                    "gcs")
