@@ -375,7 +375,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
 
     feat = jax.vmap(prep)(off, seg_lens, leads)       # [B, G, T, 12, S]
     wset = sorted(set(Ws))
-    rises, minps, aalphas, awindows = zip(*knobs)
+    rises, minps, aalphas, awindows = zip(*knobs[0])
     # one shared window width -> the track-sublane variant (full VPU
     # occupancy per instance); mixed widths -> the parmset-sublane variant
     kernel = (nrzi_track_scan_pallas_tracks if len(wset) == 1
@@ -383,6 +383,41 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
     finals = kernel(
         feat, S=S, K=K, Ws=Ws, rises=rises, minps=minps, aalphas=aalphas,
         awindows=awindows, groups=tuple(wset.index(w) for w in Ws))
+
+    if knobs[1] is not None:
+        # slot scans as a second Mosaic kernel: merged time-sorted streams
+        # in, compact per-slot streams out, state reconstructed in XLA
+        from . import pallas_slot as psl
+        spb_f, clk_ws, clk_as, padjs, mbs = knobs[1]
+        M = -(-(finals["tr_s"].shape[2] * finals["tr_s"].shape[3]) // 128) \
+            * 128
+        prep2 = jax.vmap(jax.vmap(
+            lambda a, b, c: psl.slot_stream_prepare(a, b, c, M)))
+        ms, mt, mtrk, mk, nent = prep2(
+            finals["tr_s"], finals["tr_t"], finals["n_admitted"])
+        stream, scal = psl.nrzi_slot_scan_pallas_raw(
+            ms, mt, mtrk, mk, nent, S=S, T=T, M=M, max_slots=max_slots,
+            spb_i=spb_f, clk_windows=clk_ws, clk_alphas=clk_as,
+            pulse_adjs=padjs, midbits=mbs)
+
+        def slot_lane(strm, scl, ts_, tt_, cnt):
+            st = psl.slot_stream_reconstruct(
+                strm, scl, ts_, tt_, cnt, T=T, S=S, maxb=maxb,
+                spb=spb_f, stat_leftbin=stat_leftbin,
+                stat_binwidth=stat_binwidth)
+            r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
+                                     maxb)
+            r["end_s"] = st["end_s"]
+            r["unconsumed"] = jnp.sum(jnp.maximum(cnt - st["kvis"], 0))
+            return r
+
+        res = jax.vmap(jax.vmap(slot_lane))(
+            stream, scal, finals["tr_s"], finals["tr_t"],
+            finals["n_admitted"])
+        res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=2)
+        res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=2)
+        res["event_overflow"] = jnp.any(finals["incomplete"], axis=(1, 2))
+        return res
 
     def seg_lane(f):          # per segment: [P, T, ...] finals
         def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
@@ -748,14 +783,24 @@ class TapeDecoder:
         # Pallas admission kernel (NRZI): one Mosaic kernel replaces the
         # B*T*P XLA jump scans. Requires row-aligned buckets and a wide
         # enough window for the 32-slot per-row record format; parmset
-        # knobs become compile-time constants of the kernel.
+        # knobs become compile-time constants of the kernel. The slot
+        # scans run as a second Mosaic kernel except under -correct
+        # (whose AGC-keyed bit flip needs the full XLA slot scan).
         pallas_knobs = None
         if (opts.mode == tb.MODE_NRZI and _pallas_enabled()
                 and S % 1024 == 0 and nparms <= 16
                 and 128 // (min(Ws) + 1) + 1 <= 32):
-            pallas_knobs = tuple(
+            track_knobs = tuple(
                 (float(p.pkww_rise), float(p.min_peak),
                  float(p.agc_alpha), int(p.agc_window)) for p in active)
+            slot_knobs = None
+            if not opts.do_correct and opts.ntrks <= 9:
+                slot_knobs = (float(spb),
+                              tuple(int(p.clk_window) for p in active),
+                              tuple(float(p.clk_alpha) for p in active),
+                              tuple(float(p.pulse_adj) for p in active),
+                              tuple(float(p.midbit) for p in active))
+            pallas_knobs = (track_knobs, slot_knobs)
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.do_correct2,
                          opts.find_zeros,

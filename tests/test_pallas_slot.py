@@ -1,0 +1,131 @@
+"""The Pallas slot-scan kernel + XLA stream reconstruction must reproduce
+the XLA slot scan's final state EXACTLY: bits, dc, kvis, peak-stat
+histogram, midbit warnings, first/last bit times, end position — across
+multiple parmsets (different clock strategies) on synthesized NRZI
+segments, including a multi-block segment (postamble termination)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from readtape_tpu.decode import common as cm
+from readtape_tpu.decode import nrzi as nrzi_mod
+from readtape_tpu.decode import trackscan as ts
+from readtape_tpu.decode import pallas_slot as psl
+from readtape_tpu.decode.common import F32, I32
+from readtape_tpu.formats import tbin as tb
+from readtape_tpu.formats.parms import builtin_parmsets
+from readtape_tpu.synth import default_spec, synthesize_tape
+
+
+def _segment_transitions(S, P, seed=13, nblocks=1, ibg=0.002):
+    """Synthesize a segment and run the (XLA) track scans for P parmsets.
+    Returns per-parmset transition buffers + knobs + spb."""
+    rng = np.random.default_rng(seed)
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=ibg, start_gap_secs=0.001)
+    items = []
+    for _ in range(nblocks):
+        items.append(("block",
+                      bytes(rng.integers(0, 256, 100, dtype=np.uint8))))
+    hdr, samples = synthesize_tape(spec, items)
+    v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
+    v = v[:, :S]
+    if v.shape[1] < S:
+        v = np.pad(v, ((0, 0), (0, S - v.shape[1])))
+    v = jnp.asarray(v)
+    T = v.shape[0]
+
+    ps = builtin_parmsets(tb.MODE_NRZI)
+    sets = ps.sets[:P]
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (800 * 50 * deltat)
+    K = 1024
+    rise_floor = jnp.full(T, 0.02, F32)
+    min_floor = jnp.full(T, 0.0, F32)
+
+    outs = []
+    for p in sets:
+        W = cm.pkww_width_for(p.pkww_bitfrac, 800, 50, deltat)
+        nxt = ts.loose_jump_table(v, W, rise_floor, min_floor)
+        feat = ts.precompute_window_features(v, W, nxt)
+        lane = jax.vmap(lambda f, nx: ts.nrzi_track_scan_pre(
+            f, nx, W, S, S, K, jnp.float32(p.pkww_rise),
+            jnp.float32(p.min_peak), jnp.float32(p.agc_alpha),
+            jnp.int32(p.agc_window)))
+        fin = lane(feat, nxt)
+        keep = jnp.arange(K) < fin["n_admitted"][:, None]
+        outs.append(dict(
+            tr_s=jnp.where(keep, fin["tr_s"], nrzi_mod.BIG_S),
+            tr_t=jnp.where(keep, fin["tr_t"], 0.0),
+            tr_agc=jnp.where(keep, fin["tr_agc"], 1.0),
+            counts=fin["n_admitted"]))
+    return outs, sets, spb, T, K
+
+
+@pytest.mark.parametrize("nblocks,ibg", [(1, 0.002), (3, 0.0008)])
+def test_slot_kernel_matches_xla(nblocks, ibg):
+    S, P = 8192 if nblocks == 1 else 16384, 3
+    trans, sets, spb, T, K = _segment_transitions(S, P, nblocks=nblocks,
+                                                  ibg=ibg)
+    maxb = int(S / spb * 1.3) + 64
+    max_slots = int(S / spb * 1.25) + 48
+    lb, bw = 0.0, 1.0
+
+    # ---- XLA reference ----
+    ref = []
+    for p, tr in zip(sets, trans):
+        st = nrzi_mod.nrzi_slot_scan(
+            tr["tr_s"], tr["tr_t"], tr["tr_agc"], tr["counts"], S,
+            jnp.float32(spb), jnp.int32(p.clk_window),
+            jnp.float32(p.clk_alpha), jnp.float32(p.pulse_adj),
+            jnp.float32(p.midbit), jnp.int32(1), False, maxb, max_slots,
+            jnp.float32(lb), jnp.float32(bw))
+        ref.append(jax.tree.map(np.asarray, st))
+
+    # ---- pallas kernel + reconstruction ----
+    M = ((T * K) + 127) // 128 * 128
+    ms, mt, mtrk, mk, nent = [], [], [], [], []
+    for tr in trans:
+        a, b, c, d, n = psl.slot_stream_prepare(tr["tr_s"], tr["tr_t"],
+                                                tr["counts"], M)
+        ms.append(a), mt.append(b), mtrk.append(c), mk.append(d)
+        nent.append(n)
+    ms = jnp.stack(ms)[None]                     # [1, P, M]
+    mt = jnp.stack(mt)[None]
+    mtrk = jnp.stack(mtrk)[None]
+    mk = jnp.stack(mk)[None]
+    nent = jnp.stack(nent)[None]
+
+    stream, scal = psl.nrzi_slot_scan_pallas_raw(
+        ms, mt, mtrk, mk, nent, S=S, T=T, M=M, max_slots=max_slots,
+        spb_i=float(spb),
+        clk_windows=tuple(p.clk_window for p in sets),
+        clk_alphas=tuple(p.clk_alpha for p in sets),
+        pulse_adjs=tuple(p.pulse_adj for p in sets),
+        midbits=tuple(p.midbit for p in sets),
+        interpret=True)
+
+    for pi, (p, tr) in enumerate(zip(sets, trans)):
+        got = slot_rec = psl.slot_stream_reconstruct(
+            stream[0, pi], scal[0, pi], tr["tr_s"], tr["tr_t"],
+            tr["counts"], T=T, S=S, maxb=maxb, spb=spb,
+            stat_leftbin=jnp.float32(lb), stat_binwidth=jnp.float32(bw))
+        got = {k: np.asarray(x) for k, x in got.items()}
+        r = ref[pi]
+        msg = f"parmset {pi} (cw={p.clk_window} ca={p.clk_alpha})"
+        np.testing.assert_array_equal(got["kvis"], r["kvis"], err_msg=msg)
+        np.testing.assert_array_equal(got["dc"], r["dc"], err_msg=msg)
+        np.testing.assert_array_equal(got["bits"], r["bits"], err_msg=msg)
+        np.testing.assert_array_equal(got["hist"], r["hist"], err_msg=msg)
+        np.testing.assert_array_equal(got["trksums"], r["trksums"],
+                                      err_msg=msg)
+        assert int(got["missed_midbits"]) == int(r["missed_midbits"]), msg
+        np.testing.assert_allclose(got["t_firstbit"], r["t_firstbit"],
+                                   rtol=0, atol=0, err_msg=msg)
+        np.testing.assert_allclose(got["t_lastbit"], r["t_lastbit"],
+                                   rtol=0, atol=0, err_msg=msg)
+        assert bool(got["consume_overflow"]) == \
+            bool(r["consume_overflow"]), msg
+        assert int(got["end_s"]) == int(r["end_s"]), msg
+        assert r["dc"].max() > 100, "segment decoded too little"
