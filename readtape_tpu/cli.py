@@ -484,9 +484,11 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
         else:
             a = max(0, int((o.trace[0] - t0) / deltat))
             b = min(len(samples), int((o.trace[1] - t0) / deltat))
-        volts, peaks = dec.trace_window(a, b)
+        volts, lanes = dec.trace_lanes(a, b)
+        mode_name = {MODE_NRZI: "nrzi", MODE_PE: "pe",
+                     MODE_GCR: "gcr"}.get(o.mode, "nrzi")
         nl = write_trace(outbase + ".trace.csv", t0 + a * deltat, deltat,
-                         volts, peaks=peaks)
+                         volts, mode=mode_name, lanes=lanes)
         log.info(f'created trace file "{outbase}.trace.csv" ({nl} lines)')
 
     # ---- outputs ----

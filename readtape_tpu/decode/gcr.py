@@ -152,7 +152,7 @@ def gcr_bit_state_init(spb, maxb, clk_ring: int = cm.CLKRATE_WINDOW):
 
 
 @partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
-                                    "agc_ring", "pre"))
+                                    "agc_ring", "pre", "debug_peaks"))
 def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    rise_parm, min_parm, agc_alpha, agc_window,
                    clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
@@ -161,7 +161,7 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    stat_binwidth=jnp.float32(1.0),
                    clk_ring: int = cm.CLKRATE_WINDOW,
                    agc_ring: int = cm.AGC_MAX_WINDOW,
-                   pre: bool = False):
+                   pre: bool = False, debug_peaks: bool = False):
     """Peak-detection GCR lane: admission + AGC + bit recovery fused.
     With pre=True the first argument is the precomputed [10, S] feature
     pack for this lane's (static) window width."""
@@ -184,6 +184,12 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                                spb, maxb)
         rec = dict(wr=jnp.stack(wr),
                    hb=jnp.where(stat_ok, jnp.clip(bkt, 0, 49), 50))
+        if debug_peaks:
+            # zero-inference events for the -trace zerpos/adjpos lanes
+            rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top,
+                       nzeros=(st4["datacount"] - st["datacount"] - 1
+                               ).astype(jnp.int8),
+                       padj=st4["t_pulse_adj"])
         return st4, rec
 
     init = gcr_bit_state_init(spb, maxb, clk_ring)
@@ -199,6 +205,15 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
     hb = recs["hb"]
     final["hist"] = jnp.zeros(50, I32).at[hb].add(1, mode="drop")
     final["trksum"] = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32))
+    if debug_peaks:
+        final.update(ts.compact_outputs(
+            recs["admit"], maxb,
+            tr_s=(recs["s_det"], ts.BIG_S),
+            tr_t=(recs["t_pk"], jnp.float32(0.0)),
+            tr_top=(recs["is_top"], False),
+            tr_nzeros=(recs["nzeros"], np.int8(0)),
+            tr_padj=(recs["padj"], jnp.float32(0.0))))
+        final["n_admitted"] = jnp.sum(recs["admit"].astype(I32))
     return final
 
 

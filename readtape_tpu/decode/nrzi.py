@@ -124,7 +124,8 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                    expected_parity, do_correct,
                    maxb: int, max_slots: int,
                    stat_leftbin, stat_binwidth,
-                   clk_ring: int = cm.CLKRATE_WINDOW):
+                   clk_ring: int = cm.CLKRATE_WINDOW,
+                   debug: bool = False):
     """One parmset lane. trans_*: [T, K] admitted transitions per track
     (s_det ascending, BIG_S fill). Returns the per-track bit buffers and the
     block-result scalars."""
@@ -328,16 +329,26 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             rec = dict(wr=jnp.stack(wr1 + wr2 + [i0, i1, i2], axis=-1),
                        hb=jnp.stack(hb1 + hb2, axis=-1),
                        fix_trk=fix_trk, fix_val=fix_val)
+            if debug:
+                # per-slot events for the -trace avgpos/zerchk lanes
+                rec.update(dbg_zc=jnp.minimum(s_z, S).astype(F32),
+                           dbg_avgpos=jnp.where(have, adjusted, F32(0.0)),
+                           dbg_live=jnp.bool_(True))
             return out, rec
 
         new, rec = live(st)
         d = st["done"]
         st2 = jax.tree.map(lambda o, n: jnp.where(d, o, n), st, new)
-        rec = dict(wr=jnp.where(d, maxb, rec["wr"]),
-                   hb=jnp.where(d, 50, rec["hb"]),
-                   fix_trk=jnp.where(d, T, rec["fix_trk"]),
-                   fix_val=rec["fix_val"])
-        return st2, rec
+        rec2 = dict(wr=jnp.where(d, maxb, rec["wr"]),
+                    hb=jnp.where(d, 50, rec["hb"]),
+                    fix_trk=jnp.where(d, T, rec["fix_trk"]),
+                    fix_val=rec["fix_val"])
+        if debug:
+            rec2.update(dbg_zc=jnp.where(d, F32(0.0), rec["dbg_zc"]),
+                        dbg_avgpos=jnp.where(d, F32(0.0),
+                                             rec["dbg_avgpos"]),
+                        dbg_live=~d)
+        return st2, rec2
 
     # chunked early exit: stop scanning at the first chunk boundary after
     # the block ends (postamble counter or past segment end). Dead chunks'
@@ -389,6 +400,15 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             1, mode="drop")
     final["trksums"] = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32),
                                axis=(0, 2))
+    if debug:
+        final["dbg_zc"] = recs["dbg_zc"]
+        final["dbg_avgpos"] = recs["dbg_avgpos"]
+        final["dbg_live"] = recs["dbg_live"]
+        # which slot finalized each column (for the parerr lane): the
+        # replay key holds slot*16+op; recover the slot of the winning
+        # write per (track, column)
+        final["dbg_col_slot"] = jnp.where(packed >= 0, (packed // 2) // 16,
+                                          -1)
     return final
 
 

@@ -152,7 +152,9 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    run_bit=run["bit"].astype(jnp.int8),
                    run_valid=run["valid"])
         if debug_peaks:
-            rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top)
+            rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top,
+                       is_data=is_data, clkw=t_clkwindow,
+                       bitval=bitval.astype(jnp.int8))
         return out, rec
 
     init_extra = dict(
@@ -193,7 +195,10 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
             recs["admit"], maxb,
             tr_s=(recs["s_det"], ts.BIG_S),
             tr_t=(recs["t_pk"], F32(0.0)),
-            tr_top=(recs["is_top"], False)))
+            tr_top=(recs["is_top"], False),
+            tr_isdata=(recs["is_data"], False),
+            tr_clkw=(recs["clkw"], F32(0.0)),
+            tr_bitval=(recs["bitval"], np.int8(0))))
         final["n_admitted"] = jnp.sum(recs["admit"].astype(I32))
 
     # apply accumulated fake-bit runs (non-overlapping by construction)

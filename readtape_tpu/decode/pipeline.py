@@ -818,10 +818,10 @@ class TapeDecoder:
         return fn(*args, fetch=fetch)
 
     # ---- debug trace extraction (trace.c equivalent; runtime option) ----
-    def trace_window(self, a: int, b: int):
-        """Return (volts [N, T], peaks per track [(sample_time_s, is_top)])
-        for samples [a, b), decoded with parmset 0 -- the data for a
-        <base>.trace.csv debug spreadsheet."""
+    def trace_lanes(self, a: int, b: int):
+        """Decode samples [a, b) with parmset 0 and return (volts [N, T],
+        lanes dict) for the <base>.trace.csv debug spreadsheet -- the
+        reference's 11 event lanes (trace.c:46-92), mode-filtered."""
         opts = self.opts
         T = opts.ntrks
         S = seg.bucket_length(b - a)
@@ -840,24 +840,158 @@ class TapeDecoder:
         rise_floor = jnp.full(T, p0.pkww_rise * scale / 2 * 0.8, F32)
         min_floor = jnp.full(T, p0.min_peak * scale / 2 * 0.8, F32)
         nxt = trackscan.loose_jump_table(vf, W, rise_floor, min_floor)
+        spb = opts.spb
         nsteps = max(512, S // 4)
         Kd = max(512, S // 6)
-        lane = jax.vmap(lambda vt, nx: trackscan.nrzi_track_scan(
-            vt, nx, W, S, nsteps, Kd, p0.pkww_rise, p0.min_peak,
-            p0.agc_alpha, p0.agc_window))
-        fin = lane(vf, nxt)
-        n_adm = np.asarray(fin["n_admitted"])
-        t_peak = np.asarray(fin["tr_t"])
-        is_top = np.asarray(fin["tr_top"])
-        peaks = []
         t0 = self.opts.t0_seconds + a * opts.deltat
-        for trk in range(T):
-            n = n_adm[trk]
-            peaks.append([(t0 + tp * opts.deltat, bool(it))
-                          for tp, it in zip(t_peak[trk][:n],
-                                            is_top[trk][:n])])
+        dt = opts.deltat
+
+        def tsec(x):
+            return t0 + float(x) * dt
+
+        lanes = {}
+        if opts.mode == tb.MODE_PE:
+            maxb = int(S / spb * 1.3) + 64
+            lane = jax.vmap(lambda vt, nx: pe_mod.pe_track_scan(
+                vt, nx, W, S, nsteps,
+                jnp.float32(p0.pkww_rise), jnp.float32(p0.min_peak),
+                jnp.float32(p0.agc_alpha), jnp.int32(p0.agc_window),
+                jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+                jnp.float32(p0.clk_factor), jnp.float32(p0.pulse_adj),
+                jnp.float32(spb), maxb, debug_peaks=True))
+            fin = jax.tree.map(np.asarray, lane(vf, nxt))
+            peaks, clkedg, datedg, clkwin, clkdet, data =                 [], [], [], [], [], []
+            for trk in range(T):
+                n = fin["n_admitted"][trk]
+                tt = fin["tr_t"][trk][:n]
+                top = fin["tr_top"][trk][:n]
+                isd = fin["tr_isdata"][trk][:n]
+                ckw = fin["tr_clkw"][trk][:n]
+                bv = fin["tr_bitval"][trk][:n]
+                peaks.append([(tsec(x), bool(u)) for x, u in zip(tt, top)])
+                datedg.append([(tsec(x), 1) for x, d in zip(tt, isd) if d])
+                clkedg.append([(tsec(x), 1)
+                               for x, d in zip(tt, isd) if not d])
+                cw = []
+                for x, d, w in zip(tt, isd, ckw):
+                    if d:
+                        cw.append((tsec(x), 1))
+                        cw.append((tsec(x + w), 0))
+                clkwin.append(cw)
+                clkdet.append([(tsec(tt[0]), 1), (tsec(tt[-1]), 0)]
+                              if n else [])
+                data.append([(tsec(x), int(bb))
+                             for x, d, bb in zip(tt, isd, bv) if d])
+            lanes = dict(peak=peaks, clkedg=clkedg, datedg=datedg,
+                         clkwin=clkwin, clkdet=clkdet, data=data)
+        elif opts.mode == tb.MODE_GCR:
+            maxb = int(S / spb * 1.3) + 64
+            lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
+            lane = jax.vmap(lambda vt, nx: gcr_mod.gcr_track_scan(
+                vt, nx, W, S, nsteps,
+                jnp.float32(p0.pkww_rise), jnp.float32(p0.min_peak),
+                jnp.float32(p0.agc_alpha), jnp.int32(p0.agc_window),
+                jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+                jnp.float32(p0.z1pt), jnp.float32(p0.z2pt),
+                jnp.float32(p0.pulse_adj), jnp.float32(spb), maxb,
+                jnp.float32(lb / opts.deltat),
+                jnp.float32(bw / opts.deltat), debug_peaks=True))
+            fin = jax.tree.map(np.asarray, lane(vf, nxt))
+            peaks, zerpos, adjpos, data = [], [], [], []
+            for trk in range(T):
+                n = fin["n_admitted"][trk]
+                tt = fin["tr_t"][trk][:n]
+                top = fin["tr_top"][trk][:n]
+                nz = fin["tr_nzeros"][trk][:n]
+                pa_ = fin["tr_padj"][trk][:n]
+                peaks.append([(tsec(x), bool(u)) for x, u in zip(tt, top)])
+                zp, dd = [], []
+                for i in range(1, n):
+                    k = int(nz[i])
+                    for z in range(max(k, 0)):
+                        tz = tt[i - 1] + (tt[i] - tt[i - 1]) *                             (z + 1) / (k + 1)
+                        zp.append((tsec(tz), 1))
+                        dd.append((tsec(tz), 0))
+                    dd.append((tsec(tt[i]), 1))
+                zerpos.append(zp)
+                data.append(dd)
+                adjpos.append([(tsec(x), 1) for x, adj in zip(tt, pa_)
+                               if abs(adj) > 1e-6])
+            lanes = dict(peak=peaks, zerpos=zerpos, adjpos=adjpos,
+                         data=data)
+        else:
+            # NRZI (and calibration passes): per-track admission + the
+            # global slot scan with its debug event stream
+            lane = jax.vmap(lambda vt, nx: trackscan.nrzi_track_scan(
+                vt, nx, W, S, nsteps, Kd, p0.pkww_rise, p0.min_peak,
+                p0.agc_alpha, p0.agc_window))
+            fin = jax.tree.map(np.asarray, lane(vf, nxt))
+            peaks = []
+            for trk in range(T):
+                n = fin["n_admitted"][trk]
+                peaks.append([(tsec(x), bool(u))
+                              for x, u in zip(fin["tr_t"][trk][:n],
+                                              fin["tr_top"][trk][:n])])
+            lanes = dict(peak=peaks)
+            if opts.mode == tb.MODE_NRZI:
+                keep = np.arange(Kd) < fin["n_admitted"][:, None]
+                maxb = int(S / spb * 1.3) + 64
+                max_slots = int(S / spb * 1.25) + 48
+                lb, bw = _peakstat_bins(opts.mode,
+                                        1.0 / (opts.bpi * opts.ips))
+                st = nrzi_mod.nrzi_slot_scan(
+                    jnp.asarray(np.where(keep, fin["tr_s"],
+                                         nrzi_mod.BIG_S)),
+                    jnp.asarray(np.where(keep, fin["tr_t"], 0.0)),
+                    jnp.asarray(np.where(keep, fin["tr_agc"], 1.0)),
+                    jnp.asarray(fin["n_admitted"]), S, jnp.float32(spb),
+                    jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+                    jnp.float32(p0.pulse_adj), jnp.float32(p0.midbit),
+                    jnp.int32(opts.expected_parity), False, maxb,
+                    max_slots, jnp.float32(lb / opts.deltat),
+                    jnp.float32(bw / opts.deltat), debug=True)
+                st = jax.tree.map(np.asarray, st)
+                live = st["dbg_live"]
+                zc = st["dbg_zc"][live]
+                ap = st["dbg_avgpos"][live]
+                lanes["zerchk"] = [(tsec(x), 1) for x in zc]
+                lanes["avgpos"] = [(tsec(x), 1) for x in ap if x > 0]
+                # data lane + parity errors per completed column
+                frames = np.zeros(maxb, np.int64)
+                for trk in range(T):
+                    frames |= st["bits"][trk].astype(np.int64) <<                         (T - 1 - trk)
+                col_slot = st["dbg_col_slot"]          # [T, maxb]
+                slot_t = np.zeros(int(st["dbg_live"].shape[0]) + 1)
+                slot_t[:len(st["dbg_zc"])] = st["dbg_zc"]
+                data = []
+                for trk in range(T):
+                    dd = []
+                    for c in range(int(st["dc"][trk])):
+                        sl = col_slot[trk, c]
+                        if sl >= 0:
+                            dd.append((tsec(slot_t[sl]),
+                                       int(st["bits"][trk][c])))
+                    data.append(dd)
+                lanes["data"] = data
+                par = np.zeros(maxb, np.int64)
+                x = frames.copy()
+                while x.any():
+                    par ^= x & 1
+                    x >>= 1
+                perr = []
+                for c in range(int(st["dc"].min())):
+                    if par[c] != opts.expected_parity:
+                        sl = col_slot[:, c].max()
+                        if sl >= 0:
+                            perr.append((tsec(slot_t[sl]), 1))
+                lanes["parerr"] = perr
         volts = np.asarray(vf).T[:b - a]
-        return volts, peaks
+        return volts, lanes
+
+    def trace_window(self, a: int, b: int):
+        """Back-compat shim: (volts, peaks) only."""
+        volts, lanes = self.trace_lanes(a, b)
+        return volts, lanes.get("peak")
 
     # ---- deskew calibration (decoder.c:243-281) ----
     def calibrate_deskew(self, segments, max_blocks=100, min_transitions=1000):
