@@ -561,6 +561,16 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
 # best-decoding selection (readtape.c:1776-1843)
 # ---------------------------------------------------------------------------
 
+def is_stopping_decode(bt, err, warn, minbits, mode) -> bool:
+    """The sequential retry loop's early-stop rule (readtape.c:1755-1795
+    with SKIP_NOISE): a tapemark, noise, a perfect block, or (PE) a
+    zero-bit decode ends the parmset retries. Single source of truth for
+    both the staged-retry dispatcher and pick_best's tried accounting."""
+    perfect = bt == nrzi_mod.BS_BLOCK and err == 0 and warn == 0
+    return (bt == nrzi_mod.BS_TAPEMARK or bt == nrzi_mod.BS_NOISE
+            or perfect or (mode == tb.MODE_PE and minbits == 0))
+
+
 def pick_best(res_host: dict, P: int, multiple_tries: bool, mode: int):
     """Emulates the sequential retry loop's stopping rule and 4-stage pick.
     res_host fields are numpy arrays [P]. Returns (chosen_idx, tries)."""
@@ -574,11 +584,7 @@ def pick_best(res_host: dict, P: int, multiple_tries: bool, mode: int):
     # the C tries parmsets in order and stops early (SKIP_NOISE=true)
     tried = P
     for i in range(P):
-        perfect = bt[i] == nrzi_mod.BS_BLOCK and err[i] == 0 and warn[i] == 0
-        stop = (bt[i] == nrzi_mod.BS_TAPEMARK or bt[i] == nrzi_mod.BS_NOISE
-                or perfect
-                or (mode == tb.MODE_PE and minbits[i] == 0))
-        if stop:
+        if is_stopping_decode(bt[i], err[i], warn[i], minbits[i], mode):
             tried = i + 1
             break
     cand = range(tried)
@@ -793,8 +799,13 @@ class TapeDecoder:
             track_knobs = tuple(
                 (float(p.pkww_rise), float(p.min_peak),
                  float(p.agc_alpha), int(p.agc_window)) for p in active)
+            # The Mosaic slot kernel is exact (see tests) but currently
+            # ~0.5 s/tape SLOWER end-to-end than the XLA slot scan at
+            # bench shapes (merge sort + reconstruction overhead); keep it
+            # opt-in until it wins.
             slot_knobs = None
-            if not opts.do_correct and opts.ntrks <= 9:
+            if (os.environ.get("READTAPE_SLOT_PALLAS") == "1"
+                    and not opts.do_correct and opts.ntrks <= 9):
                 slot_knobs = (float(spb),
                               tuple(int(p.clk_window) for p in active),
                               tuple(float(p.clk_alpha) for p in active),
@@ -1324,12 +1335,9 @@ def _decode_tape_nrzi_like(samples, opts, log):
     results = [None] * len(segs)
 
     def stopper(res):
-        bt = int(res["blktype"][0])
-        perfect = (bt == nrzi_mod.BS_BLOCK and int(res["errcount"][0]) == 0
-                   and int(res["warncount"][0]) == 0)
-        return (bt == nrzi_mod.BS_TAPEMARK or bt == nrzi_mod.BS_NOISE
-                or perfect
-                or (opts.mode == tb.MODE_PE and int(res["minbits"][0]) == 0))
+        return is_stopping_decode(
+            int(res["blktype"][0]), int(res["errcount"][0]),
+            int(res["warncount"][0]), int(res["minbits"][0]), opts.mode)
 
     def decode_indices(idxs):
         import time as _time
