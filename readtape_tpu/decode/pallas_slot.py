@@ -47,11 +47,16 @@ BIG_S = np.float32(2 ** 30)
 
 # SMEM scalar slots (all f32)
 (SM_TLC, SM_TLM, SM_POST, SM_AVG, SM_BITNDX, SM_GBASE, SM_DONE,
- SM_OVF, SM_ENDED, SM_ENDS, SM_NSLOT) = range(11)
-N_SM = 11
+ SM_OVF, SM_ENDED, SM_ENDS, SM_NSLOT, SM_KV) = range(12)
+N_SM = 12 + 16                 # SM_KV.. = per-track kvis mirror (scalars)
 
-# VMEM scratch rows
-ST_LP, ST_PV, ST_RING, ST_KVIS = 0, 1, 2, 3
+# VMEM scratch rows (window rows cache the merged stream so the hot
+# per-slot path does ZERO dynamically indexed reads; refills happen only
+# when the window shifts, ~once per 128 consumed entries)
+ST_LP, ST_PV, ST_RING, ST_R2 = 0, 1, 2, 3
+ST_WS, ST_WT, ST_WK, ST_WQ = 4, 6, 8, 10       # each spans 2 rows
+ST_RANK, ST_SECOND = 12, 14                     # rank spans 2 rows
+N_ST = 15
 
 # per-slot stream lanes
 (L_TLC0, L_TLC1, L_TLC2, L_B0, L_TLM0, L_POST0, L_N1P0, L_N1P1,
@@ -86,17 +91,24 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
     nent = jnp.sum(jnp.where((lane2 == 0) & (row2 == 0),
                              nent_ref[0, 0:2, :], 0.0))
 
+    def win_fill(row_of_window):
+        """DMA one merged-stream row into window slot 0 or 1 (the only
+        dynamically indexed reads in the kernel)."""
+        gb_i = smem_ref[SM_GBASE].astype(I32)
+        r = jnp.clip(gb_i // 128 + row_of_window, 0, M // 128 - 1)
+        o = row_of_window
+        st_ref[ST_WS + o:ST_WS + o + 1, :] = ms_ref[0, pl.ds(r, 1), :]
+        st_ref[ST_WT + o:ST_WT + o + 1, :] = mt_ref[0, pl.ds(r, 1), :]
+        st_ref[ST_WK + o:ST_WK + o + 1, :] = mtrk_ref[0, pl.ds(r, 1), :]
+        st_ref[ST_WQ + o:ST_WQ + o + 1, :] = mk_ref[0, pl.ds(r, 1), :]
+
     def win_read():
         gb_i = smem_ref[SM_GBASE].astype(I32)
         r = jnp.clip(gb_i // 128, 0, M // 128 - 2)
-        s2 = jnp.concatenate([ms_ref[0, pl.ds(r, 1), :],
-                              ms_ref[0, pl.ds(r + 1, 1), :]], axis=0)
-        t2 = jnp.concatenate([mt_ref[0, pl.ds(r, 1), :],
-                              mt_ref[0, pl.ds(r + 1, 1), :]], axis=0)
-        k2 = jnp.concatenate([mtrk_ref[0, pl.ds(r, 1), :],
-                              mtrk_ref[0, pl.ds(r + 1, 1), :]], axis=0)
-        q2 = jnp.concatenate([mk_ref[0, pl.ds(r, 1), :],
-                              mk_ref[0, pl.ds(r + 1, 1), :]], axis=0)
+        s2 = st_ref[ST_WS:ST_WS + 2, :]
+        t2 = st_ref[ST_WT:ST_WT + 2, :]
+        k2 = st_ref[ST_WK:ST_WK + 2, :]
+        q2 = st_ref[ST_WQ:ST_WQ + 2, :]
         gpos = (r * 128 + row2 * 128 + lane2).astype(F32)
         return s2, t2, k2, q2, gpos
 
@@ -114,14 +126,10 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
         """Advance the window while its leading row is fully consumed."""
         for _ in range(2):
             s2, t2, k2, q2, gpos = win_read()
-            kvis = st_ref[ST_KVIS:ST_KVIS + 1, :]
             tk = k2.astype(I32)
-            kv_e = zf[0:1] * 0.0
             kv_e2 = jnp.zeros((2, 128), F32)
             for t in range(T):
-                kv_e2 = jnp.where(tk == t,
-                                  jnp.sum(jnp.where(lane_t == t, kvis, 0.0)),
-                                  kv_e2)
+                kv_e2 = jnp.where(tk == t, smem_ref[SM_KV + t], kv_e2)
             row0_done = jnp.sum(jnp.where(
                 (row2 == 0) & (gpos < nent) & (q2 >= kv_e2), 1.0, 0.0))
             gb = smem_ref[SM_GBASE]
@@ -129,26 +137,49 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
             @pl.when((row0_done == 0.0) & (gb + 256.0 < nent))
             def _():
                 smem_ref[SM_GBASE] = gb + 128.0
+                # slide: cached row1 -> row0, fetch the new row1
+                st_ref[ST_WS:ST_WS + 1, :] = st_ref[ST_WS + 1:ST_WS + 2, :]
+                st_ref[ST_WT:ST_WT + 1, :] = st_ref[ST_WT + 1:ST_WT + 2, :]
+                st_ref[ST_WK:ST_WK + 1, :] = st_ref[ST_WK + 1:ST_WK + 2, :]
+                st_ref[ST_WQ:ST_WQ + 1, :] = st_ref[ST_WQ + 1:ST_WQ + 2, :]
+                win_fill(1)
 
     def consume(s_z_f, t_lc_in, b_in, post0):
         """One consume round. Updates kvis; returns per-track info +
         packed counts + realigned clock."""
         s2, t2, k2, q2, gpos = win_read()
-        kvis = st_ref[ST_KVIS:ST_KVIS + 1, :]
         tk = k2.astype(I32)
         tk5 = jnp.maximum(tk - 5, 0)
         kv_e2 = jnp.zeros((2, 128), F32)
         for t in range(T):
-            kv_e2 = jnp.where(tk == t,
-                              jnp.sum(jnp.where(lane_t == t, kvis, 0.0)),
-                              kv_e2)
+            kv_e2 = jnp.where(tk == t, smem_ref[SM_KV + t], kv_e2)
         cand = (q2 >= kv_e2) & (s2 < s_z_f) & (gpos < nent)
         grp0 = jnp.where(cand & (tk < 5), 1 << (6 * tk), 0)
         grp1 = jnp.where(cand & (tk >= 5), 1 << (6 * tk5), 0)
-        pre0 = prefix2(grp0)
-        pre1 = prefix2(grp1)
-        rank = jnp.where(tk < 5, (pre0 >> (6 * tk)) & 63,
-                         (pre1 >> (6 * tk5)) & 63)
+        # candidate counts per track (2 reduces); the expensive per-track
+        # RANK prefix runs only when some track has 2+ candidates in the
+        # window -- on clean tapes almost never
+        tot0 = jnp.sum(grp0)
+        tot1 = jnp.sum(grp1)
+        multi = jnp.bool_(False)
+        for t in range(9):
+            c_t = jnp.where(t < 5, (tot0 >> (6 * t)) & 63,
+                            (tot1 >> (6 * (t - 5))) & 63)
+            multi = multi | (c_t >= 2)
+
+        @pl.when(multi)
+        def _():
+            pre0 = prefix2(grp0)
+            pre1 = prefix2(grp1)
+            rk = jnp.where(tk < 5, (pre0 >> (6 * tk)) & 63,
+                           (pre1 >> (6 * tk5)) & 63)
+            st_ref[ST_RANK:ST_RANK + 2, :] = rk.astype(F32)
+
+        @pl.when(jnp.logical_not(multi))
+        def _():
+            st_ref[ST_RANK:ST_RANK + 2, :] = jnp.zeros((2, 128), F32)
+
+        rank = st_ref[ST_RANK:ST_RANK + 2, :].astype(I32)
         # the XLA scan's consume checks FOUR positions: up to 3 get bit
         # writes but kvis/dc advance past a 4th "seen" transition (which
         # also sets the overflow flag); ranks >= 4 wait for the next round
@@ -166,12 +197,14 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
         n_new = jnp.where(lane_t < 5, (cp0 >> (4 * lane_t)) & 15,
                           (cp1 >> (4 * jnp.maximum(lane_t - 5, 0))) & 15)
         n_new = jnp.where(active_t, n_new, 0).astype(F32)
-        st_ref[ST_KVIS:ST_KVIS + 1, :] = kvis + n_new
+        for t in range(T):
+            cnt_t = jnp.where(t < 5, (cp0 >> (4 * t)) & 15,
+                              (cp1 >> (4 * max(t - 5, 0))) & 15)
+            smem_ref[SM_KV + t] = smem_ref[SM_KV + t] + cnt_t.astype(F32)
 
         n_by_entry = jnp.where(tk < 5, (cp0 >> (4 * tk)) & 15,
                                (cp1 >> (4 * tk5)) & 15)
         m_last = take & (rank == n_by_entry - 1)
-        m_prev = take & (rank == n_by_entry - 2)
 
         def to_track_lanes(mask, val):
             out = zf
@@ -181,7 +214,18 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
             return out
 
         newest = to_track_lanes(m_last, t2)
-        second = to_track_lanes(m_prev, t2)
+
+        @pl.when(multi)
+        def _():
+            m_prev = take & (rank == n_by_entry - 2)
+            st_ref[ST_SECOND:ST_SECOND + 1, :] = \
+                to_track_lanes(m_prev, t2)
+
+        @pl.when(jnp.logical_not(multi))
+        def _():
+            st_ref[ST_SECOND:ST_SECOND + 1, :] = zf
+
+        second = st_ref[ST_SECOND:ST_SECOND + 1, :]
 
         t_max = jnp.max(jnp.where(take & (rank < 3), t2, NEG_T))
         realign = ((post0 > 0.0) & (t_max > NEG_T / 2) &
@@ -210,7 +254,10 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
         st_ref[ST_LP:ST_LP + 1, :] = zf + NEG_T
         st_ref[ST_PV:ST_PV + 1, :] = zf + NEG_T
         st_ref[ST_RING:ST_RING + 1, :] = zf + jnp.float32(spb)
-        st_ref[ST_KVIS:ST_KVIS + 1, :] = zf
+        for t in range(T):
+            smem_ref[SM_KV + t] = 0.0
+        win_fill(0)
+        win_fill(1)
 
     for cc in range(CH):
         was_done = smem_ref[SM_DONE] >= 0.5      # read ONCE: the live body
@@ -234,17 +281,46 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
             pv = jnp.where(r1["n_new"] >= 2.0, r1["second"],
                            jnp.where(had1, lp, pv))
             lp = jnp.where(had1, r1["newest"], lp)
-
-            maybe_shift()
-            s_z1 = jnp.floor(r1["t_lc"] + 2.0 * b0) + 1.0
-            r2 = consume(jnp.minimum(s_z1, jnp.float32(S)), r1["t_lc"],
-                         b0, post0)
-            had2 = r2["n_new"] >= 1.0
-            pv = jnp.where(r2["n_new"] >= 2.0, r2["second"],
-                           jnp.where(had2, lp, pv))
-            lp = jnp.where(had2, r2["newest"], lp)
             st_ref[ST_LP:ST_LP + 1, :] = lp
             st_ref[ST_PV:ST_PV + 1, :] = pv
+
+            s_z1 = jnp.floor(r1["t_lc"] + 2.0 * b0) + 1.0
+            need2 = (s_z1 > s_z0) | r1["ovf"]
+
+            @pl.when(need2)
+            def _():
+                maybe_shift()
+                r2 = consume(jnp.minimum(s_z1, jnp.float32(S)),
+                             r1["t_lc"], b0, post0)
+                lp_ = st_ref[ST_LP:ST_LP + 1, :]
+                pv_ = st_ref[ST_PV:ST_PV + 1, :]
+                had2 = r2["n_new"] >= 1.0
+                pv_ = jnp.where(r2["n_new"] >= 2.0, r2["second"],
+                                jnp.where(had2, lp_, pv_))
+                lp_ = jnp.where(had2, r2["newest"], lp_)
+                st_ref[ST_LP:ST_LP + 1, :] = lp_
+                st_ref[ST_PV:ST_PV + 1, :] = pv_
+                st_ref[ST_R2:ST_R2 + 1, :] = jnp.where(
+                    lane == 0, r2["t_lc"],
+                    jnp.where(lane == 1, r2["p0"],
+                              jnp.where(lane == 2, r2["p1"],
+                                        jnp.where(lane == 3,
+                                                  jnp.where(r2["ovf"], 1.0,
+                                                            0.0), zf))))
+
+            @pl.when(jnp.logical_not(need2))
+            def _():
+                st_ref[ST_R2:ST_R2 + 1, :] = jnp.where(
+                    lane == 0, r1["t_lc"], zf)
+
+            r2row = st_ref[ST_R2:ST_R2 + 1, :]
+            r2 = dict(
+                t_lc=jnp.sum(jnp.where(lane == 0, r2row, 0.0)),
+                p0=jnp.sum(jnp.where(lane == 1, r2row, 0.0)),
+                p1=jnp.sum(jnp.where(lane == 2, r2row, 0.0)),
+                ovf=jnp.sum(jnp.where(lane == 3, r2row, 0.0)) > 0.5)
+            lp = st_ref[ST_LP:ST_LP + 1, :]
+            pv = st_ref[ST_PV:ST_PV + 1, :]
             t_lc2 = r2["t_lc"]
             past_end = s_z1 >= jnp.float32(S)
 
@@ -341,16 +417,15 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
 
     @pl.when(chunk == n_chunks - 1)
     def _():
-        kvis = st_ref[ST_KVIS:ST_KVIS + 1, :]
+        kvis_v = zf
+        for t in range(T):
+            kvis_v = jnp.where(lane == 8 + t, smem_ref[SM_KV + t], kvis_v)
         scal_ref[0, 0:1, :] = jnp.where(
             lane == 0, smem_ref[SM_ENDED],
             jnp.where(lane == 1, smem_ref[SM_OVF],
                       jnp.where(lane == 2, smem_ref[SM_ENDS],
                                 jnp.where(lane == 3, smem_ref[SM_NSLOT],
-                                          jnp.where((lane >= 8) &
-                                                    (lane < 8 + T),
-                                                    pltpu.roll(kvis, 8, 1),
-                                                    zf)))))
+                                          kvis_v))))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -389,7 +464,7 @@ def nrzi_slot_scan_pallas_raw(ms, mt, mtrk, mk, nent, *, S, T, M,
             jax.ShapeDtypeStruct((B * P, 1, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((N_ST, 128), jnp.float32),
             pltpu.SMEM((N_SM,), jnp.float32),
         ],
         interpret=interpret,
@@ -409,7 +484,10 @@ def nrzi_slot_scan_pallas_raw(ms, mt, mtrk, mk, nent, *, S, T, M,
 def slot_stream_prepare(tr_s, tr_t, counts, M: int):
     """Per (parmset) lane: [T, K] transition buffers -> time-sorted merged
     stream. Returns (ms, mt, mtrk, mk, nent) with [M] entries (BIG_S
-    padding), where mk is each entry's per-track sequence number."""
+    padding), where mk is each entry's per-track sequence number.
+    (A searchsorted-based 9-way merge was measured 3x SLOWER than the
+    bitonic sort on the v5e -- vmapped searchsorted lowers to scalar
+    gathers.)"""
     T, K = tr_s.shape
     valid = jnp.arange(K)[None, :] < counts[:, None]
     key = jnp.where(valid, tr_s * 16 + jnp.arange(T, dtype=I32)[:, None],
