@@ -694,17 +694,23 @@ class TapeDecoder:
         # allows indefinite per-track idle; its blocks end via the global
         # clock's post counter, handled by the multi-block slot scan.
         blank = 0
+        # During density auto-detection (readtape.c:1656-1672 runs the
+        # normal reader with bpi still 0) the bit spacing is unknown;
+        # segment with a provisional mid-range density -- detection only
+        # needs active regions, not exact block boundaries.
+        spb = (opts.spb if opts.bpi > 0
+               else 1.0 / (1600.0 * opts.ips * opts.deltat))
         if opts.mode == tb.MODE_PE:
-            min_gap_secs = cm.PE_IDLE_FACTOR * opts.spb * opts.deltat
+            min_gap_secs = cm.PE_IDLE_FACTOR * spb * opts.deltat
             # idle horizon + PE_IBG_SECS samples are blanked after a block
-            blank = int(cm.PE_IDLE_FACTOR * opts.spb +
+            blank = int(cm.PE_IDLE_FACTOR * spb +
                         cm.PE_IBG_SECS / opts.deltat)
         elif opts.mode == tb.MODE_GCR:
-            min_gap_secs = cm.GCR_IDLE_THRESH * opts.spb * opts.deltat
-            blank = int(cm.GCR_IDLE_THRESH * opts.spb +
+            min_gap_secs = cm.GCR_IDLE_THRESH * spb * opts.deltat
+            blank = int(cm.GCR_IDLE_THRESH * spb +
                         cm.GCR_IBG_SECS / opts.deltat)
         else:
-            min_gap_secs = max(20 * opts.spb * opts.deltat, 0.0015)
+            min_gap_secs = max(20 * spb * opts.deltat, 0.0015)
         min_gap_chunks = max(2, int(min_gap_secs / (opts.deltat * seg.CHUNK)))
         # post margin = the mode's idle-detection horizon (see decoder.h:
         # PE_IDLE_FACTOR 2.5 bits, GCR_IDLE_THRESH 6 bits; NRZI needs ~10
@@ -713,8 +719,8 @@ class TapeDecoder:
                      tb.MODE_NRZI: 13.0, tb.MODE_WW: 3.0}[opts.mode]
         return seg.find_segments(
             act, min_gap_chunks, self.n_samples,
-            pre_margin=int(2 * opts.spb),
-            post_margin=int(post_bits * opts.spb),
+            pre_margin=int(2 * spb),
+            post_margin=int(post_bits * spb),
             blank=blank)
 
     # ---- per-segment decode ----

@@ -221,3 +221,57 @@ def test_cli_csv_high_amplitude_tap_identical(oracle, tmp_path):
     import struct
     n = struct.unpack("<I", ours[:4])[0]
     assert ours[4:4 + n] == blocks[0]
+
+
+def test_cli_nrzi_correct_tap_identical(oracle, tmp_path):
+    """-correct (NRZI): the AGC-keyed single-track flip on parity errors
+    (decode_nrzi.c:116-140). A noisy tape exercises the correction path;
+    output must stay byte-identical to the C."""
+    rng = np.random.default_rng(67)
+    blocks = [bytes(rng.integers(0, 256, 150, dtype=np.uint8))
+              for _ in range(3)]
+    spec = default_spec(tb.MODE_NRZI, noise_rms=0.04, amp_jitter=0.08)
+    hdr, samples = synthesize_tape(
+        spec, [("block", b) for b in blocks])
+    tb.write_tbin(str(tmp_path / "c.tbin"), hdr, samples)
+    (tmp_path / "ref").mkdir()
+    (tmp_path / "ours").mkdir()
+    args = ["-v", "-m", "-nrzi", "-bpi=800", "-ips=50", "-correct", "-tap"]
+    r1 = subprocess.run([oracle] + args + ["-outp=ref/", "c.tbin"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-outp=ours/", "c.tbin"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert (tmp_path / "ref" / "c.tap").read_bytes() == \
+        (tmp_path / "ours" / "c.tap").read_bytes()
+
+
+def test_cli_density_autodetect_tap_identical(oracle, tmp_path):
+    """No -bpi: density auto-detection from the transition-delta histogram
+    (decoder.c:329-394) must pick the same standard density and produce
+    identical output."""
+    rng = np.random.default_rng(71)
+    blocks = [bytes(rng.integers(0, 256, 120, dtype=np.uint8))]
+    hdr, samples = synthesize_tape(
+        default_spec(tb.MODE_NRZI), [("block", blocks[0]), ("tapemark",)])
+    hdr.bpi = 0.0                       # force detection in both engines
+    tb.write_tbin(str(tmp_path / "d.tbin"), hdr, samples)
+    (tmp_path / "ref").mkdir()
+    (tmp_path / "ours").mkdir()
+    args = ["-v", "-m", "-nrzi", "-ips=50", "-tap"]
+    r1 = subprocess.run([oracle] + args + ["-outp=ref/", "d.tbin"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    assert "density" in (r1.stdout + r1.stderr).lower()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-outp=ours/", "d.tbin"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert (tmp_path / "ref" / "d.tap").read_bytes() == \
+        (tmp_path / "ours" / "d.tap").read_bytes()
