@@ -31,19 +31,30 @@ def main():
     from readtape_tpu.synth import default_spec, synthesize_tape
     from readtape_tpu.decode.pipeline import DecodeOptions, decode_tape
 
-    rng = np.random.default_rng(2026)
     nblocks = int(os.environ.get("BENCH_BLOCKS", "160"))
     blocksize = int(os.environ.get("BENCH_BLOCKSIZE", "1200"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     spec = default_spec(tb.MODE_NRZI, ibg_secs=0.005, start_gap_secs=0.005)
-    blocks = [bytes(rng.integers(0, 256, blocksize, dtype=np.uint8))
-              for _ in range(nblocks)]
-    items = [("block", b) for b in blocks]
-    items.insert(nblocks // 2, ("tapemark",))
-    items.append(("tapemark",))
+
+    # one FRESH tape per timed rep (distinct data AND distinct waveform
+    # noise): the axon relay dedup-caches identical program+data uploads,
+    # so repeated decodes of one tape flatter the upload term.  Shapes are
+    # identical across tapes, so compilation is still amortized by warmup.
+    def make_tape(seed):
+        rng = np.random.default_rng(seed)
+        blocks = [bytes(rng.integers(0, 256, blocksize, dtype=np.uint8))
+                  for _ in range(nblocks)]
+        items = [("block", b) for b in blocks]
+        items.insert(nblocks // 2, ("tapemark",))
+        items.append(("tapemark",))
+        hdr, samples = synthesize_tape(replace(spec, seed=seed), items)
+        return blocks, hdr, samples
+
     t_synth = time.perf_counter()
-    hdr, samples = synthesize_tape(spec, items)
+    tapes = [make_tape(2026 + i) for i in range(1 + reps)]
+    blocks, hdr, samples = tapes[0]
     nsamples = samples.shape[0]
-    print(f"# synthesized {nsamples:,} samples in "
+    print(f"# synthesized {1 + reps} tapes of {nsamples:,} samples in "
           f"{time.perf_counter() - t_synth:.1f}s", file=sys.stderr, flush=True)
 
     opts = DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,

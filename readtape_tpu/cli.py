@@ -428,6 +428,13 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
 
     if o.ips < 0:
         o.ips = 50.0
+    if o.find_zeros and o.mode not in (MODE_NRZI, MODE_GCR):
+        # the reference accepts -zeros for any mode, but PE/Whirlwind
+        # zero-crossing decodes need the per-track clock coupling that
+        # only the GCR/NRZI paths implement here; fail loudly instead of
+        # silently decoding with peaks
+        fatal(f"-zeros is not supported for {MODE_NAME[o.mode]} "
+              "(only NRZI and GCR)")
     if o.mode == MODE_GCR:
         if o.bpi != 9042:
             log.info("BPI was reset to 9042 for GCR 6250")
@@ -604,11 +611,16 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
                     not o.quiet and (blk.errcount or blk.warncount)):
                 ag = blk.detail.get("alltrk_min_agc", 0)
                 ag2 = blk.detail.get("alltrk_max_agc", 0)
+                # min gain left at its FLT_MAX init means AGC never
+                # adjusted (e.g. -zeros); the C then shows only the max
+                # (readtape.c:1285-1287)
+                agc_txt = (f"max AGC {ag2:.2f}" if ag >= 1e38
+                           else f"AGC {ag:.2f}-{ag2:.2f}")
                 sp = blk.detail.get("avg_bit_spacing", 0) * dopts.deltat
                 speed = 1.0 / (sp * dopts.bpi) if sp > 0 else 0.0
                 log(f"wrote block {numblks:3d}, {len(blk.data):4d} bytes, "
                     f"{blk.tries} {'tries' if blk.tries > 1 else 'try'}, "
-                    f"parmset {blk.parmset}, AGC {ag:.2f}-{ag2:.2f}, "
+                    f"parmset {blk.parmset}, {agc_txt}, "
                     f"{format_block_errors(blk)}, avg speed {speed:.2f} IPS "
                     f"at time {blk.t_end:.8f}")
 

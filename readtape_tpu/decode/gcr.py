@@ -224,125 +224,240 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
 def zerocross_transitions(v: jnp.ndarray, spb, cap: int,
                           differentiated: bool, seg_len=None,
                           lead_len=None):
-    """[T, S] -> per-track transition lists (t [T,cap], valid, is_top, counts).
+    """[T, S] -> per-track transition lists, exact to the reference's
+    per-sample state machines.
 
-    Plain (decoder.c:617-649): a crossing is confirmed when the preceding
-    excursion exceeded ZEROCROSS_PEAK and the following excursion attains it
-    within ZEROCROSS_SLOPE bit times.
-    Differentiated (decoder.c:654-683): a crossing fires at the midpoint of
-    the exact-zero run separating excursions that attained the threshold.
+    Plain (decoder.c:617-649, lookfor_zerocrossing): a crossing arms a
+    pending transition only if the accumulated opposite extremum (v_top /
+    v_bot, which persist across noise wiggles and reset only when the
+    OPPOSITE crossing confirms) exceeded ZEROCROSS_PEAK; the pending
+    confirms at the first strict new maximum above both the running
+    same-sign extremum and ZEROCROSS_PEAK within the same excursion
+    (crossing back cancels it).  Confirmation consumes the pending and
+    resets the opposite extremum regardless of the slope test; the slope
+    test (conf_time - cross_time <= t_bitspaceavg * ZEROCROSS_SLOPE,
+    against the track's LIVE clock) only gates emission, so it is applied
+    downstream (in-scan for GCR, statically for NRZI).  The returned `dt`
+    lane carries the confirmation lag for that gate; `det` is the
+    confirmation sample -- the moment the C calls process_up/down_
+    transition, which is the event order the NRZI global scan needs.
+
+    The state machine is phase-level: a "phase" is a maximal run of
+    same-sign samples with exact zeros transparent (zeros update nothing
+    in the C).  Pendings never survive an opposite-sign sample, so they
+    are per-phase; the only cross-phase state is the running extremum
+    pair, a 2-scalar lax.scan.  A phase whose own extremum is <=
+    ZEROCROSS_PEAK is provably transparent: it cannot confirm (the
+    threshold is >= PEAK), cannot tip the arming test (which compares the
+    OPPOSITE carry against PEAK strictly), and its carry contribution
+    never lifts any max(carry, PEAK) term -- so only SIGNIFICANT phases
+    (extremum > PEAK) are enumerated, bounding the list by signal
+    density instead of noise sign-flip density.  Confirmation points are
+    recovered data-parallel from the per-phase thresholds afterwards.
+
+    Differentiated (decoder.c:654-683): a crossing fires iff the
+    immediately preceding opposite phase attained the threshold (the
+    pending is consumed by the first opposite-sign sample, so there is no
+    long-range memory), at the midpoint of the zeros recorded after the
+    phase's last attaining sample, or at crossing - 0.5 samples if none.
+    Only firing crossings are listed (same noise-density argument).
+
+    Residual vs the C: segments decode with zeroed extremum carries, so
+    the first confirmation of a segment can use a lower threshold than
+    the C reaches with carries from the previous block's tail; segment
+    margins are quiet, so this lands in the block preamble.
     """
     T, S = v.shape
-    sign = jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0)).astype(jnp.int8)
-    nz = sign != 0
-    if differentiated:
-        # pending survives exact-zero runs (decoder.c:654-683): crossing at
-        # the first nonzero sample whose sign differs from the last nonzero
-        # (forward-fill as a log-depth associative scan, not an S-step one)
-        prev_sign = jax.lax.associative_scan(
-            lambda a, b: jnp.where(b != 0, b, a), sign, axis=1)
-        shifted = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
-                                   prev_sign[:, :-1]], axis=1)
-    else:
-        # plain variant compares against the literal previous sample
-        # (decoder.c:631,645: v_prev), so exact zeros block detection
-        shifted = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
-                                   sign[:, :-1]], axis=1)
-    crossing = nz & (shifted != 0) & (sign != shifted)
-    if seg_len is not None:   # bucket tail past the segment: not scanned
-        crossing = crossing & (jnp.arange(S, dtype=I32)[None, :] < seg_len)
-    if lead_len is not None:  # window-warmup lead: not eligible either
-        crossing = crossing & (jnp.arange(S, dtype=I32)[None, :] >= lead_len)
-    seg_id = jnp.cumsum(crossing, axis=1)               # [T, S]
-
-    # per-segment extremum of |v| and first sample attaining the threshold
-    nseg = cap + 2
-    seg_c = jnp.minimum(seg_id, nseg - 1)
-    absv = jnp.abs(v)
-    seg_max = jnp.zeros((T, nseg), F32)
-    seg_max = jax.vmap(lambda m, i, a: m.at[i].max(a))(seg_max, seg_c, absv)
-    attain = absv >= ZEROCROSS_PEAK
     idxs = jnp.broadcast_to(jnp.arange(S, dtype=I32), (T, S))
-    seg_attain = jnp.full((T, nseg), S, I32)
-    seg_attain = jax.vmap(lambda m, i, a: m.at[i].min(a))(
-        seg_attain, jnp.where(attain, seg_c, nseg - 1), idxs)
+    elig = jnp.ones((T, S), bool)
+    if seg_len is not None:
+        elig = elig & (idxs < seg_len)
+    if lead_len is not None:
+        elig = elig & (idxs >= lead_len)
+    vv = jnp.where(elig, v, 0.0)
+    sgn = jnp.where(vv > 0, 1, jnp.where(vv < 0, -1, 0)).astype(jnp.int8)
+    nz = sgn != 0
+    amp = jnp.abs(vv)
+    att = amp > ZEROCROSS_PEAK                  # strict, c.626/640/665/678
 
-    # compact crossing positions (ascending) to [T, cap]
-    cross_pos = jnp.where(crossing, idxs, S)
-    pos_rank = jnp.cumsum(crossing, axis=1) - 1
-    scat = jnp.where(crossing, jnp.minimum(pos_rank, cap - 1), cap)
-    cpos = jnp.full((T, cap + 1), S, I32)
-    cpos = jax.vmap(lambda o, st_, v_: o.at[st_].set(v_, mode="drop"))(
-        cpos, scat, jnp.broadcast_to(idxs, (T, S)))
-    ncross = jnp.sum(crossing, axis=1)
-    cpos = cpos[:, :cap]
-    valid = cpos < S
-    cpos_c = jnp.minimum(cpos, S - 1)
-    csign = jnp.take_along_axis(sign, cpos_c, axis=1).astype(I32)
-    cseg = jnp.take_along_axis(seg_c, cpos_c, axis=1)        # segment after
-
-    cur_max = jnp.take_along_axis(seg_max, cseg, axis=1)
-    att = jnp.take_along_axis(seg_attain, cseg, axis=1)
-    attaining = valid & (cur_max > ZEROCROSS_PEAK)
-
-    # "pending" memory: the latest ATTAINING segment before this crossing
-    # must have the opposite sign (mirrors v_top/v_bot excursion tracking
-    # with pending set/cancel across noise wiggles, decoder.c:617-683).
-    # Segment 0 (before the first crossing) seeds the memory: e.g. a
-    # differentiated pulse's leading lobe arms its own trailing crossing.
-    first_nz = jnp.argmax(nz, axis=1)
-    sign0 = jnp.take_along_axis(
-        sign.astype(I32), first_nz[:, None], axis=1)[:, 0]
-    seed = jnp.where(seg_max[:, 0] > ZEROCROSS_PEAK, sign0, 0)[:, None]
-    marks = jnp.where(attaining, csign, 0)
-    def keep_last(a, b):
-        return jnp.where(b != 0, b, a)
-    latest_incl = jax.lax.associative_scan(
-        keep_last, jnp.concatenate([seed, marks], axis=1), axis=1)
-    latest_before = latest_incl[:, :-1]
-    opposite_ok = latest_before == -csign
+    def seg_or(flags, start):
+        """Segmented inclusive or-scan (start marks segment heads)."""
+        def op(x, y):
+            sa, va = x
+            sb, vb = y
+            return (sa | sb, jnp.where(sb, vb, va | vb))
+        _, out = jax.lax.associative_scan(op, (start, flags), axis=1)
+        return out
 
     if differentiated:
-        # transition time = midpoint of the exact-zero run at the crossing:
-        # run length ending at i = i - (last non-zero index <= i), with the
-        # latter a log-depth cummax
-        z = sign == 0
-        last_nonzero = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(~z, idxs, -1), axis=1)
-        runs = idxs - last_nonzero
-        nzrun = jnp.take_along_axis(runs, jnp.maximum(cpos_c - 1, 0), axis=1)
-        t_first = (cpos_c - nzrun).astype(F32)
-        t_last = (cpos_c - 1).astype(F32)
-        t_trans = jnp.where(nzrun > 0, (t_first + t_last) / 2,
-                            cpos_c.astype(F32) - 0.5)
-        ok = valid & opposite_ok
-        det_s = cpos_c
-    else:
-        t_trans = cpos_c.astype(F32)
-        ok = (attaining & opposite_ok &
-              ((att - cpos_c).astype(F32) <= spb * ZEROCROSS_SLOPE))
-        det_s = att
+        # crossing: first nonzero sample whose sign differs from the last
+        # nonzero sample (pending survives exact-zero runs)
+        ff = jax.lax.associative_scan(
+            lambda x, y: jnp.where(y != 0, y, x), sgn, axis=1)
+        ff_excl = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
+                                   ff[:, :-1]], axis=1)
+        crossing = nz & (ff_excl != 0) & (sgn != ff_excl)
+        # a crossing fires iff its whole preceding segment (= the
+        # inclusive attain-prefix at the sample just before it) attained
+        pre_any = seg_or(att, crossing)
+        pre_prev = jnp.concatenate([jnp.zeros((T, 1), bool),
+                                    pre_any[:, :-1]], axis=1)
+        keep = crossing & pre_prev
+        # zero-run window: zeros after the segment's last attaining sample
+        last_att = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(att, idxs, -1), axis=1)
+        la_prev = jnp.concatenate([jnp.full((T, 1), -1, I32),
+                                   last_att[:, :-1]], axis=1)
+        is_zero = sgn == 0
+        next_zero = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(is_zero, idxs, S)[:, ::-1],
+            axis=1)[:, ::-1]
+        last_zero = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_zero, idxs, -1), axis=1)
+        lz_prev = jnp.concatenate([jnp.full((T, 1), -1, I32),
+                                   last_zero[:, :-1]], axis=1)
 
-    is_top = csign > 0
-    return dict(t=t_trans, ok=ok, is_top=is_top, det_s=det_s, valid=valid,
-                overflow=jnp.any(ncross > cap))
+        cnt = jnp.cumsum(keep.astype(I32), axis=1)
+        nkept = cnt[:, -1]
+        scat = jnp.where(keep, jnp.minimum(cnt - 1, cap - 1), cap)
+        def compact(x, fill):
+            o = jnp.full((T, cap + 1), fill, x.dtype)
+            return jax.vmap(lambda oo, ii, xx: oo.at[ii].set(
+                xx, mode="drop"))(o, scat, x)[:, :cap]
+        cpos = compact(idxs, S)
+        valid = cpos < S
+        cpos_c = jnp.minimum(cpos, S - 1)
+        csign = jnp.take_along_axis(sgn, cpos_c, axis=1).astype(I32)
+        la = jnp.take_along_axis(la_prev, cpos_c, axis=1)
+        zf = jnp.take_along_axis(
+            next_zero, jnp.minimum(la + 1, S - 1), axis=1)
+        zl = jnp.take_along_axis(lz_prev, cpos_c, axis=1)
+        has_zero = (zf < cpos_c) & (zl >= zf)
+        t_trans = jnp.where(has_zero,
+                            (zf.astype(F32) + zl.astype(F32)) / 2,
+                            cpos_c.astype(F32) - 0.5)
+        return dict(t=t_trans, ok=valid, dt=jnp.zeros_like(t_trans),
+                    det=cpos_c, is_top=csign > 0, valid=valid,
+                    overflow=jnp.any(nkept > cap))
+
+    # ---- plain variant: exact pending/extremum machine over phases ----
+    # phase = maximal same-sign run, zeros transparent
+    sgn_prev = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
+                                sgn[:, :-1]], axis=1)
+    ff = jax.lax.associative_scan(
+        lambda x, y: jnp.where(y != 0, y, x), sgn, axis=1)
+    ff_excl = jnp.concatenate([jnp.zeros((T, 1), jnp.int8),
+                               ff[:, :-1]], axis=1)
+    phase_start = nz & (ff_excl != sgn)
+    # pending is armed only on a literal adjacent sign flip (c.631: v_prev)
+    strict = nz & (sgn_prev == (-sgn).astype(jnp.int8))
+    # significant phases only (see docstring)
+    fwd_any = seg_or(att, phase_start)
+    phase_end = jnp.concatenate([phase_start[:, 1:],
+                                 jnp.ones((T, 1), bool)], axis=1)
+    bwd_any = seg_or(att[:, ::-1], phase_end[:, ::-1])[:, ::-1]
+    sig_start = phase_start & (fwd_any | bwd_any)
+    sid = jnp.cumsum(sig_start, axis=1)                    # 0 before first
+    nph = cap + 2
+    sc = jnp.minimum(sid, nph - 1)
+
+    ph_a = jnp.full((T, nph), S, I32)
+    ph_a = jax.vmap(lambda m, i, x: m.at[i].min(x))(
+        ph_a, jnp.where(sig_start, sc, nph - 1),
+        jnp.where(sig_start, idxs, S))
+    ph_flip = jnp.zeros((T, nph), bool)
+    ph_flip = jax.vmap(lambda m, i, x: m.at[i].max(x))(
+        ph_flip, jnp.where(sig_start, sc, nph - 1), strict & sig_start)
+    ph_sig = jnp.zeros((T, nph), jnp.int8)
+    ph_sig = jax.vmap(lambda m, i, x: m.at[i].add(x))(
+        ph_sig, jnp.where(sig_start, sc, nph - 1),
+        jnp.where(sig_start, sgn, 0))
+    # the bucket sweeps until the next significant phase; extra samples
+    # are all <= PEAK < the phase's own extremum, so max/exceed are safe
+    ph_max = jnp.zeros((T, nph), F32)
+    ph_max = jax.vmap(lambda m, i, x: m.at[i].max(x))(ph_max, sc, amp)
+    ph_va = jnp.zeros((T, nph), F32)
+    ph_va = jax.vmap(lambda m, i, x: m.at[i].add(x))(
+        ph_va, jnp.where(sig_start, sc, nph - 1),
+        jnp.where(sig_start, amp, 0.0))
+
+    def phase_step(carry, x):
+        ct, cbm = carry             # running extrema magnitudes (v_top,-v_bot)
+        sig, flip, M, va = x
+        is_pos = sig > 0
+        # the C updates the same-sign extremum at the flip sample with the
+        # pending still false, THEN arms it (decoder.c:622-634), so the
+        # flip sample itself never confirms: threshold includes va
+        own = jnp.where(is_pos, ct, cbm)
+        opp = jnp.where(is_pos, cbm, ct)
+        pend = flip & (opp > ZEROCROSS_PEAK)
+        thresh = jnp.maximum(jnp.maximum(own, va), ZEROCROSS_PEAK)
+        conf = pend & (M > thresh)
+        own2 = jnp.maximum(own, M)
+        opp2 = jnp.where(conf, 0.0, opp)   # confirm resets the opposite
+        ct2 = jnp.where(is_pos, own2, opp2)
+        cbm2 = jnp.where(is_pos, opp2, own2)
+        nzp = sig != 0
+        ct2 = jnp.where(nzp, ct2, ct)
+        cbm2 = jnp.where(nzp, cbm2, cbm)
+        return (ct2, cbm2), (conf, thresh)
+
+    def one_track(sig, flip, M, va):
+        (_, _), (conf, thr) = jax.lax.scan(
+            phase_step, (F32(0.0), F32(0.0)), (sig, flip, M, va))
+        return conf, thr
+    conf, thr = jax.vmap(one_track)(ph_sig, ph_flip, ph_max, ph_va)
+
+    # confirmation point: first sample in the phase strictly above the
+    # phase threshold (any earlier sample was <= it, so this is the first
+    # strict new max above max(v_top, ZEROCROSS_PEAK))
+    thr_g = jnp.take_along_axis(thr, sc, axis=1)
+    conf_g = jnp.take_along_axis(conf, sc, axis=1)
+    exceed = conf_g & (amp > thr_g) & nz
+    ph_j = jnp.full((T, nph), S, I32)
+    ph_j = jax.vmap(lambda m, i, x: m.at[i].min(x))(
+        ph_j, jnp.where(exceed, sc, nph - 1), jnp.where(exceed, idxs, S))
+
+    nphase = jnp.max(sid, axis=1)                           # [T]
+    prng = jnp.broadcast_to(jnp.arange(1, cap + 1, dtype=I32)[None, :],
+                            (T, cap))
+    valid = prng <= nphase[:, None]
+    a_l = jnp.take_along_axis(ph_a, prng, axis=1)
+    ok = jnp.take_along_axis(conf, prng, axis=1) & valid
+    j_l = jnp.take_along_axis(ph_j, prng, axis=1)
+    dt = jnp.where(ok, (j_l - a_l).astype(F32), 0.0)
+    t_trans = a_l.astype(F32)
+    is_top = jnp.take_along_axis(ph_sig, prng, axis=1) > 0
+    return dict(t=t_trans, ok=ok, dt=dt, det=jnp.minimum(j_l, S - 1),
+                is_top=is_top, valid=valid,
+                overflow=jnp.any(nphase > cap))
 
 
 @partial(jax.jit, static_argnames=("cap", "maxb"))
-def gcr_zeros_track_scan(trans_t, trans_ok, cap: int,
+def gcr_zeros_track_scan(trans_t, trans_ok, trans_dt, cap: int,
                          clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
                          spb, maxb: int):
-    """Bit recovery over an extracted zero-crossing transition list."""
+    """Bit recovery over an extracted zero-crossing transition list.
+
+    The plain -zeros slope test (decoder.c:629,643: confirmation must
+    come within ZEROCROSS_SLOPE bit times of the crossing) compares
+    against the track's LIVE clock, which the GCR bit logic adjusts as
+    bits decode -- so it is applied here inside the scan, where the
+    evolving t_bitspaceavg is at hand, not at extraction time.  A
+    slope-failed confirmation still consumed its pending upstream; here
+    it is simply not emitted."""
     def step(st, x):
-        t_this, ok = x
-        st2, wr = gcr_bit_step(st, ok, t_this, z1pt, z2pt, pulse_adj_parm,
+        t_this, ok, dtc = x
+        emit = ok & (dtc <= st["clkavg"]["t_bitspaceavg"] * ZEROCROSS_SLOPE)
+        st2, wr = gcr_bit_step(st, emit, t_this, z1pt, z2pt, pulse_adj_parm,
                                clk_window, clk_alpha, spb, maxb)
-        return st2, jnp.stack(wr)
+        return st2, (jnp.stack(wr), emit)
 
     init = gcr_bit_state_init(spb, maxb)
-    final, wrs = jax.lax.scan(step, init, (trans_t, trans_ok))
+    final, (wrs, emits) = jax.lax.scan(
+        step, init, (trans_t, trans_ok, trans_dt))
     final["bits"] = gcr_replay_bits(wrs, maxb)
-    final["peakcount"] = jnp.sum(trans_ok.astype(I32))
+    final["peakcount"] = jnp.sum(emits.astype(I32))
     final["max_agc_gain"] = F32(0.0)
     final["min_agc_gain"] = cm.FLT_MAX
     final["incomplete"] = jnp.bool_(False)

@@ -177,7 +177,7 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                          rise_floor, min_floor,
                          stat_leftbin, stat_binwidth,
                          *, S, T, P, nsteps, K, maxb, max_slots,
-                         Ws, do_correct, differentiate, spb_int,
+                         Ws, do_correct, find_zeros, differentiate, spb_int,
                          clk_ring=50, agc_ring=10):
     """v_i16: [T, S] int16 (S is the shared power-of-two bucket; only the
     first seg_len samples belong to this segment -- the rest is real tape
@@ -186,6 +186,48 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
     (stacked [P, ...])."""
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+
+    if find_zeros:
+        # -zeros for NRZI: transitions come from the zero-crossing state
+        # machines (decoder.c:617-683) instead of the peak window.  NRZI
+        # never adjusts the per-track clock (decode_nrzi.c touches only
+        # the GLOBAL nrzi.clkavg; t->clkavg stays at its 1/(bpi*ips)
+        # init, decoder.c:448), so the plain-variant ZEROCROSS_SLOPE gate
+        # (decoder.c:629) is static here.  AGC is off (decoder.c:501):
+        # every transition carries gain 1.  The global slot scan consumes
+        # events at their CONFIRMATION sample (where the C calls
+        # process_up/down_transition) with the crossing time as the
+        # transition time.
+        trans = gcr_mod.zerocross_transitions(
+            v, jnp.float32(spb), nsteps, differentiate, seg_len, lead_len)
+        zok = trans["ok"] & trans["valid"]
+        if not differentiate:
+            zok = zok & (trans["dt"]
+                         <= jnp.float32(spb) * gcr_mod.ZEROCROSS_SLOPE)
+        cnt = jnp.cumsum(zok.astype(I32), axis=1)
+        n_adm = cnt[:, -1]
+        scat = jnp.where(zok, jnp.minimum(cnt - 1, K - 1), K)
+        tr_s = jnp.full((T, K + 1), nrzi_mod.BIG_S, I32)
+        tr_s = jax.vmap(lambda o, i, x: o.at[i].set(x, mode="drop"))(
+            tr_s, scat, trans["det"])[:, :K]
+        tr_t = jnp.zeros((T, K + 1), F32)
+        tr_t = jax.vmap(lambda o, i, x: o.at[i].set(x, mode="drop"))(
+            tr_t, scat, trans["t"])[:, :K]
+        bcast = lambda x: jnp.broadcast_to(x, (P,) + x.shape)
+        finals = dict(
+            tr_s=bcast(tr_s), tr_t=bcast(tr_t),
+            tr_agc=jnp.ones((P, T, K), F32),
+            n_admitted=bcast(jnp.minimum(n_adm, K)),
+            # AGC is off under -zeros (adjust_agc's first line), but each
+            # track's first bit records agc_gain=1.0 as its max
+            # (decode_nrzi.c:149), so blocks report "max AGC 1.00"
+            max_agc_gain=jnp.ones((P, T), F32),
+            min_agc_gain=jnp.full((P, T), cm.FLT_MAX, F32),
+            incomplete=jnp.broadcast_to(
+                trans["overflow"] | (n_adm > K), (P, T)))
+        return _nrzi_globals(finals, pa, spb, expected_parity, revparity,
+                             do_correct, maxb, max_slots, T, S,
+                             stat_leftbin, stat_binwidth, clk_ring)
     nxt = _mask_jump_table(
         _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
 
@@ -217,6 +259,16 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
     finals["tr_t"] = jnp.where(keep, finals["tr_t"], 0.0)
     finals["tr_agc"] = jnp.where(keep, finals["tr_agc"], 1.0)
 
+    return _nrzi_globals(finals, pa, spb, expected_parity, revparity,
+                         do_correct, maxb, max_slots, T, S,
+                         stat_leftbin, stat_binwidth, clk_ring)
+
+
+def _nrzi_globals(finals, pa, spb, expected_parity, revparity, do_correct,
+                  maxb, max_slots, T, S, stat_leftbin, stat_binwidth,
+                  clk_ring):
+    """The per-parmset global slot scan over admitted transition lists
+    (shared by the peak and zero-crossing front ends)."""
     def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
         st = nrzi_mod.nrzi_slot_scan(
             ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
@@ -302,11 +354,12 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                                               lead_len)
         overflow = trans["overflow"]
         lane = jax.vmap(   # over tracks
-            lambda tt, ok, *p: gcr_mod.gcr_zeros_track_scan(
-                tt, ok, nsteps, *p, spb_f, maxb),
-            in_axes=(0, 0) + (None,) * 5)
+            lambda tt, ok, dtc, *p: gcr_mod.gcr_zeros_track_scan(
+                tt, ok, dtc, nsteps, *p, spb_f, maxb),
+            in_axes=(0, 0, 0) + (None,) * 5)
         finals = jax.vmap(  # over parmsets
-            lambda *p: lane(trans["t"], trans["ok"] & trans["valid"], *p)
+            lambda *p: lane(trans["t"], trans["ok"] & trans["valid"],
+                            trans["dt"], *p)
         )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
     else:
         nxt = _mask_jump_table(
@@ -460,6 +513,7 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
         base = partial(_nrzi_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
                        max_slots=max_slots, Ws=Ws, do_correct=do_correct,
+                       find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int,
                        clk_ring=clk_ring, agc_ring=agc_ring)
         n_in = 11
@@ -800,6 +854,7 @@ class TapeDecoder:
         # (whose AGC-keyed bit flip needs the full XLA slot scan).
         pallas_knobs = None
         if (opts.mode == tb.MODE_NRZI and _pallas_enabled()
+                and not opts.find_zeros
                 and S % 1024 == 0 and nparms <= 16
                 and 128 // (min(Ws) + 1) + 1 <= 32):
             track_knobs = tuple(
@@ -1360,7 +1415,62 @@ def _decode_tape_nrzi_like(samples, opts, log):
             _tlog(f"retry({len(retry)} segs) {_time.perf_counter()-t2:.2f}s")
 
     order = list(range(len(segs)))
-    decode_indices(order[:])
+    if opts.mode == tb.MODE_NRZI and opts.find_zeros:
+        # -zeros NRZI decodes as a SEQUENTIAL per-block chain, exactly
+        # readtape.c:1720-1882: the zero-crossing extremum carries
+        # (v_top/v_bot, decoder.c:617-649) are long-range -- they
+        # accumulate gap NOISE from the previous block's end until the
+        # next block's first pulse, and whether that carry tips over
+        # ZEROCROSS_PEAK decides the arming of the block's first
+        # transition.  So each window's eligibility must start where the
+        # C's state reset happened: the previous block's end-of-block
+        # sample + the NRZI_IBG blanking (decoder.c:901-904 delays the
+        # non-BS_NONE return by interblock_counter samples, so blockstart
+        # for EVERY attempt of the next block -- first try and retries
+        # alike -- is end_s + NRZI_IBG_SECS/dt).  Activity segments serve
+        # only as scan horizons; windows are (chain position, segment
+        # end).  Sequential by nature (end_s is a decode output), which
+        # is fine: -zeros is a recovery fallback, not the throughput path.
+        ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
+        act = segs[:]
+        # one unified bucket class so chain windows share compiled
+        # programs; a BS_NONE cascade can widen a window past the class,
+        # which just compiles the next power of two once
+        chainbkt = max(seg.bucket_length(b - max(pa_ - SEG_WARMUP, 0))
+                       for pa_, b in zip([0] + [a for a, _ in act],
+                                         [b for _, b in act]))
+        del segs[:], buckets[:], results[:], order[:]
+        cur, si = 0, 0
+        while si < len(act):
+            b_i = act[si][1]
+            if cur >= b_i - 4:
+                si += 1
+                continue
+            a0w = max(cur - SEG_WARMUP, 0)
+            i = len(segs)
+            segs.append((cur, b_i))
+            buckets.append(max(chainbkt, seg.bucket_length(b_i - a0w)))
+            results.append(None)
+            order.append(i)
+            decode_indices([i])
+            res = results[i]
+            p, _ = pick_best(res, len(res["blktype"]),
+                             opts.multiple_tries, opts.mode)
+            if int(res["blktype"][p]) == nrzi_mod.BS_NONE:
+                # no transitions before this horizon: the C's scan just
+                # keeps going, carries intact -- keep cur, widen to the
+                # next segment's horizon (the probe window is dropped;
+                # the C counts no attempt for it, readtape.c:1769)
+                order.remove(i)
+                si += 1
+                continue
+            nxt = a0w + int(res["end_s"][p]) + ibg_blank
+            if nxt <= cur:
+                si += 1
+                continue
+            cur = nxt
+    else:
+        decode_indices(order[:])
 
     # Multi-block segments (NRZI): the slot scan self-terminates at the
     # block's postamble idle; if admitted transitions remain past that
@@ -1368,7 +1478,7 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # Re-dispatch the remainder as a fresh segment starting after the
     # reference's interblock blanking (decode_nrzi.c:112), exactly the
     # per-block re-entry of readtape.c:1720-1882.
-    if opts.mode == tb.MODE_NRZI:
+    if opts.mode == tb.MODE_NRZI and not opts.find_zeros:
         ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
         frontier = order[:]
         for _round in range(16):

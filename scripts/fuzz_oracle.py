@@ -101,7 +101,12 @@ def random_case(rng, hard=False):
         spec = default_spec(tb.MODE_NRZI, **common)
         items = blocks(0, 256, 400)
         args = ["-v", "-m", "-nrzi", "-tap"]
-        if rng.random() < 0.3:
+        r = rng.random()
+        if r < 0.25:
+            # -zeros exercises the sequential carry chain; kept apart
+            # from -deskew (deskew calibration is peak-driven)
+            args.insert(-1, "-zeros")
+        elif r < 0.5:
             args.insert(-1, "-deskew")
         if rng.random() < 0.3:
             args.insert(-1, "-correct")

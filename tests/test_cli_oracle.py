@@ -275,3 +275,52 @@ def test_cli_density_autodetect_tap_identical(oracle, tmp_path):
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert (tmp_path / "ref" / "d.tap").read_bytes() == \
         (tmp_path / "ours" / "d.tap").read_bytes()
+
+
+def test_cli_gcr_zeros_noisy_tap_identical(oracle, tmp_path):
+    """Plain -zeros on a NOISY tape: the pending/stale-extremum
+    confirmation rules (decoder.c:617-649) and the live-clock slope gate
+    decide which marginal crossings become transitions -- the regime
+    where an approximation diverges from the C."""
+    rng = np.random.default_rng(81)
+    blocks = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+              for n in (154, 210)]
+    spec = default_spec(tb.MODE_GCR, noise_rms=0.06, amp_jitter=0.10)
+    hdr, samples = synthesize_tape(
+        spec, [("block", blocks[0]), ("block", blocks[1]), ("tapemark",)])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "gz", hdr, samples,
+        ["-v", "-m", "-gcr", "-ips=25", "-zeros", "-tap"])
+    assert ref == ours
+
+
+def test_cli_gcr_diff_zeros_noisy_tap_identical(oracle, tmp_path):
+    """-differentiate -zeros with noise: phase-local pending consumption
+    (decoder.c:654-683) must not re-fire on non-attaining wiggles."""
+    rng = np.random.default_rng(83)
+    blocks = [bytes(rng.integers(0, 256, 154, dtype=np.uint8))]
+    spec = default_spec(tb.MODE_GCR, pulse_width_bits=0.45,
+                        noise_rms=0.005)
+    hdr, samples = synthesize_tape(
+        spec, [("block", blocks[0]), ("tapemark",)])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "gdz", hdr, samples,
+        ["-v", "-m", "-gcr", "-ips=25", "-differentiate", "-zeros",
+         "-tap"])
+    assert ref == ours
+
+
+def test_cli_nrzi_zeros_noisy_tap_identical(oracle, tmp_path):
+    """-zeros with NRZI: crossings feed the global slot scan at their
+    confirmation sample; the slope gate is static because NRZI never
+    adjusts the per-track clock (decode_nrzi.c uses only nrzi.clkavg)."""
+    rng = np.random.default_rng(85)
+    blocks = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+              for n in (120, 80)]
+    spec = default_spec(tb.MODE_NRZI, noise_rms=0.05, amp_jitter=0.08)
+    hdr, samples = synthesize_tape(
+        spec, [("block", blocks[0]), ("tapemark",), ("block", blocks[1])])
+    ref, ours, _, _ = run_both(
+        oracle, tmp_path, "nz", hdr, samples,
+        ["-v", "-m", "-nrzi", "-bpi=800", "-ips=50", "-zeros", "-tap"])
+    assert ref == ours
