@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+from dataclasses import replace
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -92,12 +93,19 @@ def main():
                           "error": "decode mismatch"}))
         return 1
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
     best = None
-    for _ in range(reps):
+    for i in range(reps):
+        blocks_i, _, samples_i = tapes[1 + i]
         t0 = time.perf_counter()
-        decode_tape(samples, opts)
+        out_i, stats_i = decode_tape(samples_i, opts)
         dt = time.perf_counter() - t0
+        datas_i = [b.data for b in out_i if b.kind == "data"]
+        if datas_i != blocks_i or stats_i["nerrblocks"] != 0:
+            print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
+                              "value": 0.0, "unit": "Msamples/s",
+                              "vs_baseline": 0.0,
+                              "error": f"decode mismatch on timed rep {i}"}))
+            return 1
         best = dt if best is None else min(best, dt)
 
     msps = nsamples / best / 1e6

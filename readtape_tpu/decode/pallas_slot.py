@@ -53,10 +53,10 @@ N_SM = 12 + 16                 # SM_KV.. = per-track kvis mirror (scalars)
 # VMEM scratch rows (window rows cache the merged stream so the hot
 # per-slot path does ZERO dynamically indexed reads; refills happen only
 # when the window shifts, ~once per 128 consumed entries)
-ST_LP, ST_PV, ST_RING, ST_R2 = 0, 1, 2, 3
-ST_WS, ST_WT, ST_WK, ST_WQ = 4, 6, 8, 10       # each spans 2 rows
-ST_RANK, ST_SECOND = 12, 14                     # rank spans 2 rows
-N_ST = 15
+ST_LP, ST_PV, ST_RING, ST_R2, ST_TJ2 = 0, 1, 2, 3, 4
+ST_WS, ST_WT, ST_WK, ST_WQ = 5, 7, 9, 11       # each spans 2 rows
+ST_RANK, ST_SECOND = 13, 15                     # rank spans 2 rows
+N_ST = 16
 
 # per-slot stream lanes
 (L_TLC0, L_TLC1, L_TLC2, L_B0, L_TLM0, L_POST0, L_N1P0, L_N1P1,
@@ -64,8 +64,8 @@ N_ST = 15
 F_ENDED, F_PASTEND, F_OVF, F_HAVE, F_LIVE = 1, 2, 4, 8, 16
 
 
-def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
-            st_ref, smem_ref, *, P, T, S, M, spb,
+def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, times_ref,
+            scal_ref, st_ref, smem_ref, *, P, T, S, M, spb,
             clk_windows, clk_alphas, pulse_adjs, midbits):
     n_chunks = pl.num_programs(1)
     chunk = pl.program_id(1)
@@ -215,6 +215,19 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
 
         newest = to_track_lanes(m_last, t2)
 
+        # consumed-transition times for the reconstruct stream: lane
+        # base + t*3 + j carries the time of track t's rank-j write this
+        # round (rank row is all-zero when not multi, which is exactly
+        # right: at most one candidate per track then, and it has rank 0)
+        def to_tj_lanes(base):
+            out = zf
+            for j in range(3):
+                m = take & (rank == j)
+                for t in range(T):
+                    v = jnp.sum(jnp.where(m & (tk == t), t2, 0.0))
+                    out = jnp.where(lane == base + t * 3 + j, v, out)
+            return out
+
         @pl.when(multi)
         def _():
             m_prev = take & (rank == n_by_entry - 2)
@@ -232,7 +245,8 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
                    (t_lc_in < t_max - (2.0 - midbit) * b_in))
         t_lc_out = jnp.where(realign, t_max - 2.0 * b_in, t_lc_in)
         return dict(n_new=n_new, newest=newest, second=second,
-                    p0=cnt_pack0, p1=cnt_pack1, ovf=ovf, t_lc=t_lc_out)
+                    p0=cnt_pack0, p1=cnt_pack1, ovf=ovf, t_lc=t_lc_out,
+                    tj=to_tj_lanes)
 
     @pl.when(chunk == 0)
     def _():
@@ -275,6 +289,7 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
             s_z0 = jnp.floor(t_lc0 + 2.0 * b0) + 1.0
             r1 = consume(jnp.minimum(s_z0, jnp.float32(S)), t_lc0, b0,
                          post0)
+            tj1row = r1["tj"](0)
             lp = st_ref[ST_LP:ST_LP + 1, :]
             pv = st_ref[ST_PV:ST_PV + 1, :]
             had1 = r1["n_new"] >= 1.0
@@ -292,6 +307,7 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
                 maybe_shift()
                 r2 = consume(jnp.minimum(s_z1, jnp.float32(S)),
                              r1["t_lc"], b0, post0)
+                st_ref[ST_TJ2:ST_TJ2 + 1, :] = r2["tj"](27)
                 lp_ = st_ref[ST_LP:ST_LP + 1, :]
                 pv_ = st_ref[ST_PV:ST_PV + 1, :]
                 had2 = r2["n_new"] >= 1.0
@@ -310,6 +326,7 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
 
             @pl.when(jnp.logical_not(need2))
             def _():
+                st_ref[ST_TJ2:ST_TJ2 + 1, :] = zf
                 st_ref[ST_R2:ST_R2 + 1, :] = jnp.where(
                     lane == 0, r1["t_lc"], zf)
 
@@ -410,10 +427,18 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, scal_ref,
                                 jnp.where(lane == L_TLC3, t_lc3,
                                  zf))))))))))))))
             out_ref[0, cc:cc + 1, :] = vals
+            # times row: lanes t*3+j / 27+t*3+j = round-1/2 consumed
+            # transition times; 54+t = per-track last-SEEN time (lp, which
+            # includes an unwritten 4th) for the zerocheck "later" action
+            lpm = jnp.where((lane_t < T) & (lp > NEG_T / 2), lp, zf)
+            times_ref[0, cc:cc + 1, :] = (tj1row +
+                                          st_ref[ST_TJ2:ST_TJ2 + 1, :] +
+                                          pltpu.roll(lpm, 54, 1))
 
         @pl.when(was_done)
         def _(cc=cc):
             out_ref[0, cc:cc + 1, :] = zf        # inert row (flags = 0)
+            times_ref[0, cc:cc + 1, :] = zf
 
     @pl.when(chunk == n_chunks - 1)
     def _():
@@ -437,7 +462,7 @@ def nrzi_slot_scan_pallas_raw(ms, mt, mtrk, mk, nent, *, S, T, M,
     """ms/mt/mtrk/mk: [B, P, M] merged stream (s_det f32 ascending with
     BIG_S padding, t_peak f32, track f32, per-track sequence number f32);
     nent: [B, P] f32 entry counts. Returns (stream [B, P, nsl, 128],
-    scal [B, P, 128])."""
+    times [B, P, nsl, 128], scal [B, P, 128])."""
     B, P, M_ = ms.shape
     assert M_ == M and M % 128 == 0
     n_chunks = -(-max_slots // CH)
@@ -450,16 +475,18 @@ def nrzi_slot_scan_pallas_raw(ms, mt, mtrk, mk, nent, *, S, T, M,
     def spec_in():
         return pl.BlockSpec((1, M // 128, 128), lambda i, c: (i, 0, 0))
 
-    stream, scal = pl.pallas_call(
+    stream, times, scal = pl.pallas_call(
         kern,
         grid=(B * P, n_chunks),
         in_specs=[spec_in(), spec_in(), spec_in(), spec_in(),
                   pl.BlockSpec((1, 2, 128), lambda i, c: (i, 0, 0))],
         out_specs=[
             pl.BlockSpec((1, CH, 128), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, CH, 128), lambda i, c: (i, c, 0)),
             pl.BlockSpec((1, 1, 128), lambda i, c: (i, 0, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((B * P, nsl, 128), jnp.float32),
             jax.ShapeDtypeStruct((B * P, nsl, 128), jnp.float32),
             jax.ShapeDtypeStruct((B * P, 1, 128), jnp.float32),
         ],
@@ -474,6 +501,7 @@ def nrzi_slot_scan_pallas_raw(ms, mt, mtrk, mk, nent, *, S, T, M,
       jnp.broadcast_to(
           nent.reshape(B * P, 1, 1), (B * P, 2, 128)).astype(F32))
     return (stream.reshape(B, P, nsl, 128),
+            times.reshape(B, P, nsl, 128),
             scal.reshape(B, P, 128))
 
 
@@ -512,12 +540,15 @@ def slot_stream_prepare(tr_s, tr_t, counts, M: int):
     return ms, mt, mtrk, mk, nent
 
 
-def slot_stream_reconstruct(stream, scal, tr_s, tr_t, counts, *,
+def slot_stream_reconstruct(stream, times, scal, *,
                             T: int, S: int, maxb: int, spb,
                             stat_leftbin, stat_binwidth):
     """Rebuild the XLA slot scan's final state from the kernel's per-slot
-    stream for ONE (parmset) lane. stream: [nsl, 128]; scal: [128].
-    Returns the dict nrzi_finish expects (plus end_s/kvis)."""
+    streams for ONE (parmset) lane. stream/times: [nsl, 128]; scal: [128].
+    Gather-free: the consumed transition times ride the times stream
+    (lanes t*3+j per round, 54+t = last-seen), so nothing is looked up in
+    the [T, K] transition buffers (TPU gathers there dominated the old
+    reconstruct). Returns the dict nrzi_finish expects (plus end_s/kvis)."""
     nsl = stream.shape[0]
     trk = jnp.arange(T)
     live = (stream[:, L_FLAGS].astype(I32) & F_LIVE) > 0
@@ -556,12 +587,9 @@ def slot_stream_reconstruct(stream, scal, tr_s, tr_t, counts, *,
     has2 = j3 < jnp.minimum(n2, 3)[:, :, None]
     wr1 = jnp.where(has1, dc_b4[:, :, None] + j3, maxb)
     wr2 = jnp.where(has2, dc_b4[:, :, None] + n1[:, :, None] + j3, maxb)
-    # times of the consumed transitions
-    k1 = jnp.minimum(kvis_b4[:, :, None] + j3, tr_s.shape[1] - 1)
-    k2_ = jnp.minimum(kvis_b4[:, :, None] + n1[:, :, None] + j3,
-                      tr_s.shape[1] - 1)
-    tj1 = tr_t[trk[None, :, None], k1]                          # [nsl, T, 3]
-    tj2 = tr_t[trk[None, :, None], k2_]
+    # times of the consumed transitions, straight off the times stream
+    tj1 = times[:, :3 * T].reshape(nsl, T, 3)                   # [nsl, T, 3]
+    tj2 = times[:, 27:27 + 3 * T].reshape(nsl, T, 3)
 
     post0 = stream[:, L_POST0]
     stat_ok = post0 == 0.0
@@ -614,16 +642,18 @@ def slot_stream_reconstruct(stream, scal, tr_s, tr_t, counts, *,
     # last per track: zerocheck overrides consume within a slot. The
     # consume path's t_lastbit is the last WRITTEN transition (j < 3 per
     # round); the "later" action instead records lastpeak = the last SEEN
-    # transition (kvis-1, which can be an unwritten 4th).
-    lastpeak_t = tr_t[trk[None, :],
-                      jnp.maximum(jnp.minimum(kvis_b4 + ncons,
-                                              tr_s.shape[1]) - 1, 0)]
+    # transition (kvis-1, which can be an unwritten 4th) -- the kernel's
+    # lp row, streamed at lanes 54+t.
+    lastpeak_t = times[:, 54:54 + T]                            # [nsl, T]
     nw = jnp.minimum(n1, 3) + jnp.minimum(n2, 3)
-    k_lastw = jnp.where(jnp.minimum(n2, 3) > 0,
-                        kvis_b4 + n1 + jnp.minimum(n2, 3) - 1,
-                        kvis_b4 + jnp.minimum(n1, 3) - 1)
-    lastwrite_t = tr_t[trk[None, :],
-                       jnp.clip(k_lastw, 0, tr_s.shape[1] - 1)]
+
+    def at_rank(tj, n):
+        """tj[:, :, rank n-1] via one-hot (no gather)."""
+        return jnp.sum(jnp.where(j3 == (n - 1)[:, :, None], tj, 0.0),
+                       axis=2)
+    lastwrite_t = jnp.where(jnp.minimum(n2, 3) > 0,
+                            at_rank(tj2, jnp.minimum(n2, 3)),
+                            at_rank(tj1, jnp.minimum(n1, 3)))
     any_c = nw > 0
     t_last_slot = jnp.where(later, lastpeak_t,
                             jnp.where(zero, tz[:, None],
@@ -637,9 +667,8 @@ def slot_stream_reconstruct(stream, scal, tr_s, tr_t, counts, *,
     # first: the write that brought dc 0 -> positive (round 1's first
     # write if it had any, else round 2's)
     first_c = any_c & (dc_b4 == 0)
-    k_firstw = jnp.where(jnp.minimum(n1, 3) > 0, kvis_b4, kvis_b4 + n1)
-    tj_first = tr_t[trk[None, :],
-                    jnp.clip(k_firstw, 0, tr_s.shape[1] - 1)]
+    tj_first = jnp.where(jnp.minimum(n1, 3) > 0, tj1[:, :, 0],
+                         tj2[:, :, 0])
     zlike = later | zero
     first_z = zlike & ((dc_b4 + ncons - dup.astype(I32)) == 0)
     t_first_slot = jnp.where(first_c, tj_first,

@@ -448,14 +448,14 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
             lambda a, b, c: psl.slot_stream_prepare(a, b, c, M)))
         ms, mt, mtrk, mk, nent = prep2(
             finals["tr_s"], finals["tr_t"], finals["n_admitted"])
-        stream, scal = psl.nrzi_slot_scan_pallas_raw(
+        stream, times, scal = psl.nrzi_slot_scan_pallas_raw(
             ms, mt, mtrk, mk, nent, S=S, T=T, M=M, max_slots=max_slots,
             spb_i=spb_f, clk_windows=clk_ws, clk_alphas=clk_as,
             pulse_adjs=padjs, midbits=mbs)
 
-        def slot_lane(strm, scl, ts_, tt_, cnt):
+        def slot_lane(strm, tms, scl, cnt):
             st = psl.slot_stream_reconstruct(
-                strm, scl, ts_, tt_, cnt, T=T, S=S, maxb=maxb,
+                strm, tms, scl, T=T, S=S, maxb=maxb,
                 spb=spb_f, stat_leftbin=stat_leftbin,
                 stat_binwidth=stat_binwidth)
             r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
@@ -465,8 +465,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
             return r
 
         res = jax.vmap(jax.vmap(slot_lane))(
-            stream, scal, finals["tr_s"], finals["tr_t"],
-            finals["n_admitted"])
+            stream, times, scal, finals["n_admitted"])
         res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=2)
         res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=2)
         res["event_overflow"] = jnp.any(finals["incomplete"], axis=(1, 2))
@@ -860,12 +859,14 @@ class TapeDecoder:
             track_knobs = tuple(
                 (float(p.pkww_rise), float(p.min_peak),
                  float(p.agc_alpha), int(p.agc_window)) for p in active)
-            # The Mosaic slot kernel is exact (see tests) but currently
-            # ~0.5 s/tape SLOWER end-to-end than the XLA slot scan at
-            # bench shapes (merge sort + reconstruction overhead); keep it
-            # opt-in until it wins.
+            # The Mosaic slot kernel is exact (see tests) and, with the
+            # gather-free stream reconstruct, ~0.3 s/tape FASTER than the
+            # XLA slot scan at bench shapes -- on by default wherever the
+            # admission kernel runs; READTAPE_SLOT_PALLAS=0 reverts.
+            # (-correct stays on the XLA scan: its AGC-keyed bit flip
+            # feeds back into the slot loop.)
             slot_knobs = None
-            if (os.environ.get("READTAPE_SLOT_PALLAS") == "1"
+            if (os.environ.get("READTAPE_SLOT_PALLAS", "1") == "1"
                     and not opts.do_correct and opts.ntrks <= 9):
                 slot_knobs = (float(spb),
                               tuple(int(p.clk_window) for p in active),
