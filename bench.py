@@ -65,7 +65,8 @@ def main():
     # stack miscompiles at the default batch size or the Mosaic kernel
     # misbehaves, fall back (correctness always wins over speed)
     ok = False
-    for env_override in (None, {"READTAPE_PALLAS": "0"},
+    for env_override in (None, {"READTAPE_SLOT_PALLAS": "0"},
+                         {"READTAPE_PALLAS": "0"},
                          {"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "4"},
                          {"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "1"}):
         if env_override is not None:

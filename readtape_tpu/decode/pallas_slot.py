@@ -1,31 +1,37 @@
-"""Pallas TPU kernel for the NRZI global bit-slot scan.
+"""Pallas TPU kernel for the NRZI global bit-slot scan: per-track
+row-space windows, no merged stream, no sort.
 
-The XLA slot scan (nrzi.nrzi_slot_scan) pays ~100-300 us of op dispatch
-per sequential slot; this Mosaic kernel runs the whole slot loop as one
-program at ~1 us/slot. Semantics are decode_nrzi.c:232-314 via the XLA
-scan, which it must match bit-exactly.
+(The superseded v2 design -- see git history -- consumed a pre-merged
+time-sorted stream, paying an XLA lax.sort of ~0.3-0.4 s/tape at bench
+shapes plus ~30 cross-lane reductions per consume round to extract
+per-track values from a 256-entry shared window.)
 
-Design:
+This kernel exploits that NRZI consumption is PER TRACK
+(decode_nrzi.c:232-314 via nrzi.nrzi_slot_scan: each track independently
+consumes its next <=4 transitions with s_det < s_z): it holds a
+256-entry window PER TRACK, laid out with tracks as sublanes ([16, 128]
+blocks, row t = track t), so every per-track quantity (counts, rank-j
+times, newest/second) is ONE lane-axis reduction over a [16, 128] block
+for ALL tracks at once:
 
-- One instance per (batch, parmset) lane; grid = (B*P, slot chunks). Each
-  grid step processes CH slots and writes one [CH, 128] stream-out block
-  statically; decode state persists in SMEM scalars + VMEM scratch rows.
-- The per-track transition lists are pre-merged into ONE time-sorted
-  stream (XLA sort by (s_det, track), each entry carrying its per-track
-  sequence number); the kernel holds a 256-entry register window over it.
-  Consumption is tracked per track (kvis, exactly like the XLA scan's
-  visible counts) because the reference's <=3-per-track-per-consume rule
-  can leave entries of one track unconsumed while later entries of other
-  tracks are consumed; the window advances whenever its leading row is
-  fully consumed.
-- Only the loop-carried decode state lives in the kernel: the global
-  clock (ring as a lane vector), postamble counter, per-track
-  last/previous peak times and kvis. Everything else (bit-buffer writes,
-  peak-stat buckets, midbit warnings, first/last bit times) is
-  RECONSTRUCTED data-parallel in XLA from a compact per-slot stream
-  (consume counts per track, zerocheck action codes, clock values in
-  effect), then fed through scatter replay so nrzi_finish sees exactly
-  the state the XLA scan would have produced (slot_stream_reconstruct).
+- candidates   c = (rel in [0, 4)) & (idx < count) & (s < s_z), where
+  rel = window index - (kvis - base); per-track transitions are sorted
+  ascending so the candidate region is automatically the contiguous run
+  of the next unconsumed entries -- rank == rel, no prefix scan needed;
+- kvis/base/lp/pv live as [16, 128] lane-replicated columns, updated by
+  vector ops (the v2 design mirrored kvis in T SMEM scalars);
+- per-(track, slot) outputs stream out through a track-major block
+  ([16, CH*16]: row = track, column = slot*16 + field) that the XLA
+  reconstruct transposes for free, replacing the per-track
+  lane-extraction reductions of the v2 design.
+
+Window refill is per track and rare (once per 128 consumed entries per
+track): one dynamically indexed row DMA from the [T*nr, 128] per-track
+stream.
+
+Semantics are decode_nrzi.c:232-314 through the XLA scan
+(nrzi.nrzi_slot_scan), which this kernel must match bit-exactly; the
+equality test is tests/test_pallas_slot.py.
 """
 
 from __future__ import annotations
@@ -38,44 +44,50 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import common as cm
 from .common import F32, I32
 
-CH = 8                      # slots per grid step
+CH = 8                      # slots per grid step (CH * F == 128)
+F = 16                      # track-block fields per (track, slot)
 NEG_T = np.float32(-1e30)
 BIG_S = np.float32(2 ** 30)
 
-# SMEM scalar slots (all f32)
-(SM_TLC, SM_TLM, SM_POST, SM_AVG, SM_BITNDX, SM_GBASE, SM_DONE,
- SM_OVF, SM_ENDED, SM_ENDS, SM_NSLOT, SM_KV) = range(12)
-N_SM = 12 + 16                 # SM_KV.. = per-track kvis mirror (scalars)
+# track-block fields (row = track, column = slot*F + field)
+(TB_N1, TB_TJ10, TB_TJ11, TB_TJ12, TB_N2, TB_TJ20, TB_TJ21, TB_TJ22,
+ TB_ACT, TB_LP) = range(10)
 
-# VMEM scratch rows (window rows cache the merged stream so the hot
-# per-slot path does ZERO dynamically indexed reads; refills happen only
-# when the window shifts, ~once per 128 consumed entries)
-ST_LP, ST_PV, ST_RING, ST_R2, ST_TJ2 = 0, 1, 2, 3, 4
-ST_WS, ST_WT, ST_WK, ST_WQ = 5, 7, 9, 11       # each spans 2 rows
-ST_RANK, ST_SECOND = 13, 15                     # rank spans 2 rows
-N_ST = 16
-
-# per-slot stream lanes
-(L_TLC0, L_TLC1, L_TLC2, L_B0, L_TLM0, L_POST0, L_N1P0, L_N1P1,
- L_N2P0, L_N2P1, L_ACT, L_FLAGS, L_POST2, L_TLC3) = range(14)
+# per-slot scalar stream lanes (subset of v2's: per-track lanes moved to
+# the track block)
+L_TLC0, L_TLC1, L_TLC2, L_B0, L_TLM0, L_POST0 = range(6)
+L_FLAGS, L_POST2, L_TLC3 = 11, 12, 13
 F_ENDED, F_PASTEND, F_OVF, F_HAVE, F_LIVE = 1, 2, 4, 8, 16
 
+# SMEM scalar slots (all f32)
+(SM_TLC, SM_TLM, SM_POST, SM_AVG, SM_BITNDX, SM_DONE, SM_OVF, SM_ENDED,
+ SM_ENDS, SM_NSLOT) = range(10)
+SM_BASE = 10                   # per-track window base (16 slots)
+N_SM = SM_BASE + 16
 
-def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, times_ref,
-            scal_ref, st_ref, smem_ref, *, P, T, S, M, spb,
+# VMEM scratch row-blocks ([16, 128] each unless noted)
+R_WS0, R_WS1, R_WT0, R_WT1 = 0, 16, 32, 48   # windows: s / t_peak, 2 rows
+R_KV, R_BASE, R_LP, R_PV, R_TB = 64, 80, 96, 112, 128
+R_RING = 144                   # clock ring, lane vector ([1, 128])
+R_MISC = 145                   # cross-pl.when scalars (lane 0/1)
+N_ROWS = 146
+
+
+def _kernel(s_ref, t_ref, cnt_ref, out_ref, tb_ref, scal_ref,
+            st_ref, smem_ref, *, P, T, S, nr, spb,
             clk_windows, clk_alphas, pulse_adjs, midbits):
     n_chunks = pl.num_programs(1)
     chunk = pl.program_id(1)
     p_id = pl.program_id(0) % P
-    lane = jax.lax.broadcasted_iota(I32, (1, 128), 1)
-    lane2 = jax.lax.broadcasted_iota(I32, (2, 128), 1)
-    row2 = jax.lax.broadcasted_iota(I32, (2, 128), 0)
-    zf = (lane * 0).astype(F32)
-    lane_t = lane                        # lanes 0..T-1 = tracks
-    active_t = lane_t < T
+    lane = jax.lax.broadcasted_iota(I32, (16, 128), 1)
+    row = jax.lax.broadcasted_iota(I32, (16, 128), 0)
+    lane1 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+    zf = jnp.zeros((16, 128), F32)
+    zf1 = jnp.zeros((1, 128), F32)
+    active = row < T
+    lanef = lane.astype(F32)
 
     def kf(vals):                        # per-parmset knob -> traced scalar
         out = jnp.float32(vals[0])
@@ -88,272 +100,200 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, times_ref,
     pulse_adj = kf(pulse_adjs)
     midbit = kf(midbits)
 
-    nent = jnp.sum(jnp.where((lane2 == 0) & (row2 == 0),
-                             nent_ref[0, 0:2, :], 0.0))
+    cntv = cnt_ref[0, :, :]              # [16, 128] lane-replicated counts
 
-    def win_fill(row_of_window):
-        """DMA one merged-stream row into window slot 0 or 1 (the only
-        dynamically indexed reads in the kernel)."""
-        gb_i = smem_ref[SM_GBASE].astype(I32)
-        r = jnp.clip(gb_i // 128 + row_of_window, 0, M // 128 - 1)
-        o = row_of_window
-        st_ref[ST_WS + o:ST_WS + o + 1, :] = ms_ref[0, pl.ds(r, 1), :]
-        st_ref[ST_WT + o:ST_WT + o + 1, :] = mt_ref[0, pl.ds(r, 1), :]
-        st_ref[ST_WK + o:ST_WK + o + 1, :] = mtrk_ref[0, pl.ds(r, 1), :]
-        st_ref[ST_WQ + o:ST_WQ + o + 1, :] = mk_ref[0, pl.ds(r, 1), :]
-
-    def win_read():
-        gb_i = smem_ref[SM_GBASE].astype(I32)
-        r = jnp.clip(gb_i // 128, 0, M // 128 - 2)
-        s2 = st_ref[ST_WS:ST_WS + 2, :]
-        t2 = st_ref[ST_WT:ST_WT + 2, :]
-        k2 = st_ref[ST_WK:ST_WK + 2, :]
-        q2 = st_ref[ST_WQ:ST_WQ + 2, :]
-        gpos = (r * 128 + row2 * 128 + lane2).astype(F32)
-        return s2, t2, k2, q2, gpos
-
-    def prefix2(x):
-        """Inclusive-turned-exclusive prefix over the 256-entry window."""
-        inc = x
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            inc = inc + jnp.where(lane2 >= sh, pltpu.roll(inc, sh, 1),
-                                  jnp.zeros_like(inc))
-        exc = inc - x
-        tot0 = jnp.max(jnp.where(row2 == 0, inc, jnp.zeros_like(inc)))
-        return exc + jnp.where(row2 == 1, tot0, jnp.zeros_like(inc))
-
-    def maybe_shift():
-        """Advance the window while its leading row is fully consumed."""
-        for _ in range(2):
-            s2, t2, k2, q2, gpos = win_read()
-            tk = k2.astype(I32)
-            kv_e2 = jnp.zeros((2, 128), F32)
-            for t in range(T):
-                kv_e2 = jnp.where(tk == t, smem_ref[SM_KV + t], kv_e2)
-            row0_done = jnp.sum(jnp.where(
-                (row2 == 0) & (gpos < nent) & (q2 >= kv_e2), 1.0, 0.0))
-            gb = smem_ref[SM_GBASE]
-
-            @pl.when((row0_done == 0.0) & (gb + 256.0 < nent))
-            def _():
-                smem_ref[SM_GBASE] = gb + 128.0
-                # slide: cached row1 -> row0, fetch the new row1
-                st_ref[ST_WS:ST_WS + 1, :] = st_ref[ST_WS + 1:ST_WS + 2, :]
-                st_ref[ST_WT:ST_WT + 1, :] = st_ref[ST_WT + 1:ST_WT + 2, :]
-                st_ref[ST_WK:ST_WK + 1, :] = st_ref[ST_WK + 1:ST_WK + 2, :]
-                st_ref[ST_WQ:ST_WQ + 1, :] = st_ref[ST_WQ + 1:ST_WQ + 2, :]
-                win_fill(1)
+    def fill(t, w, base_t):
+        """DMA stream row (base_t//128 + w) of track t into window row w
+        (the only dynamically indexed reads in the kernel)."""
+        r = jnp.clip((base_t / 128.0).astype(I32) + w, 0, nr - 1)
+        idx = t * nr + r
+        o = 16 * w + t
+        st_ref[R_WS0 + o:R_WS0 + o + 1, :] = s_ref[0, pl.ds(idx, 1), :]
+        st_ref[R_WT0 + o:R_WT0 + o + 1, :] = t_ref[0, pl.ds(idx, 1), :]
 
     def consume(s_z_f, t_lc_in, b_in, post0):
-        """One consume round. Updates kvis; returns per-track info +
-        packed counts + realigned clock."""
-        s2, t2, k2, q2, gpos = win_read()
-        tk = k2.astype(I32)
-        tk5 = jnp.maximum(tk - 5, 0)
-        kv_e2 = jnp.zeros((2, 128), F32)
-        for t in range(T):
-            kv_e2 = jnp.where(tk == t, smem_ref[SM_KV + t], kv_e2)
-        cand = (q2 >= kv_e2) & (s2 < s_z_f) & (gpos < nent)
-        grp0 = jnp.where(cand & (tk < 5), 1 << (6 * tk), 0)
-        grp1 = jnp.where(cand & (tk >= 5), 1 << (6 * tk5), 0)
-        # candidate counts per track (2 reduces); the expensive per-track
-        # RANK prefix runs only when some track has 2+ candidates in the
-        # window -- on clean tapes almost never
-        tot0 = jnp.sum(grp0)
-        tot1 = jnp.sum(grp1)
-        multi = jnp.bool_(False)
-        for t in range(9):
-            c_t = jnp.where(t < 5, (tot0 >> (6 * t)) & 63,
-                            (tot1 >> (6 * (t - 5))) & 63)
-            multi = multi | (c_t >= 2)
+        """One consume round for all tracks at once. Updates kvis and
+        returns per-track columns + the realigned clock."""
+        ws0 = st_ref[R_WS0:R_WS0 + 16, :]
+        ws1 = st_ref[R_WS1:R_WS1 + 16, :]
+        wt0 = st_ref[R_WT0:R_WT0 + 16, :]
+        wt1 = st_ref[R_WT1:R_WT1 + 16, :]
+        kv = st_ref[R_KV:R_KV + 16, :]
+        bs = st_ref[R_BASE:R_BASE + 16, :]
+        off = kv - bs
+        rel0 = lanef - off
+        rel1 = lanef + 128.0 - off
+        c0 = (active & (rel0 >= 0.0) & (rel0 < 4.0) &
+              (bs + lanef < cntv) & (ws0 < s_z_f))
+        c1 = (active & (rel1 >= 0.0) & (rel1 < 4.0) &
+              (bs + lanef + 128.0 < cntv) & (ws1 < s_z_f))
 
-        @pl.when(multi)
-        def _():
-            pre0 = prefix2(grp0)
-            pre1 = prefix2(grp1)
-            rk = jnp.where(tk < 5, (pre0 >> (6 * tk)) & 63,
-                           (pre1 >> (6 * tk5)) & 63)
-            st_ref[ST_RANK:ST_RANK + 2, :] = rk.astype(F32)
+        def rsum(m, v):                  # [16, 128] -> [16, 1] row-reduce
+            return jnp.sum(jnp.where(m, v, 0.0), axis=1, keepdims=True)
 
-        @pl.when(jnp.logical_not(multi))
-        def _():
-            st_ref[ST_RANK:ST_RANK + 2, :] = jnp.zeros((2, 128), F32)
-
-        rank = st_ref[ST_RANK:ST_RANK + 2, :].astype(I32)
-        # the XLA scan's consume checks FOUR positions: up to 3 get bit
-        # writes but kvis/dc advance past a 4th "seen" transition (which
-        # also sets the overflow flag); ranks >= 4 wait for the next round
-        take = cand & (rank < 4)
-        ovf = jnp.sum(jnp.where(cand & (rank >= 3), 1.0, 0.0)) > 0.0
-
-        # take counts pack in 4-bit fields (counts <= 4): 5 tracks x 4
-        # bits = 20 bits stays exact through the f32 stream lane (6-bit
-        # fields hit 30 bits and lost the low track's count to f32
-        # mantissa rounding)
-        cp0 = jnp.sum(jnp.where(take & (tk < 5), 1 << (4 * tk), 0))
-        cp1 = jnp.sum(jnp.where(take & (tk >= 5), 1 << (4 * tk5), 0))
-        cnt_pack0 = cp0.astype(F32)
-        cnt_pack1 = cp1.astype(F32)
-        n_new = jnp.where(lane_t < 5, (cp0 >> (4 * lane_t)) & 15,
-                          (cp1 >> (4 * jnp.maximum(lane_t - 5, 0))) & 15)
-        n_new = jnp.where(active_t, n_new, 0).astype(F32)
-        for t in range(T):
-            cnt_t = jnp.where(t < 5, (cp0 >> (4 * t)) & 15,
-                              (cp1 >> (4 * max(t - 5, 0))) & 15)
-            smem_ref[SM_KV + t] = smem_ref[SM_KV + t] + cnt_t.astype(F32)
-
-        n_by_entry = jnp.where(tk < 5, (cp0 >> (4 * tk)) & 15,
-                               (cp1 >> (4 * tk5)) & 15)
-        m_last = take & (rank == n_by_entry - 1)
-
-        def to_track_lanes(mask, val):
-            out = zf
-            for t in range(T):
-                v = jnp.sum(jnp.where(mask & (tk == t), val, 0.0))
-                out = jnp.where(lane_t == t, v, out)
-            return out
-
-        newest = to_track_lanes(m_last, t2)
-
-        # consumed-transition times for the reconstruct stream: lane
-        # base + t*3 + j carries the time of track t's rank-j write this
-        # round (rank row is all-zero when not multi, which is exactly
-        # right: at most one candidate per track then, and it has rank 0)
-        def to_tj_lanes(base):
-            out = zf
-            for j in range(3):
-                m = take & (rank == j)
-                for t in range(T):
-                    v = jnp.sum(jnp.where(m & (tk == t), t2, 0.0))
-                    out = jnp.where(lane == base + t * 3 + j, v, out)
-            return out
-
-        @pl.when(multi)
-        def _():
-            m_prev = take & (rank == n_by_entry - 2)
-            st_ref[ST_SECOND:ST_SECOND + 1, :] = \
-                to_track_lanes(m_prev, t2)
-
-        @pl.when(jnp.logical_not(multi))
-        def _():
-            st_ref[ST_SECOND:ST_SECOND + 1, :] = zf
-
-        second = st_ref[ST_SECOND:ST_SECOND + 1, :]
-
-        t_max = jnp.max(jnp.where(take & (rank < 3), t2, NEG_T))
+        one = zf + 1.0
+        n_seen = rsum(c0, one) + rsum(c1, one)               # [16, 1]
+        ovf = (jnp.sum(jnp.where(c0 & (rel0 == 3.0), 1.0, 0.0)) +
+               jnp.sum(jnp.where(c1 & (rel1 == 3.0), 1.0, 0.0))) > 0.0
+        tj = [rsum(c0 & (rel0 == j), wt0) + rsum(c1 & (rel1 == j), wt1)
+              for j in (0.0, 1.0, 2.0)]
+        newest = (rsum(c0 & (rel0 == n_seen - 1.0), wt0) +
+                  rsum(c1 & (rel1 == n_seen - 1.0), wt1))
+        second = (rsum(c0 & (rel0 == n_seen - 2.0), wt0) +
+                  rsum(c1 & (rel1 == n_seen - 2.0), wt1))
+        w0 = c0 & (rel0 < 3.0)
+        w1 = c1 & (rel1 < 3.0)
+        t_max = jnp.maximum(jnp.max(jnp.where(w0, wt0, NEG_T)),
+                            jnp.max(jnp.where(w1, wt1, NEG_T)))
+        st_ref[R_KV:R_KV + 16, :] = kv + n_seen
         realign = ((post0 > 0.0) & (t_max > NEG_T / 2) &
                    (t_lc_in < t_max - (2.0 - midbit) * b_in))
         t_lc_out = jnp.where(realign, t_max - 2.0 * b_in, t_lc_in)
-        return dict(n_new=n_new, newest=newest, second=second,
-                    p0=cnt_pack0, p1=cnt_pack1, ovf=ovf, t_lc=t_lc_out,
-                    tj=to_tj_lanes)
+        return dict(n=n_seen, tj=tj, newest=newest, second=second,
+                    ovf=ovf, t_lc=t_lc_out)
+
+    def lp_pv_update(r):
+        lp = st_ref[R_LP:R_LP + 16, :]
+        pv = st_ref[R_PV:R_PV + 16, :]
+        had = r["n"] >= 1.0
+        pv = jnp.where(r["n"] >= 2.0, r["second"], jnp.where(had, lp, pv))
+        lp = jnp.where(had, r["newest"], lp)
+        st_ref[R_LP:R_LP + 16, :] = lp
+        st_ref[R_PV:R_PV + 16, :] = pv
 
     @pl.when(chunk == 0)
     def _():
-        any_trans = nent > 0.0
-        t_first = jnp.sum(jnp.where((lane2 == 0) & (row2 == 0),
-                                    mt_ref[0, 0:2, :], 0.0))
+        for t in range(T):
+            smem_ref[SM_BASE + t] = 0.0
+            fill(t, 0, jnp.float32(0.0))
+            fill(t, 1, jnp.float32(0.0))
+        st_ref[R_KV:R_KV + 16, :] = zf
+        st_ref[R_BASE:R_BASE + 16, :] = zf
+        st_ref[R_LP:R_LP + 16, :] = zf + NEG_T
+        st_ref[R_PV:R_PV + 16, :] = zf + NEG_T
+        st_ref[R_RING:R_RING + 1, :] = zf1 + jnp.float32(spb)
+        total = jnp.sum(jnp.where(active & (lane == 0), cntv, 0.0))
+        any_trans = total > 0.0
+        # earliest detection, low track wins (nrzi_slot_scan's argmin over
+        # trans_s[:, 0]): min of s*16 + t over each track's first entry
+        ws0 = st_ref[R_WS0:R_WS0 + 16, :]
+        wt0 = st_ref[R_WT0:R_WT0 + 16, :]
+        key = jnp.where(active & (lane == 0) & (cntv > 0.0),
+                        ws0 * 16.0 + row.astype(F32), BIG_S * 16.0)
+        kmin = jnp.min(key)
+        t_first = jnp.sum(jnp.where(key == kmin, wt0, 0.0))
         t_lc0 = t_first - spb
         smem_ref[SM_TLC] = jnp.where(any_trans, t_lc0, 0.0)
         smem_ref[SM_TLM] = jnp.where(any_trans, t_lc0 + midbit * spb, 0.0)
         smem_ref[SM_POST] = 0.0
         smem_ref[SM_AVG] = jnp.float32(spb)
         smem_ref[SM_BITNDX] = 0.0
-        smem_ref[SM_GBASE] = 0.0
         smem_ref[SM_DONE] = jnp.where(any_trans, 0.0, 1.0)
         smem_ref[SM_OVF] = 0.0
         smem_ref[SM_ENDED] = 0.0
         smem_ref[SM_ENDS] = jnp.float32(S)
         smem_ref[SM_NSLOT] = 0.0
-        st_ref[ST_LP:ST_LP + 1, :] = zf + NEG_T
-        st_ref[ST_PV:ST_PV + 1, :] = zf + NEG_T
-        st_ref[ST_RING:ST_RING + 1, :] = zf + jnp.float32(spb)
-        for t in range(T):
-            smem_ref[SM_KV + t] = 0.0
-        win_fill(0)
-        win_fill(1)
 
     for cc in range(CH):
         was_done = smem_ref[SM_DONE] >= 0.5      # read ONCE: the live body
                                                  # below may set DONE for
                                                  # this very slot
+        slot_cols = (lane >= cc * F) & (lane < cc * F + F)
+
+        def tb_set(field, col):
+            m = lane == cc * F + field
+            tb = st_ref[R_TB:R_TB + 16, :]
+            st_ref[R_TB:R_TB + 16, :] = jnp.where(m, col, tb)
 
         @pl.when(jnp.logical_not(was_done))
-        def _(cc=cc):
+        def _(cc=cc, slot_cols=slot_cols, tb_set=tb_set):
             t_lc0 = smem_ref[SM_TLC]
             b0 = smem_ref[SM_AVG]
             post0 = smem_ref[SM_POST]
             t_lm0 = smem_ref[SM_TLM]
 
-            maybe_shift()
+            # per-track window shift (rare: once per 128 consumed entries)
+            kv = st_ref[R_KV:R_KV + 16, :]
+            bs = st_ref[R_BASE:R_BASE + 16, :]
+            need = jnp.sum(jnp.where(active & (lane == 0) &
+                                     (kv - bs >= 128.0), 1.0, 0.0)) > 0.0
+
+            @pl.when(need)
+            def _():
+                for t in range(T):
+                    kv_t = jnp.sum(jnp.where((row == t) & (lane == 0),
+                                             st_ref[R_KV:R_KV + 16, :],
+                                             0.0))
+                    b_t = smem_ref[SM_BASE + t]
+
+                    @pl.when(kv_t - b_t >= 128.0)
+                    def _(t=t, b_t=b_t):
+                        st_ref[R_WS0 + t:R_WS0 + t + 1, :] = \
+                            st_ref[R_WS1 + t:R_WS1 + t + 1, :]
+                        st_ref[R_WT0 + t:R_WT0 + t + 1, :] = \
+                            st_ref[R_WT1 + t:R_WT1 + t + 1, :]
+                        smem_ref[SM_BASE + t] = b_t + 128.0
+                        fill(t, 1, b_t + 128.0)
+                        st_ref[R_BASE + t:R_BASE + t + 1, :] = \
+                            jnp.zeros((1, 128), F32) + (b_t + 128.0)
+
             s_z0 = jnp.floor(t_lc0 + 2.0 * b0) + 1.0
             r1 = consume(jnp.minimum(s_z0, jnp.float32(S)), t_lc0, b0,
                          post0)
-            tj1row = r1["tj"](0)
-            lp = st_ref[ST_LP:ST_LP + 1, :]
-            pv = st_ref[ST_PV:ST_PV + 1, :]
-            had1 = r1["n_new"] >= 1.0
-            pv = jnp.where(r1["n_new"] >= 2.0, r1["second"],
-                           jnp.where(had1, lp, pv))
-            lp = jnp.where(had1, r1["newest"], lp)
-            st_ref[ST_LP:ST_LP + 1, :] = lp
-            st_ref[ST_PV:ST_PV + 1, :] = pv
+            lp_pv_update(r1)
 
             s_z1 = jnp.floor(r1["t_lc"] + 2.0 * b0) + 1.0
             need2 = (s_z1 > s_z0) | r1["ovf"]
 
+            # zero this slot's track-block columns, then set fields
+            st_ref[R_TB:R_TB + 16, :] = jnp.where(
+                slot_cols, 0.0, st_ref[R_TB:R_TB + 16, :])
+            tb_set(TB_N1, r1["n"])
+            tb_set(TB_TJ10, r1["tj"][0])
+            tb_set(TB_TJ11, r1["tj"][1])
+            tb_set(TB_TJ12, r1["tj"][2])
+
             @pl.when(need2)
             def _():
-                maybe_shift()
                 r2 = consume(jnp.minimum(s_z1, jnp.float32(S)),
                              r1["t_lc"], b0, post0)
-                st_ref[ST_TJ2:ST_TJ2 + 1, :] = r2["tj"](27)
-                lp_ = st_ref[ST_LP:ST_LP + 1, :]
-                pv_ = st_ref[ST_PV:ST_PV + 1, :]
-                had2 = r2["n_new"] >= 1.0
-                pv_ = jnp.where(r2["n_new"] >= 2.0, r2["second"],
-                                jnp.where(had2, lp_, pv_))
-                lp_ = jnp.where(had2, r2["newest"], lp_)
-                st_ref[ST_LP:ST_LP + 1, :] = lp_
-                st_ref[ST_PV:ST_PV + 1, :] = pv_
-                st_ref[ST_R2:ST_R2 + 1, :] = jnp.where(
-                    lane == 0, r2["t_lc"],
-                    jnp.where(lane == 1, r2["p0"],
-                              jnp.where(lane == 2, r2["p1"],
-                                        jnp.where(lane == 3,
-                                                  jnp.where(r2["ovf"], 1.0,
-                                                            0.0), zf))))
+                lp_pv_update(r2)
+                tb_set(TB_N2, r2["n"])
+                tb_set(TB_TJ20, r2["tj"][0])
+                tb_set(TB_TJ21, r2["tj"][1])
+                tb_set(TB_TJ22, r2["tj"][2])
+                st_ref[R_MISC:R_MISC + 1, :] = jnp.where(
+                    lane1 == 0, r2["t_lc"],
+                    jnp.where(lane1 == 1,
+                              jnp.where(r2["ovf"], 1.0, 0.0), zf1))
 
             @pl.when(jnp.logical_not(need2))
             def _():
-                st_ref[ST_TJ2:ST_TJ2 + 1, :] = zf
-                st_ref[ST_R2:ST_R2 + 1, :] = jnp.where(
-                    lane == 0, r1["t_lc"], zf)
+                st_ref[R_MISC:R_MISC + 1, :] = jnp.where(
+                    lane1 == 0, r1["t_lc"], zf1)
 
-            r2row = st_ref[ST_R2:ST_R2 + 1, :]
-            r2 = dict(
-                t_lc=jnp.sum(jnp.where(lane == 0, r2row, 0.0)),
-                p0=jnp.sum(jnp.where(lane == 1, r2row, 0.0)),
-                p1=jnp.sum(jnp.where(lane == 2, r2row, 0.0)),
-                ovf=jnp.sum(jnp.where(lane == 3, r2row, 0.0)) > 0.5)
-            lp = st_ref[ST_LP:ST_LP + 1, :]
-            pv = st_ref[ST_PV:ST_PV + 1, :]
-            t_lc2 = r2["t_lc"]
+            misc = st_ref[R_MISC:R_MISC + 1, :]
+            t_lc2 = jnp.sum(jnp.where(lane1 == 0, misc, 0.0))
+            ovf2 = jnp.sum(jnp.where(lane1 == 1, misc, 0.0)) > 0.5
+            lp = st_ref[R_LP:R_LP + 16, :]
+            pv = st_ref[R_PV:R_PV + 16, :]
             past_end = s_z1 >= jnp.float32(S)
 
             # ---- zerocheck (decode_nrzi.c:232-314) ----
             right = t_lc2 + (1.0 + midbit) * b0
-            last_in = active_t & (lp > t_lm0) & (lp < right)
-            prev_in = active_t & (pv > t_lm0) & (pv < right)
+            last_in = active & (lp > t_lm0) & (lp < right)
+            prev_in = active & (pv > t_lm0) & (pv < right)
             dup = last_in & prev_in
             b2f = (~last_in) & prev_in
-            later = active_t & (~last_in) & (~prev_in) & (lp > right)
-            zero = active_t & (~last_in) & (~prev_in) & (~later)
+            later = active & (~last_in) & (~prev_in) & (lp > right)
+            zero = active & (~last_in) & (~prev_in) & (~later)
 
-            numbits = jnp.sum(jnp.where(last_in | b2f, 1.0, 0.0))
-            numlater = jnp.sum(jnp.where(later, 1.0, 0.0))
-            avg_pos = jnp.sum(jnp.where(last_in, lp,
-                                        jnp.where(b2f, pv, 0.0)))
+            col0 = lane == 0
+            numbits = jnp.sum(jnp.where(col0 & (last_in | b2f), 1.0, 0.0))
+            numlater = jnp.sum(jnp.where(col0 & later, 1.0, 0.0))
+            avg_pos = jnp.sum(jnp.where(
+                col0, jnp.where(last_in, lp,
+                                jnp.where(b2f, pv, 0.0)), 0.0))
             have = numbits > 0.0
 
             post_h = jnp.where(post0 == 1.0, 0.0, post0)
@@ -365,8 +305,8 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, times_ref,
 
             bitndx = smem_ref[SM_BITNDX]
             ndx_i = bitndx.astype(I32)
-            ring_row = st_ref[ST_RING:ST_RING + 1, :]
-            old = jnp.sum(jnp.where(lane_t == ndx_i, ring_row, 0.0))
+            ring_row = st_ref[R_RING:R_RING + 1, :]
+            old = jnp.sum(jnp.where(lane1 == ndx_i, ring_row, 0.0))
             avg_w = b0 + (delta - old) / jnp.maximum(clk_window, 1.0)
             avg_e = clk_alpha * delta + (1.0 - clk_alpha) * b0
             use_w = clk_window > 0.0
@@ -377,8 +317,8 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, times_ref,
 
             @pl.when(do_clk & use_w)
             def _():
-                st_ref[ST_RING:ST_RING + 1, :] = jnp.where(
-                    lane_t == ndx_i, delta, st_ref[ST_RING:ST_RING + 1, :])
+                st_ref[R_RING:R_RING + 1, :] = jnp.where(
+                    lane1 == ndx_i, delta, st_ref[R_RING:R_RING + 1, :])
                 smem_ref[SM_BITNDX] = jnp.where(
                     bitndx + 1.0 >= clk_window, 0.0, bitndx + 1.0)
 
@@ -397,174 +337,134 @@ def _kernel(ms_ref, mt_ref, mtrk_ref, mk_ref, nent_ref, out_ref, times_ref,
                 ended & (smem_ref[SM_ENDED] < 0.5),
                 jnp.minimum(s_z1, jnp.float32(S)), smem_ref[SM_ENDS])
             smem_ref[SM_ENDED] = jnp.where(ended, 1.0, smem_ref[SM_ENDED])
-            smem_ref[SM_OVF] = jnp.where(r1["ovf"] | r2["ovf"], 1.0,
+            smem_ref[SM_OVF] = jnp.where(r1["ovf"] | ovf2, 1.0,
                                          smem_ref[SM_OVF])
             smem_ref[SM_DONE] = jnp.where(ended | past_end, 1.0, 0.0)
             smem_ref[SM_NSLOT] = smem_ref[SM_NSLOT] + 1.0
 
-            act = (jnp.where(dup, 1, 0) + jnp.where(later, 2, 0) +
-                   jnp.where(zero, 3, 0)).astype(F32)
-            act_pack = jnp.sum(
-                act * jnp.where(active_t,
-                                jnp.exp2(2.0 * lane_t.astype(F32)), 0.0))
+            act = (jnp.where(dup, 1.0, 0.0) + jnp.where(later, 2.0, 0.0) +
+                   jnp.where(zero, 3.0, 0.0))
+            tb_set(TB_ACT, act)
+            tb_set(TB_LP, jnp.where(active & (lp > NEG_T / 2), lp, 0.0))
+
             flags = (jnp.where(ended, float(F_ENDED), 0.0) +
                      jnp.where(past_end, float(F_PASTEND), 0.0) +
-                     jnp.where(r1["ovf"] | r2["ovf"], float(F_OVF), 0.0) +
+                     jnp.where(r1["ovf"] | ovf2, float(F_OVF), 0.0) +
                      jnp.where(have, float(F_HAVE), 0.0) + float(F_LIVE))
-            vals = jnp.where(lane == L_TLC0, t_lc0,
-                    jnp.where(lane == L_TLC1, r1["t_lc"],
-                     jnp.where(lane == L_TLC2, t_lc2,
-                      jnp.where(lane == L_B0, b0,
-                       jnp.where(lane == L_TLM0, t_lm0,
-                        jnp.where(lane == L_POST0, post0,
-                         jnp.where(lane == L_N1P0, r1["p0"],
-                          jnp.where(lane == L_N1P1, r1["p1"],
-                           jnp.where(lane == L_N2P0, r2["p0"],
-                            jnp.where(lane == L_N2P1, r2["p1"],
-                             jnp.where(lane == L_ACT, act_pack,
-                              jnp.where(lane == L_FLAGS, flags,
-                               jnp.where(lane == L_POST2, post2,
-                                jnp.where(lane == L_TLC3, t_lc3,
-                                 zf))))))))))))))
+            vals = jnp.where(lane1 == L_TLC0, t_lc0,
+                    jnp.where(lane1 == L_TLC1, r1["t_lc"],
+                     jnp.where(lane1 == L_TLC2, t_lc2,
+                      jnp.where(lane1 == L_B0, b0,
+                       jnp.where(lane1 == L_TLM0, t_lm0,
+                        jnp.where(lane1 == L_POST0, post0,
+                         jnp.where(lane1 == L_FLAGS, flags,
+                          jnp.where(lane1 == L_POST2, post2,
+                           jnp.where(lane1 == L_TLC3, t_lc3,
+                            zf1)))))))))
             out_ref[0, cc:cc + 1, :] = vals
-            # times row: lanes t*3+j / 27+t*3+j = round-1/2 consumed
-            # transition times; 54+t = per-track last-SEEN time (lp, which
-            # includes an unwritten 4th) for the zerocheck "later" action
-            lpm = jnp.where((lane_t < T) & (lp > NEG_T / 2), lp, zf)
-            times_ref[0, cc:cc + 1, :] = (tj1row +
-                                          st_ref[ST_TJ2:ST_TJ2 + 1, :] +
-                                          pltpu.roll(lpm, 54, 1))
 
         @pl.when(was_done)
-        def _(cc=cc):
-            out_ref[0, cc:cc + 1, :] = zf        # inert row (flags = 0)
-            times_ref[0, cc:cc + 1, :] = zf
+        def _(cc=cc, slot_cols=slot_cols):
+            out_ref[0, cc:cc + 1, :] = zf1       # inert row (flags = 0)
+            st_ref[R_TB:R_TB + 16, :] = jnp.where(
+                slot_cols, 0.0, st_ref[R_TB:R_TB + 16, :])
+
+    tb_ref[0, :, :] = st_ref[R_TB:R_TB + 16, :]
 
     @pl.when(chunk == n_chunks - 1)
     def _():
-        kvis_v = zf
+        kvis_v = zf1
+        kv = st_ref[R_KV:R_KV + 16, :]
         for t in range(T):
-            kvis_v = jnp.where(lane == 8 + t, smem_ref[SM_KV + t], kvis_v)
+            kv_t = jnp.sum(jnp.where((row == t) & (lane == 0), kv, 0.0))
+            kvis_v = jnp.where(lane1 == 8 + t, kv_t, kvis_v)
         scal_ref[0, 0:1, :] = jnp.where(
-            lane == 0, smem_ref[SM_ENDED],
-            jnp.where(lane == 1, smem_ref[SM_OVF],
-                      jnp.where(lane == 2, smem_ref[SM_ENDS],
-                                jnp.where(lane == 3, smem_ref[SM_NSLOT],
+            lane1 == 0, smem_ref[SM_ENDED],
+            jnp.where(lane1 == 1, smem_ref[SM_OVF],
+                      jnp.where(lane1 == 2, smem_ref[SM_ENDS],
+                                jnp.where(lane1 == 3, smem_ref[SM_NSLOT],
                                           kvis_v))))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "T", "M", "max_slots", "spb_i", "clk_windows", "clk_alphas",
+    "S", "T", "Kp", "max_slots", "spb_i", "clk_windows", "clk_alphas",
     "pulse_adjs", "midbits", "interpret"))
-def nrzi_slot_scan_pallas_raw(ms, mt, mtrk, mk, nent, *, S, T, M,
-                              max_slots, spb_i, clk_windows, clk_alphas,
-                              pulse_adjs, midbits, interpret=False):
-    """ms/mt/mtrk/mk: [B, P, M] merged stream (s_det f32 ascending with
-    BIG_S padding, t_peak f32, track f32, per-track sequence number f32);
-    nent: [B, P] f32 entry counts. Returns (stream [B, P, nsl, 128],
-    times [B, P, nsl, 128], scal [B, P, 128])."""
-    B, P, M_ = ms.shape
-    assert M_ == M and M % 128 == 0
+def nrzi_slot_scan_pallas(tr_s, tr_t, counts, *, S, T, Kp, max_slots,
+                           spb_i, clk_windows, clk_alphas, pulse_adjs,
+                           midbits, interpret=False):
+    """tr_s/tr_t: [B, P, T, Kp] per-track admitted transitions (s_det
+    ascending, BIG_S fill; Kp a multiple of 128); counts: [B, P, T].
+    Returns (stream [B, P, nsl, 128], tb [B, P, nsl//CH, 16, 128],
+    scal [B, P, 128])."""
+    B, P, T_, K_ = tr_s.shape
+    assert T_ == T and K_ == Kp and Kp % 128 == 0
+    nr = Kp // 128
     n_chunks = -(-max_slots // CH)
     nsl = n_chunks * CH
     kern = functools.partial(
-        _kernel, P=P, T=T, S=S, M=M, spb=spb_i,
+        _kernel, P=P, T=T, S=S, nr=nr, spb=spb_i,
         clk_windows=clk_windows, clk_alphas=clk_alphas,
         pulse_adjs=pulse_adjs, midbits=midbits)
 
-    def spec_in():
-        return pl.BlockSpec((1, M // 128, 128), lambda i, c: (i, 0, 0))
+    s_in = tr_s.astype(F32).reshape(B * P, T * nr, 128)
+    t_in = tr_t.astype(F32).reshape(B * P, T * nr, 128)
+    cnt_in = jnp.broadcast_to(
+        jnp.pad(counts.astype(F32), ((0, 0), (0, 0), (0, 16 - T))
+                ).reshape(B * P, 16, 1), (B * P, 16, 128))
 
-    stream, times, scal = pl.pallas_call(
+    stream, tb, scal = pl.pallas_call(
         kern,
         grid=(B * P, n_chunks),
-        in_specs=[spec_in(), spec_in(), spec_in(), spec_in(),
-                  pl.BlockSpec((1, 2, 128), lambda i, c: (i, 0, 0))],
+        in_specs=[
+            pl.BlockSpec((1, T * nr, 128), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, T * nr, 128), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, c: (i, 0, 0)),
+        ],
         out_specs=[
             pl.BlockSpec((1, CH, 128), lambda i, c: (i, c, 0)),
-            pl.BlockSpec((1, CH, 128), lambda i, c: (i, c, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, c: (i, c, 0)),
             pl.BlockSpec((1, 1, 128), lambda i, c: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * P, nsl, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B * P, nsl, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, n_chunks * 16, 128), jnp.float32),
             jax.ShapeDtypeStruct((B * P, 1, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_ST, 128), jnp.float32),
+            pltpu.VMEM((N_ROWS, 128), jnp.float32),
             pltpu.SMEM((N_SM,), jnp.float32),
         ],
         interpret=interpret,
-    )(ms.reshape(B * P, M // 128, 128), mt.reshape(B * P, M // 128, 128),
-      mtrk.reshape(B * P, M // 128, 128),
-      mk.reshape(B * P, M // 128, 128),
-      jnp.broadcast_to(
-          nent.reshape(B * P, 1, 1), (B * P, 2, 128)).astype(F32))
+    )(s_in, t_in, cnt_in)
     return (stream.reshape(B, P, nsl, 128),
-            times.reshape(B, P, nsl, 128),
+            tb.reshape(B, P, n_chunks, 16, 128),
             scal.reshape(B, P, 128))
 
 
-# ---------------------------------------------------------------------------
-# XLA-side stream preparation and reconstruction
-# ---------------------------------------------------------------------------
-
-def slot_stream_prepare(tr_s, tr_t, counts, M: int):
-    """Per (parmset) lane: [T, K] transition buffers -> time-sorted merged
-    stream. Returns (ms, mt, mtrk, mk, nent) with [M] entries (BIG_S
-    padding), where mk is each entry's per-track sequence number.
-    (A searchsorted-based 9-way merge was measured 3x SLOWER than the
-    bitonic sort on the v5e -- vmapped searchsorted lowers to scalar
-    gathers.)"""
-    T, K = tr_s.shape
-    valid = jnp.arange(K)[None, :] < counts[:, None]
-    key = jnp.where(valid, tr_s * 16 + jnp.arange(T, dtype=I32)[:, None],
-                    jnp.int32(2 ** 30))
-    flat_key = key.reshape(-1)
-    flat_t = tr_t.reshape(-1)
-    flat_k = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
-                              (T, K)).reshape(-1)
-    sk, st_, sq = jax.lax.sort((flat_key, flat_t, flat_k), num_keys=1)
-    if M > sk.shape[0]:
-        pad_n = M - sk.shape[0]
-        sk = jnp.concatenate([sk, jnp.full(pad_n, 2 ** 30, I32)])
-        st_ = jnp.concatenate([st_, jnp.zeros(pad_n, F32)])
-        sq = jnp.concatenate([sq, jnp.zeros(pad_n, I32)])
-    sk, st_, sq = sk[:M], st_[:M], sq[:M]
-    pad = sk >= 2 ** 30
-    ms = jnp.where(pad, BIG_S, (sk >> 4).astype(F32))
-    mtrk = jnp.where(pad, 0.0, (sk & 15).astype(F32))
-    mt = jnp.where(pad, 0.0, st_)
-    mk = jnp.where(pad, 0.0, sq.astype(F32))
-    nent = jnp.sum(counts).astype(F32)
-    return ms, mt, mtrk, mk, nent
-
-
-def slot_stream_reconstruct(stream, times, scal, *,
-                            T: int, S: int, maxb: int, spb,
-                            stat_leftbin, stat_binwidth):
-    """Rebuild the XLA slot scan's final state from the kernel's per-slot
-    streams for ONE (parmset) lane. stream/times: [nsl, 128]; scal: [128].
-    Gather-free: the consumed transition times ride the times stream
-    (lanes t*3+j per round, 54+t = last-seen), so nothing is looked up in
-    the [T, K] transition buffers (TPU gathers there dominated the old
-    reconstruct). Returns the dict nrzi_finish expects (plus end_s/kvis)."""
+def slot_stream_reconstruct(stream, tb, scal, *,
+                             T: int, S: int, maxb: int, spb,
+                             stat_leftbin, stat_binwidth):
+    """Rebuild the XLA slot scan's final state from the v3 kernel's
+    streams for ONE (parmset) lane. stream: [nsl, 128]; tb: [nch, 16,
+    128]; scal: [128]. The track block is transposed once ([nsl, T,
+    fields]) and every per-track quantity (counts, consumed-transition
+    times, act codes, last-seen times) reads straight out of it -- no
+    gathers into the [T, K] transition buffers at all. Returns the dict
+    nrzi_finish expects (plus end_s/kvis)."""
     nsl = stream.shape[0]
+    nch = tb.shape[0]
     trk = jnp.arange(T)
     live = (stream[:, L_FLAGS].astype(I32) & F_LIVE) > 0
     slot_i = jnp.arange(nsl, dtype=I32)
 
-    def unpack_counts(p0, p1):
-        p0 = p0.astype(I32)[:, None]
-        p1 = p1.astype(I32)[:, None]
-        t_ = trk[None, :]
-        return jnp.where(t_ < 5, (p0 >> (4 * t_)) & 15,
-                         (p1 >> (4 * jnp.maximum(t_ - 5, 0))) & 15)
-
-    n1 = unpack_counts(stream[:, L_N1P0], stream[:, L_N1P1])   # [nsl, T]
-    n2 = unpack_counts(stream[:, L_N2P0], stream[:, L_N2P1])
-    act = (stream[:, L_ACT].astype(I32)[:, None] >>
-           (2 * trk[None, :])) & 3
+    # [nch, 16, CH, F] -> [nch, CH, 16, F] -> [nsl, T, F]
+    tbt = tb.reshape(nch, 16, CH, F).transpose(0, 2, 1, 3) \
+            .reshape(nsl, 16, F)[:, :T, :]
+    n1 = tbt[:, :, TB_N1].astype(I32)                          # [nsl, T]
+    n2 = tbt[:, :, TB_N2].astype(I32)
+    tj1 = tbt[:, :, TB_TJ10:TB_TJ10 + 3]                       # [nsl, T, 3]
+    tj2 = tbt[:, :, TB_TJ20:TB_TJ20 + 3]
+    act = tbt[:, :, TB_ACT].astype(I32)
     dup = act == 1
     later = act == 2
     zero = act == 3
@@ -587,9 +487,6 @@ def slot_stream_reconstruct(stream, times, scal, *,
     has2 = j3 < jnp.minimum(n2, 3)[:, :, None]
     wr1 = jnp.where(has1, dc_b4[:, :, None] + j3, maxb)
     wr2 = jnp.where(has2, dc_b4[:, :, None] + n1[:, :, None] + j3, maxb)
-    # times of the consumed transitions, straight off the times stream
-    tj1 = times[:, :3 * T].reshape(nsl, T, 3)                   # [nsl, T, 3]
-    tj2 = times[:, 27:27 + 3 * T].reshape(nsl, T, 3)
 
     post0 = stream[:, L_POST0]
     stat_ok = post0 == 0.0
@@ -643,8 +540,8 @@ def slot_stream_reconstruct(stream, times, scal, *,
     # consume path's t_lastbit is the last WRITTEN transition (j < 3 per
     # round); the "later" action instead records lastpeak = the last SEEN
     # transition (kvis-1, which can be an unwritten 4th) -- the kernel's
-    # lp row, streamed at lanes 54+t.
-    lastpeak_t = times[:, 54:54 + T]                            # [nsl, T]
+    # lp column, streamed as track-block field TB_LP.
+    lastpeak_t = tbt[:, :, TB_LP]                               # [nsl, T]
     nw = jnp.minimum(n1, 3) + jnp.minimum(n2, 3)
 
     def at_rank(tj, n):

@@ -438,24 +438,26 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
         awindows=awindows, groups=tuple(wset.index(w) for w in Ws))
 
     if knobs[1] is not None:
-        # slot scans as a second Mosaic kernel: merged time-sorted streams
-        # in, compact per-slot streams out, state reconstructed in XLA
+        # slot scans as a second Mosaic kernel: per-track transition
+        # buffers in DIRECTLY (no merged-stream sort), compact per-slot +
+        # track-major streams out, state reconstructed in XLA
         from . import pallas_slot as psl
         spb_f, clk_ws, clk_as, padjs, mbs = knobs[1]
-        M = -(-(finals["tr_s"].shape[2] * finals["tr_s"].shape[3]) // 128) \
-            * 128
-        prep2 = jax.vmap(jax.vmap(
-            lambda a, b, c: psl.slot_stream_prepare(a, b, c, M)))
-        ms, mt, mtrk, mk, nent = prep2(
-            finals["tr_s"], finals["tr_t"], finals["n_admitted"])
-        stream, times, scal = psl.nrzi_slot_scan_pallas_raw(
-            ms, mt, mtrk, mk, nent, S=S, T=T, M=M, max_slots=max_slots,
-            spb_i=spb_f, clk_windows=clk_ws, clk_alphas=clk_as,
-            pulse_adjs=padjs, midbits=mbs)
+        K_ = finals["tr_s"].shape[3]
+        Kp = -(-K_ // 128) * 128
+        tr_s, tr_t = finals["tr_s"], finals["tr_t"]
+        if Kp != K_:
+            pad = ((0, 0), (0, 0), (0, 0), (0, Kp - K_))
+            tr_s = jnp.pad(tr_s, pad, constant_values=trackscan.BIG_S)
+            tr_t = jnp.pad(tr_t, pad)
+        stream, tbk, scal = psl.nrzi_slot_scan_pallas(
+            tr_s, tr_t, finals["n_admitted"], S=S, T=T, Kp=Kp,
+            max_slots=max_slots, spb_i=spb_f, clk_windows=clk_ws,
+            clk_alphas=clk_as, pulse_adjs=padjs, midbits=mbs)
 
-        def slot_lane(strm, tms, scl, cnt):
+        def slot_lane(strm, tbb, scl, cnt):
             st = psl.slot_stream_reconstruct(
-                strm, tms, scl, T=T, S=S, maxb=maxb,
+                strm, tbb, scl, T=T, S=S, maxb=maxb,
                 spb=spb_f, stat_leftbin=stat_leftbin,
                 stat_binwidth=stat_binwidth)
             r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
@@ -465,7 +467,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
             return r
 
         res = jax.vmap(jax.vmap(slot_lane))(
-            stream, times, scal, finals["n_admitted"])
+            stream, tbk, scal, finals["n_admitted"])
         res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=2)
         res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=2)
         res["event_overflow"] = jnp.any(finals["incomplete"], axis=(1, 2))
@@ -859,12 +861,11 @@ class TapeDecoder:
             track_knobs = tuple(
                 (float(p.pkww_rise), float(p.min_peak),
                  float(p.agc_alpha), int(p.agc_window)) for p in active)
-            # The Mosaic slot kernel is exact (see tests) and, with the
-            # gather-free stream reconstruct, ~0.3 s/tape FASTER than the
-            # XLA slot scan at bench shapes -- on by default wherever the
-            # admission kernel runs; READTAPE_SLOT_PALLAS=0 reverts.
-            # (-correct stays on the XLA scan: its AGC-keyed bit flip
-            # feeds back into the slot loop.)
+            # The Mosaic slot kernel (per-track windows, sort-free) is
+            # exact (see tests) and beats the XLA slot scan at bench
+            # shapes -- on by default wherever the admission kernel runs;
+            # READTAPE_SLOT_PALLAS=0 reverts. (-correct stays on the XLA
+            # scan: its AGC-keyed bit flip feeds back into the slot loop.)
             slot_knobs = None
             if (os.environ.get("READTAPE_SLOT_PALLAS", "1") == "1"
                     and not opts.do_correct and opts.ntrks <= 9):

@@ -13,7 +13,7 @@ from readtape_tpu.decode import common as cm
 from readtape_tpu.decode import nrzi as nrzi_mod
 from readtape_tpu.decode import trackscan as ts
 from readtape_tpu.decode import pallas_slot as psl
-from readtape_tpu.decode.common import F32, I32
+from readtape_tpu.decode.common import F32
 from readtape_tpu.formats import tbin as tb
 from readtape_tpu.formats.parms import builtin_parmsets
 from readtape_tpu.synth import default_spec, synthesize_tape
@@ -65,6 +65,8 @@ def _segment_transitions(S, P, seed=13, nblocks=1, ibg=0.002):
 
 @pytest.mark.parametrize("nblocks,ibg", [(1, 0.002), (3, 0.0008)])
 def test_slot_kernel_matches_xla(nblocks, ibg):
+    """The per-track-window kernel (tracks as sublanes, no merged stream,
+    no sort) must reproduce the XLA slot scan exactly."""
     S, P = 8192 if nblocks == 1 else 16384, 3
     trans, sets, spb, T, K = _segment_transitions(S, P, nblocks=nblocks,
                                                   ibg=ibg)
@@ -84,21 +86,12 @@ def test_slot_kernel_matches_xla(nblocks, ibg):
         ref.append(jax.tree.map(np.asarray, st))
 
     # ---- pallas kernel + reconstruction ----
-    M = ((T * K) + 127) // 128 * 128
-    ms, mt, mtrk, mk, nent = [], [], [], [], []
-    for tr in trans:
-        a, b, c, d, n = psl.slot_stream_prepare(tr["tr_s"], tr["tr_t"],
-                                                tr["counts"], M)
-        ms.append(a), mt.append(b), mtrk.append(c), mk.append(d)
-        nent.append(n)
-    ms = jnp.stack(ms)[None]                     # [1, P, M]
-    mt = jnp.stack(mt)[None]
-    mtrk = jnp.stack(mtrk)[None]
-    mk = jnp.stack(mk)[None]
-    nent = jnp.stack(nent)[None]
+    tr_s = jnp.stack([tr["tr_s"] for tr in trans])[None]    # [1, P, T, K]
+    tr_t = jnp.stack([tr["tr_t"] for tr in trans])[None]
+    counts = jnp.stack([tr["counts"] for tr in trans])[None]
 
-    stream, scal = psl.nrzi_slot_scan_pallas_raw(
-        ms, mt, mtrk, mk, nent, S=S, T=T, M=M, max_slots=max_slots,
+    stream, tb_, scal = psl.nrzi_slot_scan_pallas(
+        tr_s, tr_t, counts, S=S, T=T, Kp=K, max_slots=max_slots,
         spb_i=float(spb),
         clk_windows=tuple(p.clk_window for p in sets),
         clk_alphas=tuple(p.clk_alpha for p in sets),
@@ -106,10 +99,10 @@ def test_slot_kernel_matches_xla(nblocks, ibg):
         midbits=tuple(p.midbit for p in sets),
         interpret=True)
 
-    for pi, (p, tr) in enumerate(zip(sets, trans)):
-        got = slot_rec = psl.slot_stream_reconstruct(
-            stream[0, pi], scal[0, pi], tr["tr_s"], tr["tr_t"],
-            tr["counts"], T=T, S=S, maxb=maxb, spb=spb,
+    for pi, p in enumerate(sets):
+        got = psl.slot_stream_reconstruct(
+            stream[0, pi], tb_[0, pi], scal[0, pi],
+            T=T, S=S, maxb=maxb, spb=spb,
             stat_leftbin=jnp.float32(lb), stat_binwidth=jnp.float32(bw))
         got = {k: np.asarray(x) for k, x in got.items()}
         r = ref[pi]
