@@ -38,7 +38,8 @@ options include:
   -ntrks=n -order= -pe -nrzi -gcr -whirlwind -ips=n -bpi=n -zeros
   -differentiate -even -revparity=n -invert -fluxdir=d -reverse -skip=n
   -blklimit=n -subsample=n -showibg=n -tap -deskew -skew=n,n -correct
-  -addparity -tbin -nolog -nolabels -textfile -hex -octal -octal2
+  -correct2 -parmscan -addparity -tbin -nolog -nolabels -textfile -hex
+  -octal -octal2
   -ascii -ebcdic -bcd -b5500 -sixbit -sds -sdsm -flexo -adage -adagetape
   -cdc -univac -linesize=n -dataspace=n -linefeed -tapread -outf= -outp=
   -sumt= -sumc= -m -nm -v[n] -q -f
@@ -70,6 +71,7 @@ class Options:
         self.skew = None
         self.correct = False
         self.correct2 = False
+        self.parmscan = False
         self.addparity = False
         self.tbin_only = False
         self.logging = True
@@ -166,6 +168,8 @@ def parse_option(o: Options, option: str) -> bool:
     elif a == "nocorrect":
         o.correct = False
         o.correct2 = False
+    elif a == "parmscan":     # GCR_PARMSCAN grid (a runtime option here)
+        o.parmscan = True
     elif a == "tbin":
         o.tbin_only = True
     elif (v := val("outf=")) is not None:
@@ -454,7 +458,7 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
         mode=o.mode, ntrks=o.ntrks, bpi=max(o.bpi, 0), ips=o.ips,
         deltat=deltat, maxvolts=maxvolts, parmsets=parmsets,
         multiple_tries=o.multiple_tries, do_correct=o.correct,
-        do_correct2=o.correct2,
+        do_correct2=o.correct2, parmscan=o.parmscan,
         expected_parity=0 if o.even else 1, revparity=o.revparity,
         invert=o.invert, differentiate=o.differentiate,
         find_zeros=o.find_zeros, deskew=o.deskew, skew=o.skew,

@@ -692,6 +692,14 @@ def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
                          maxb)
         data = st["data"].at[widx].set(frames4, mode="drop")
         bp = jnp.where(store, bp + nbad_par, bp)
+        # first_error: the byte index of the first parity error seen at
+        # store time (decode_gcr.c:493 -- gcr_store_dgroups runs the check
+        # for data, residual, AND crc groups, ECC byte included)
+        parbad = par4 != expected_parity                     # [4]
+        first_par = jnp.min(jnp.where(parbad, bn + jnp.arange(4),
+                                      jnp.int32(2 ** 30)))
+        fe = st["first_error"]
+        fe = jnp.where((fe < 0) & store & jnp.any(parbad), first_par, fe)
         out["bad_dgroups"] = st["bad_dgroups"] + jnp.where(
             store, nbad_codes, 0)
         out["gcr_bad_sequence"] = st["gcr_bad_sequence"] + jnp.where(
@@ -705,6 +713,11 @@ def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
         ecc_ok = gcr_compute_ecc_vec(frames8[:7]) == ((frames8[7] >> 1) & 0xFF)
         ecc_err0 = isdb & ~ecc_ok
         out["ecc_errs"] = st["ecc_errs"] + ecc_err0.astype(I32)
+        # ECC mismatch marks the ECC byte (decode_gcr.c:580; the store-time
+        # parity check above ran first, as gcr_store_dgroups precedes
+        # gcr_compute_ecc)
+        fe = jnp.where((fe < 0) & ecc_err0, bn - 1, fe)
+        out["first_error"] = fe
 
         vpar = st["vparity_errs"]
         corrected = st["corrected_bits"]
@@ -750,7 +763,8 @@ def gcr_postprocess(bits, dcs, maxbits, expected_parity, do_correct,
     init = dict(state=I32(S_PREAMBLE), bytenum=I32(0),
                 data=jnp.zeros(maxb, I32), bad_parity=I32(0),
                 vparity_errs=I32(0), ecc_errs=I32(0), bad_dgroups=I32(0),
-                gcr_bad_sequence=I32(0), corrected_bits=I32(0))
+                gcr_bad_sequence=I32(0), corrected_bits=I32(0),
+                first_error=I32(-1))
     if do_correct2:
         init["badA"] = jnp.zeros(T, bool)
     final, _ = jax.lax.scan(step, init, jnp.arange(ngroups))
@@ -804,6 +818,7 @@ def gcr_finish(finals, T: int, expected_parity, revparity, do_correct,
         vparity_errs=vpar, crc_errs=jnp.int32(0), lrc_errs=jnp.int32(0),
         ecc_errs=ecc, gcr_bad_dgroups=baddg, gcr_bad_sequence=badseq,
         errcount=errcount, warncount=warncount,
+        first_error=post["first_error"],
         missed_midbits=jnp.int32(0), corrected_bits=corrected,
         faked_tracks=jnp.int32(0),
         avg_bit_spacing=avg_sp, frames=post["data"],

@@ -102,6 +102,7 @@ class DecodeOptions:
     ww_order: str = "CMLcml"
     blklimit: int = 2 ** 31 - 1
     t0_seconds: float = 0.0
+    parmscan: bool = False        # GCR: grid-scan parms on the first block
 
     def __post_init__(self):
         if self.parmsets is None:
@@ -1316,6 +1317,71 @@ def _decode_tape_ww(samples, opts, log):
     return blocks, stats
 
 
+def parmscan_grid():
+    """The reference's GCR parameter grid (readtape.c:1730-1754), with its
+    float32 loop stepping reproduced exactly so the combo list (and its
+    nesting order) matches the C binary's log line for line."""
+    f32 = np.float32
+    combos = []
+    clk_alpha = f32(0.010)
+    while clk_alpha <= f32(0.030):
+        pulse_adj = f32(0.2)
+        while pulse_adj <= f32(0.401):
+            z1pt = f32(1.4)
+            while z1pt <= f32(1.501):
+                z2pt = f32(2.20)
+                while z2pt <= f32(2.501):
+                    combos.append((float(clk_alpha), float(pulse_adj),
+                                   float(z1pt), float(z2pt)))
+                    z2pt = f32(z2pt + f32(0.02))
+                z1pt = f32(z1pt + f32(0.01))
+            pulse_adj = f32(pulse_adj + f32(0.1))
+        clk_alpha = f32(clk_alpha + f32(0.002))
+    return combos
+
+
+def gcr_parmscan(dec, span, log, combos=None):
+    """GCR parmset grid scan over the first block (readtape.c:1730-1754,
+    the GCR_PARMSCAN debug build): decode one segment under every
+    (clk_alpha, pulse_adj, z1pt, z2pt) combo and log the reference's
+    result line per combo. Where the C re-reads the block once per combo,
+    the grid rides the batched parmset axis -- a whole chunk of combos
+    decodes in ONE device call (the tape is already resident)."""
+    import copy
+    opts = dec.opts
+    if combos is None:
+        combos = parmscan_grid()
+        limit = int(os.environ.get("READTAPE_PARMSCAN_LIMIT", "0"))
+        if limit > 0:             # test hook: truncate the 5280-combo grid
+            combos = combos[:limit]
+    base = dataclasses.replace(opts.parmsets.sets[0], clk_window=0)
+    chunk = int(os.environ.get("READTAPE_PARMSCAN_CHUNK", "64"))
+    saved = (opts.parmsets, dec.pa, dec.P)
+    a, b = span
+    try:
+        for lo in range(0, len(combos), chunk):
+            cs = combos[lo:lo + chunk]
+            pad = cs + [cs[-1]] * (min(chunk, len(combos)) - len(cs))
+            ps = copy.copy(opts.parmsets)
+            ps.sets = [dataclasses.replace(
+                base, clk_alpha=ca, pulse_adj=pa_, z1pt=z1, z2pt=z2)
+                for ca, pa_, z1, z2 in pad]
+            opts.parmsets = ps
+            dec.pa = ParmArrays.from_parmsets(ps)
+            dec.P = len(ps.sets)
+            res = jax.tree.map(np.asarray, dec.decode_segment(a, b))
+            for j, (ca, pa_, z1, z2) in enumerate(cs):
+                log(f"clk_alpha {ca:.3f} pulseadj {pa_:.3f} "
+                    f"z1pt {z1:.3f} z2pt {z2:.3f} "
+                    f"firsterr {int(res['first_error'][j]):4d} "
+                    f"errors {int(res['errcount'][j])} "
+                    f"warnings {int(res['warncount'][j])} "
+                    f"minbits {int(res['minbits'][j])} "
+                    f"maxbits {int(res['maxbits'][j])}\n")
+    finally:
+        opts.parmsets, dec.pa, dec.P = saved
+
+
 def _decode_tape_nrzi_like(samples, opts, log):
     dec = TapeDecoder(samples, opts)
     segs = dec.segments()
@@ -1332,6 +1398,18 @@ def _decode_tape_nrzi_like(samples, opts, log):
         dec.calibrate_deskew(segs)
         stats["deskew_percent"] = dec.deskew_percent
     stats["skew"] = dec.skew.tolist()
+
+    if opts.parmscan and opts.mode == tb.MODE_GCR and segs and log:
+        # GCR_PARMSCAN (readtape.c:1730-1754): grid-scan decode parms over
+        # the first block before the normal decode begins. The reference
+        # re-scans at every block position while numblks == 0; here that
+        # is segments up to and including the first non-noise decode.
+        for sp in segs:
+            gcr_parmscan(dec, sp, log)
+            r0 = dec.decode_segment(*sp, nparms=1)
+            if int(np.asarray(r0["blktype"])[0]) not in (
+                    0, nrzi_mod.BS_NOISE):
+                break
 
     # decode all segments, batched by bucket size (vmapped on device).
     # For NRZI, unify to ONE bucket so tapemark-sized segments ride along
