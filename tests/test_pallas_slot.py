@@ -19,15 +19,17 @@ from readtape_tpu.formats.parms import builtin_parmsets
 from readtape_tpu.synth import default_spec, synthesize_tape
 
 
-def _segment_transitions(S, P, seed=13, nblocks=1, ibg=0.002):
+def _segment_transitions(S, P, seed=13, nblocks=1, ibg=0.002, ntrks=9):
     """Synthesize a segment and run the (XLA) track scans for P parmsets.
     Returns per-parmset transition buffers + knobs + spb."""
     rng = np.random.default_rng(seed)
-    spec = default_spec(tb.MODE_NRZI, ibg_secs=ibg, start_gap_secs=0.001)
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=ibg, start_gap_secs=0.001,
+                        ntrks=ntrks)
     items = []
+    hi = 256 if ntrks == 9 else 64        # 7-track frames carry 6 data bits
     for _ in range(nblocks):
         items.append(("block",
-                      bytes(rng.integers(0, 256, 100, dtype=np.uint8))))
+                      bytes(rng.integers(0, hi, 100, dtype=np.uint8))))
     hdr, samples = synthesize_tape(spec, items)
     v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
     v = v[:, :S]
@@ -63,13 +65,15 @@ def _segment_transitions(S, P, seed=13, nblocks=1, ibg=0.002):
     return outs, sets, spb, T, K
 
 
-@pytest.mark.parametrize("nblocks,ibg", [(1, 0.002), (3, 0.0008)])
-def test_slot_kernel_matches_xla(nblocks, ibg):
+@pytest.mark.parametrize("nblocks,ibg,ntrks",
+                         [(1, 0.002, 9), (3, 0.0008, 9), (1, 0.002, 7)])
+def test_slot_kernel_matches_xla(nblocks, ibg, ntrks):
     """The per-track-window kernel (tracks as sublanes, no merged stream,
-    no sort) must reproduce the XLA slot scan exactly."""
+    no sort) must reproduce the XLA slot scan exactly -- including with
+    fewer than 9 tracks occupying the 16 sublane rows."""
     S, P = 8192 if nblocks == 1 else 16384, 3
     trans, sets, spb, T, K = _segment_transitions(S, P, nblocks=nblocks,
-                                                  ibg=ibg)
+                                                  ibg=ibg, ntrks=ntrks)
     maxb = int(S / spb * 1.3) + 64
     max_slots = int(S / spb * 1.25) + 48
     lb, bw = 0.0, 1.0
