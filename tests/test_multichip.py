@@ -39,3 +39,73 @@ def test_sharded_decode_correctness():
         got = sharded(*args)
     for r, g_ in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g_))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_gcr_decode_correctness():
+    """The (data x parm) sharding is mode-agnostic: a GCR segment batch
+    decoded over the mesh must equal the single-device decode exactly."""
+    import dataclasses
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from readtape_tpu.decode import common as cm
+    from readtape_tpu.decode.common import F32, I32, ParmArrays
+    from readtape_tpu.decode.pipeline import _gcr_segment_device
+    from readtape_tpu.formats import tbin as tb
+    from readtape_tpu.formats.parms import builtin_parmsets
+    from readtape_tpu.parallel import make_decode_mesh, sharded_decode_step
+    from readtape_tpu.synth import default_spec, synthesize_tape
+
+    S, P, B = 8192, 2, 4
+    rng = np.random.default_rng(5)
+    spec = default_spec(tb.MODE_GCR, start_gap_secs=0.0008, ibg_secs=0.002)
+    blocks = [bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+              for _ in range(B)]
+    hdr, samples = synthesize_tape(spec, [("block", b) for b in blocks])
+    v = samples.T.astype(np.int16)
+    segs = []
+    per = v.shape[1] // B
+    for i in range(B):
+        sl = v[:, i * per:i * per + S]
+        segs.append(np.pad(sl, ((0, 0), (0, S - sl.shape[1]))))
+    vb = jnp.asarray(np.stack(segs))
+
+    ps = builtin_parmsets(tb.MODE_GCR)
+    base = ps.sets[0]
+    ps.sets = [dataclasses.replace(base, clk_alpha=0.01 + 0.005 * i)
+               for i in range(P)]
+    pa = ParmArrays.from_parmsets(ps)
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (9042 * 25 * deltat)
+    W = cm.pkww_width_for(base.pkww_bitfrac, 9042, 25, deltat)
+    T = 9
+    nsteps = int(S / spb * 3.2) + 64
+    maxb = int(S / spb * 1.3) + 64
+
+    fn = partial(_gcr_segment_device, S=S, T=T, P=P, nsteps=nsteps,
+                 maxb=maxb, Ws=(W,) * P, do_correct=False,
+                 do_correct2=False, find_zeros=False, differentiate=False,
+                 spb_int=int(spb))
+
+    def step(vb, *rest):
+        lens = jnp.full(vb.shape[:1], S, jnp.int32)
+        leads = jnp.zeros(vb.shape[:1], jnp.int32)
+        res = jax.vmap(fn, in_axes=(0, 0, 0) + (None,) * 11)(
+            vb, lens, leads, *rest)
+        return res["frames"], res["errcount"], res["blktype"], res["minbits"]
+
+    args = (vb, jnp.float32(hdr.maxvolts), jnp.float32(1.0),
+            jnp.zeros(T, I32), pa, jnp.float32(spb), jnp.int32(1),
+            jnp.int32(0), jnp.full(T, 0.02, F32), jnp.full(T, 0.1, F32),
+            jnp.float32(0.0), jnp.float32(1.0))
+
+    ref = jax.jit(step)(*args)
+    mesh = make_decode_mesh(jax.devices()[:4], parm_axis=2)
+    sharded = sharded_decode_step(mesh, step, len(args))
+    with mesh:
+        got = sharded(*args)
+    assert int(np.asarray(ref[2]).max()) == 4, "no GCR block decoded"
+    for r, g_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g_))
