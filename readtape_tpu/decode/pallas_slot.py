@@ -373,17 +373,15 @@ def _kernel(s_ref, t_ref, cnt_ref, out_ref, tb_ref, scal_ref,
 
     @pl.when(chunk == n_chunks - 1)
     def _():
-        kvis_v = zf1
-        kv = st_ref[R_KV:R_KV + 16, :]
-        for t in range(T):
-            kv_t = jnp.sum(jnp.where((row == t) & (lane == 0), kv, 0.0))
-            kvis_v = jnp.where(lane1 == 8 + t, kv_t, kvis_v)
+        # the reconstruct reads lanes 1 (overflow) and 2 (end_s); lanes
+        # 0/3 ride along for debugging (per-track kvis comes from the
+        # track-block counts, not from here)
         scal_ref[0, 0:1, :] = jnp.where(
             lane1 == 0, smem_ref[SM_ENDED],
             jnp.where(lane1 == 1, smem_ref[SM_OVF],
                       jnp.where(lane1 == 2, smem_ref[SM_ENDS],
                                 jnp.where(lane1 == 3, smem_ref[SM_NSLOT],
-                                          kvis_v))))
+                                          zf1))))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -398,6 +396,10 @@ def nrzi_slot_scan_pallas(tr_s, tr_t, counts, *, S, T, Kp, max_slots,
     scal [B, P, 128])."""
     B, P, T_, K_ = tr_s.shape
     assert T_ == T and K_ == Kp and Kp % 128 == 0
+    # the earliest-detection tiebreak key is s*16 + track in one f32 lane
+    # (kernel init); past S = 2^20 the track bits fall out of the 24-bit
+    # mantissa and the low-track-wins rule silently degrades -- fail loud
+    assert S <= 1 << 20, f"slot kernel bucket too large for f32 key: {S}"
     nr = Kp // 128
     n_chunks = -(-max_slots // CH)
     nsl = n_chunks * CH
@@ -454,7 +456,6 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     nsl = stream.shape[0]
     nch = tb.shape[0]
     trk = jnp.arange(T)
-    live = (stream[:, L_FLAGS].astype(I32) & F_LIVE) > 0
     slot_i = jnp.arange(nsl, dtype=I32)
 
     # [nch, 16, CH, F] -> [nch, CH, 16, F] -> [nsl, T, F]

@@ -869,7 +869,8 @@ class TapeDecoder:
             # scan: its AGC-keyed bit flip feeds back into the slot loop.)
             slot_knobs = None
             if (os.environ.get("READTAPE_SLOT_PALLAS", "1") == "1"
-                    and not opts.do_correct and opts.ntrks <= 9):
+                    and not opts.do_correct and opts.ntrks <= 9
+                    and S <= 1 << 20):  # f32 tiebreak key limit (see kernel)
                 slot_knobs = (float(spb),
                               tuple(int(p.clk_window) for p in active),
                               tuple(float(p.clk_alpha) for p in active),
@@ -1399,6 +1400,9 @@ def _decode_tape_nrzi_like(samples, opts, log):
         stats["deskew_percent"] = dec.deskew_percent
     stats["skew"] = dec.skew.tolist()
 
+    if opts.parmscan and opts.mode != tb.MODE_GCR and log:
+        log("-parmscan is only implemented for GCR (as in the reference's "
+            "GCR_PARMSCAN build); ignored\n")
     if opts.parmscan and opts.mode == tb.MODE_GCR and segs and log:
         # GCR_PARMSCAN (readtape.c:1730-1754): grid-scan decode parms over
         # the first block before the normal decode begins. The reference

@@ -1,7 +1,7 @@
 """GCR parmset grid scan (-parmscan): differential test against the
 reference binary built with GCR_PARMSCAN enabled (readtape.c:1730-1754).
 
-The reference re-reads the first block once per combo (5808 sequential
+The reference re-reads the first block once per combo (5280 sequential
 decodes); here the grid rides the batched parmset axis, so a whole chunk
 of combos decodes in one device call. The log lines must match the C's
 anyway -- same float32 grid stepping, same fields, same values."""
