@@ -487,17 +487,21 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
     blocks, stats = decode_tape(samples, dopts, log=log)
 
     # ---- optional debug trace (trace.c equivalent) ----
-    if o.trace and o.mode != MODE_WW:
+    if o.trace:
         from .out.trace import write_trace
-        dec = TapeDecoder(samples, dopts)
         if o.trace is True:
             a, b = 0, min(len(samples), 10000)
         else:
             a = max(0, int((o.trace[0] - t0) / deltat))
             b = min(len(samples), int((o.trace[1] - t0) / deltat))
-        volts, lanes = dec.trace_lanes(a, b)
-        mode_name = {MODE_NRZI: "nrzi", MODE_PE: "pe",
-                     MODE_GCR: "gcr"}.get(o.mode, "nrzi")
+        if o.mode == MODE_WW:
+            from .decode.pipeline import ww_trace_lanes
+            volts, lanes = ww_trace_lanes(samples, dopts, a, b)
+        else:
+            dec = TapeDecoder(samples, dopts)
+            volts, lanes = dec.trace_lanes(a, b)
+        mode_name = {MODE_NRZI: "nrzi", MODE_PE: "pe", MODE_GCR: "gcr",
+                     MODE_WW: "ww"}.get(o.mode, "nrzi")
         nl = write_trace(outbase + ".trace.csv", t0 + a * deltat, deltat,
                          volts, mode=mode_name, lanes=lanes)
         log.info(f'created trace file "{outbase}.trace.csv" ({nl} lines)')

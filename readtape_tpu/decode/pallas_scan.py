@@ -97,7 +97,6 @@ def _kernel(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
     use_exp = aal_v > 0.0
     use_win = awin_v > 0
 
-    NF = len(F_FIELDS) + ring
     FIDX = {k: n for n, k in enumerate(F_FIELDS)}
 
     def st_read(k):
@@ -365,7 +364,6 @@ def _kernel_tracks(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
     use_win = awin_p > 0
     W_f = jnp.float32(W)
 
-    NF = len(F_FIELDS) + ring
     FIDX = {k: n for n, k in enumerate(F_FIELDS)}
 
     def st_read(k):

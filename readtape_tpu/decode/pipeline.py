@@ -395,7 +395,7 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
     return res
 
 
-def _nrzi_segment_pallas_finals(v, nxt, knobs, *, S, T, K, Ws):
+def _nrzi_segment_pallas_finals(v, nxt, *, Ws):
     """Per-segment front end for the Pallas admission kernel: stack the
     per-distinct-width feature packs. Returns [G, T, 12, S]."""
     wset = sorted(set(Ws))
@@ -424,8 +424,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
                         spb_int=spb_int)
         nxt = _mask_jump_table(
             _union_jump_table(v, Ws, rise_floor, min_floor), ln, ld, S)
-        return _nrzi_segment_pallas_finals(v, nxt, knobs, S=S, T=T, K=K,
-                                           Ws=Ws)
+        return _nrzi_segment_pallas_finals(v, nxt, Ws=Ws)
 
     feat = jax.vmap(prep)(off, seg_lens, leads)       # [B, G, T, 12, S]
     wset = sorted(set(Ws))
@@ -1172,6 +1171,98 @@ def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None):
     raise NotImplementedError(f"mode {opts.mode}")
 
 
+def ww_trace_lanes(samples, opts, a: int, b: int):
+    """WW -trace extraction: per-track peak events plus the track-0 data
+    lane (TRACE(data, clkendtime, UPTICK*(1 + 2 bits)), decode_ww.c:90).
+    Returns (volts [b-a, T], lanes) like TapeDecoder.trace_lanes."""
+    type_to_trk, head_to_trk, ntrks = ww_mod.parse_ww_order(opts.ww_order)
+    used = [h for h, t in enumerate(head_to_trk) if t >= 0]
+    samples = samples[:, used]
+    perm = [head_to_trk[h] for h in used]
+    cols = np.zeros(ntrks, np.int64)
+    for pos, trkn in enumerate(perm):
+        cols[trkn] = pos
+    samples = samples[a:b][:, cols]
+    T = ntrks
+    S = seg.bucket_length(b - a)
+    v_i16, h_est, _ = seg.tape_activity(
+        jnp.asarray(samples), jnp.float32(opts.maxvolts), step=1)
+    h_est = float(h_est)
+    if v_i16.shape[1] < S:
+        v_i16 = jnp.pad(v_i16, ((0, 0), (0, S - v_i16.shape[1])))
+    skew = np.zeros(T, np.int32)
+    if opts.skew is not None:
+        skew[:len(opts.skew)] = opts.skew
+
+    spb = opts.spb
+    p0 = opts.parmsets[0]
+    W = cm.pkww_width_for(p0.pkww_bitfrac, opts.bpi, opts.ips, opts.deltat)
+    nsteps = int(S / spb * 3.2) + 64
+    K = int(S / spb * 2.5) + 64
+    vf = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
+                     jnp.float32(-1.0 if opts.invert else 1.0),
+                     jnp.asarray(skew, I32), S=S, T=T,
+                     differentiate=opts.differentiate, spb_int=int(spb))
+    scale = min(1.0, h_est / cm.PKWW_PEAKHEIGHT)
+    rise_floor = jnp.full(T, p0.pkww_rise * scale / cm.AGC_MAX_VALUE * 0.8,
+                          F32)
+    min_floor = jnp.full(T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8,
+                         F32)
+    nxt = trackscan.loose_jump_table(vf, W, rise_floor, min_floor)
+    feat = trackscan.precompute_window_features(vf, W, nxt)
+    lane = jax.vmap(lambda ft, nx: ww_mod.ww_track_scan(
+        ft, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
+        p0.agc_alpha, p0.agc_window,
+        jnp.float32(cm.PKWW_PEAKHEIGHT), pre=True))
+    fin = jax.tree.map(np.asarray, lane(feat, nxt))
+
+    t0 = opts.t0_seconds + a * opts.deltat
+    dt = opts.deltat
+
+    def tsec(x):
+        return t0 + float(x) * dt
+
+    peaks = []
+    for trk in range(T):
+        n = fin["n_admitted"][trk]
+        peaks.append([(tsec(x), bool(u))
+                      for x, u in zip(fin["tr_t"][trk][:n],
+                                      fin["tr_top"][trk][:n])])
+
+    counts = fin["n_admitted"]
+    keep = np.arange(K) < counts[..., None]
+    trans = dict(s_det=jnp.where(keep, fin["tr_s"], nrzi_mod.BIG_S),
+                 t_peak=jnp.where(keep, fin["tr_t"], 0.0),
+                 is_top=jnp.where(keep, fin["tr_top"], False))
+    Mcap = min(int(T * K), int(np.sum(counts)) + 16)
+    merged = ww_mod.merge_transitions(trans, T, Mcap)
+    maxchars = int(S / spb) + 256
+    lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
+    fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
+               "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
+    res = jax.tree.map(np.asarray, ww_mod.ww_global_scan(
+        merged["trk"], merged["t_peak"], merged["s_det"],
+        merged["is_top"], merged["valid"],
+        jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+        jnp.float32(spb),
+        jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
+        pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+        pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+        pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+        alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+        alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+        alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
+        T=T, maxchars=maxchars, maxblocks=4096, fluxdir_req=fluxdir,
+        debug_times=True))
+    nchars = int(res["datacount"])
+    data = [[] for _ in range(T)]
+    data[0] = [(tsec(res["char_t"][i]), int(res["chars"][i]))
+               for i in range(nchars)]
+    lanes = dict(peak=peaks, data=data)
+    volts = np.asarray(vf).T[:b - a]
+    return volts, lanes
+
+
 def _decode_tape_ww(samples, opts, log):
     """Whirlwind: the whole tape decodes in one pass (blocks can abut;
     decode_ww.c:29-31), no multi-parmset retry (readtape.c:1987)."""
@@ -1565,7 +1656,11 @@ def _decode_tape_nrzi_like(samples, opts, log):
     if opts.mode == tb.MODE_NRZI and not opts.find_zeros:
         ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
         frontier = order[:]
-        for _round in range(16):
+        # each round carves at most ONE remainder per chain, so a merged
+        # segment with N blocks needs N-1 rounds; every spawn strictly
+        # advances its chain's start (a_rem > a), so the loop terminates
+        # on its own -- the cap is only a runaway guard
+        for _round in range(65536):
             spawned = []
             for i in frontier:
                 a, b = segs[i]
@@ -1607,7 +1702,14 @@ def _decode_tape_nrzi_like(samples, opts, log):
             stats["tried"][i] += 1
         bt = int(res["blktype"][p])
         t_start = opts.t0_seconds + a * opts.deltat
-        t_end = opts.t0_seconds + b * opts.deltat
+        # block end: where the scan actually ended the block (postamble
+        # fire), not the segment's end -- in a merged multi-block segment
+        # every carved block otherwise reports the final block's end
+        end_b = b
+        if "end_s" in res:
+            a0 = max(a - SEG_WARMUP, 0)
+            end_b = min(a0 + int(res["end_s"][p]), b)
+        t_end = opts.t0_seconds + end_b * opts.deltat
         if bt == nrzi_mod.BS_NONE:
             continue
         if bt != nrzi_mod.BS_NOISE:

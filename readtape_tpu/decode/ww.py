@@ -121,14 +121,19 @@ def merge_transitions(trans, T: int, cap: int):
 
 @partial(jax.jit, static_argnames=(
     "pri_clk", "pri_lsb", "pri_msb", "alt_clk", "alt_lsb", "alt_msb",
-    "T", "maxchars", "maxblocks", "fluxdir_req"))
+    "T", "maxchars", "maxblocks", "fluxdir_req", "debug_times"))
 def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                    clk_window, clk_alpha, spb,
                    stat_leftbin=jnp.float32(0.0),
                    stat_binwidth=jnp.float32(1.0),
                    *, pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb,
-                   T, maxchars, maxblocks, fluxdir_req):
-    """The merged-stream state machine (decode_ww.c:51-271)."""
+                   T, maxchars, maxblocks, fluxdir_req,
+                   debug_times: bool = False):
+    """The merged-stream state machine (decode_ww.c:51-271).
+
+    debug_times additionally records each data char's clock-end time
+    (char_t) for the -trace data lane (TRACE(data, clkendtime, ...),
+    decode_ww.c:90); off by default to keep the carried buffer small."""
     clk_trks = [t for t in (pri_clk, alt_clk) if t >= 0]
     lsb_trks = [t for t in (pri_lsb, alt_lsb) if t >= 0]
 
@@ -181,6 +186,8 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         i = jnp.minimum(st["datacount"], maxchars - 1)
         out = dict(st)
         out["chars"] = st["chars"].at[i].set(ch.astype(jnp.int8))
+        if debug_times:
+            out["char_t"] = st["char_t"].at[i].set(clkend)
         out["datacount"] = jnp.minimum(st["datacount"] + 1, maxchars)
         out["w_missing_onebit"] = st["w_missing_onebit"] + miss
         return out
@@ -311,6 +318,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
 
     init = dict(
         chars=jnp.zeros(maxchars, jnp.int8),
+        **({"char_t": jnp.zeros(maxchars, F32)} if debug_times else {}),
         datacount=I32(0),
         blockstart_char=I32(0),
         nblocks=I32(0),

@@ -101,3 +101,25 @@ def test_gcr_short_gap_blocks_identical_to_oracle(oracle, tmp_path):
     _diff_vs_oracle(oracle, tmp_path, hdr, samples,
                     ["-v", "-m", "-gcr", "-bpi=9042", "-ips=25", "-tap"],
                     "gcs")
+
+
+def test_many_blocks_past_old_round_cap():
+    """A merged segment with MORE blocks than the re-dispatch loop's old
+    16-round cap (each round carves one block): all 20 must come back."""
+    rng = np.random.default_rng(84)
+    blocks = [bytes(rng.integers(0, 256, 24, dtype=np.uint8))
+              for _ in range(20)]
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=0.0008,
+                        start_gap_secs=0.004)
+    hdr, samples = synthesize_tape(spec, [("block", b) for b in blocks])
+    opts = DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,
+                         deltat=hdr.tdelta_ns * 1e-9,
+                         maxvolts=hdr.maxvolts)
+    out, stats = decode_tape(samples, opts)
+    datas = [b.data for b in out if b.kind == "data"]
+    assert datas == blocks, \
+        f"recovered {len(datas)}/20 blocks from the merged segment"
+    # per-block end times must be distinct and increasing (each block's
+    # t_end comes from ITS end_s, not the shared segment end)
+    ends = [b.t_end for b in out if b.kind == "data"]
+    assert all(e2 > e1 for e1, e2 in zip(ends, ends[1:])), ends
