@@ -1387,8 +1387,10 @@ def _decode_tape_ww(samples, opts, log):
     for rb in raw:
         if stats["nblocks"] >= opts.blklimit:
             break
+        t_blk = opts.t0_seconds + rb["t_end_samples"] * opts.deltat
         if rb["kind"] == "tapemark":
-            blocks.append(BlockResult("tapemark"))
+            blocks.append(BlockResult("tapemark", t_start=t_blk,
+                                      t_end=t_blk))
             stats["ntapemarks"] += 1
             continue
         w = rb["warnings"]
@@ -1398,7 +1400,8 @@ def _decode_tape_ww(samples, opts, log):
         detail = dict(w)
         detail["avg_bit_spacing"] = w["avg_bit_spacing"]
         blocks.append(BlockResult("data", rb["data"], errcount=err,
-                                  warncount=warn, detail=detail))
+                                  warncount=warn, detail=detail,
+                                  t_start=t_blk, t_end=t_blk))
         stats["nblocks"] += 1
         stats["tried"][0] += 1
         stats["chosen"][0] += 1

@@ -145,6 +145,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                 ("b_start", st["blockstart_char"]),
                 ("b_end", st["datacount"]),
                 ("b_type", btype),
+                ("b_t_end", end_t),
                 ("b_bitspace", st["clkavg"]["t_bitspaceavg"]),
                 ("b_leadclk", jnp.int32(0)),
                 ("b_missing1", st["w_missing_onebit"]),
@@ -325,6 +326,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         b_start=jnp.zeros(maxblocks, I32),
         b_end=jnp.zeros(maxblocks, I32),
         b_type=jnp.zeros(maxblocks, I32),
+        b_t_end=jnp.zeros(maxblocks, F32),
         b_bitspace=jnp.zeros(maxblocks, F32),
         b_leadclk=jnp.zeros(maxblocks, I32),
         b_missing1=jnp.zeros(maxblocks, I32),
@@ -380,7 +382,8 @@ def assemble_ww_blocks(res_host, spb, reverse: bool):
     for i in range(min(n, len(res_host["b_start"]))):
         btype = int(res_host["b_type"][i])
         if btype == BS_TAPEMARK:
-            out.append(dict(kind="tapemark", data=b"", warnings={}))
+            out.append(dict(kind="tapemark", data=b"", warnings={},
+                            t_end_samples=float(res_host["b_t_end"][i])))
             continue
         a, b = int(res_host["b_start"][i]), int(res_host["b_end"][i])
         two = np.asarray(chars[a:b], np.int32)
@@ -410,5 +413,6 @@ def assemble_ww_blocks(res_host, spb, reverse: bool):
             ww_speed_err=speed_err,
             avg_bit_spacing=bitspace,
         )
-        out.append(dict(kind="data", data=byts.tobytes(), warnings=warnings))
+        out.append(dict(kind="data", data=byts.tobytes(), warnings=warnings,
+                        t_end_samples=float(res_host["b_t_end"][i])))
     return out
