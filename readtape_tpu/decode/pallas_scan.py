@@ -15,14 +15,18 @@ Design — the key moves vs the retired v1 kernel (which lost to XLA at
   precomputes them data-parallel (trackscan.precompute_window_features);
   the kernel streams the [12, 128] feature rows in through the grid's
   BlockSpec pipeline, so there are ZERO dynamically indexed memory reads.
-- grid = (B*T, R/RB): instance (b, t) scans its track across row blocks;
-  decode state persists in VMEM scratch across grid steps (reset at
-  rblk == 0). Parmsets ride the SUBLANE axis: every state update is one
-  [SL, 128] vector op covering all P parmsets at once.
+- Two variants share one commit-loop body (_row_commit):
+  * _kernel: grid (B*T, rowblocks), parmsets on the SUBLANE axis —
+    every state update covers all P parmsets at once; supports multiple
+    distinct window widths (feature group per parmset).
+  * _kernel_tracks: grid (B*P, rowblocks), TRACKS on the sublane axis —
+    one instance scans a whole segment for one parmset; ~T x better VPU
+    occupancy when P is small (the staged retry's dominant P=1 phase).
+    Requires a single shared window width.
 - Within a row, admission is a commit loop: eligibility mask (candidate
-  positions past each parmset's blind window whose AGC-scaled thresholds
-  pass) -> first eligible lane per parmset (lane reduce) -> feature
-  extraction at that lane (masked reduces) -> state update -> repeat.
+  positions past each lane's blind window whose AGC-scaled thresholds
+  pass) -> first eligible position per sublane (lane reduce) -> feature
+  extraction at that position (masked reduces) -> state update, repeat.
   Admission slots are statically unrolled and guarded by an SMEM
   work-remains flag, so rows with no admissions cost ~one eligibility
   test and gap rows cost almost nothing.
@@ -34,6 +38,12 @@ Design — the key moves vs the retired v1 kernel (which lost to XLA at
 Parmset knob values are compile-time constants (a tape's parmsets are
 fixed for the whole decode); rebuilt per grid step from sublane iota +
 scalar selects because pallas_call forbids captured constant arrays.
+Knob constants keep their ORIGINAL shapes through the shared body
+([SL, 128] vectors in both variants, but W is a vector in _kernel and a
+scalar in _kernel_tracks): scalar-vs-vector constants fuse differently
+(FMA association) and a 1-ULP AGC divergence can cascade into admission
+decisions on marginal peaks — both variants are validated bit-exact
+against the XLA scan as-is.
 
 Mosaic-on-v5e constraints baked in (learned the hard way in round 1):
 no loop-carried vector registers (cssa copies crash the register
@@ -62,6 +72,223 @@ F_FIELDS = ("blind", "v_top", "v_bot", "n_adm", "agc", "vah", "vah_sum",
             "vah_cnt", "hndx", "max_agc", "min_agc", "v_lasttop",
             "v_lastbot", "peakcount", "overflow", "cnt")
 REC_SENT = np.float32(-1.0)         # s-field sentinel for unused record slots
+
+
+def _state_accessors(st_ref, SL):
+    """Named [SL, 128] row-block views over the VMEM state scratch."""
+    FIDX = {k: n for n, k in enumerate(F_FIELDS)}
+
+    def st_read(k):
+        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
+        return st_ref[n * SL:(n + 1) * SL, :]
+
+    def st_write(k, val):
+        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
+        st_ref[n * SL:(n + 1) * SL, :] = val
+
+    return st_read, st_write
+
+
+def _init_state(st_write, zf, ring):
+    st_write("blind", zf - 1.0)
+    st_write("v_top", zf)
+    st_write("v_bot", zf)
+    st_write("n_adm", zf)
+    st_write("agc", zf + 1.0)
+    st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
+    st_write("vah_sum", zf)
+    st_write("vah_cnt", zf)
+    st_write("hndx", zf)
+    st_write("max_agc", zf)
+    st_write("min_agc", zf + cm.FLT_MAX)
+    st_write("v_lasttop", zf)
+    st_write("v_lastbot", zf)
+    st_write("peakcount", zf)
+    st_write("overflow", zf)
+    for k in range(ring):
+        st_write(k, zf)
+
+
+def _final_scalars(scal_ref, st_read, K):
+    scal_ref[0, 0, 0] = st_read("n_adm")
+    scal_ref[0, 0, 1] = st_read("max_agc")
+    scal_ref[0, 0, 2] = st_read("min_agc")
+    ov = st_read("overflow") + jnp.where(st_read("n_adm") > K, 1.0, 0.0)
+    scal_ref[0, 0, 3] = ov
+
+
+def _row_commit(*, rr, feat, cand_full, posf, base, active,
+                rise_k, minp_k, aal_k, awin_k, W_term,
+                st_read, st_write, recs_ref, smem_ref,
+                lane, zf, A_MAX, ring, rec_sent):
+    """The per-row admission commit loop, shared by both kernel variants.
+
+    feat: the 10 per-row feature blocks (wmax, wmin, v_left, v_right,
+    l_top, prevmax, nextmax, l_bot, prevmin, nextmin), each [SL, 128].
+    cand_full: candidacy (+ active-sublane) mask. Knob constants
+    rise_k/minp_k/aal_k/awin_k are [SL, 128]; W_term keeps each
+    variant's original shape (vector / scalar — see module docstring).
+    """
+    (wmax, wmin, v_left, v_right, l_top, prevmax, nextmax, l_bot,
+     prevmin, nextmin) = feat
+    no_min = minp_k == 0.0
+    use_exp = aal_k > 0.0
+    use_win = awin_k > 0
+
+    def elig(agc, vah, blind):
+        scale = vah / cm.PKWW_PEAKHEIGHT
+        rise = rise_k * scale / agc
+        rmin = minp_k * scale / agc
+        is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
+                  (no_min | (wmax > rmin)))
+        is_bot = ((~is_top) & (wmin < v_left - rise) &
+                  (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
+        return (is_top | is_bot) & cand_full & (posf > blind), is_top
+
+    # row-leading eligibility -> work flag
+    e0, _t0 = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+    smem_ref[0] = jnp.sum(e0.astype(I32))
+    st_write("cnt", zf)
+    recs_ref[0, 0, rr] = rec_sent
+
+    def slot_body(j, carry, rr=rr):
+        @pl.when(smem_ref[0] > 0)
+        def _(rr=rr):
+            agc = st_read("agc")
+            vah = st_read("vah")
+            blind = st_read("blind")
+            e, is_top_row = elig(agc, vah, blind)
+
+            # first eligible lane per sublane (+ broadcast back)
+            li = jnp.min(jnp.where(e, lane, 9999), axis=1, keepdims=True)
+            li = jnp.broadcast_to(li, lane.shape)
+            adm = (li < 9999) & active
+            sel = (lane == li) & adm
+
+            def ext(x):
+                v = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+                return jnp.broadcast_to(v, lane.shape)
+
+            is_top = ext(jnp.where(is_top_row, F32(1.0), F32(0.0))) > 0.5
+            is_top = is_top & adm
+            is_bot = adm & (~is_top)
+            L = ext(jnp.where(is_top_row, l_top, l_bot))
+            val = ext(jnp.where(is_top_row, wmax, wmin))
+            prev = ext(jnp.where(is_top_row, prevmax, prevmin))
+            nxt = ext(jnp.where(is_top_row, nextmax, nextmin))
+            s_f = li.astype(F32) + F32(base)         # admitted position
+
+            # refine_peak (decoder.c:700-749)
+            thr = cm.PEAK_THRESHOLD / agc
+            ref = jnp.where(is_top, val - thr, val + thr)
+            p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
+            n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+            adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                            jnp.where(n_close & ~p_close, F32(0.5),
+                                      F32(0.0)))
+            t_peak = s_f - ((W_term - L) - adj)
+
+            # ---- state updates (nrzi_track_scan's extra hook) ----
+            n_adm = st_read("n_adm")
+            v_top2 = jnp.where(is_top, val, st_read("v_top"))
+            v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+            first = adm & (n_adm == 0.0)
+            max_agc2 = jnp.where(first, agc, st_read("max_agc"))
+
+            # nrzi_agc_policy (decode_nrzi.c:184-230)
+            pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
+            height = v_top2 - v_bot2
+            in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
+                       (pc <= cm.AGC_ENDBASE))
+            past = pc > cm.AGC_ENDBASE
+            vah_cnt = st_read("vah_cnt")
+            do_fin = is_top & past & (vah_cnt > 0.0)
+            do_agc = adm & past & (vah_cnt == 0.0)
+
+            vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
+                                 st_read("vah_sum"))
+            vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
+            hndx = st_read("hndx")
+            hndx_acc = jnp.where(hndx + 1.0 >= awin_k.astype(F32),
+                                 F32(0.0), hndx + 1.0)
+            hndx2 = jnp.where(in_base, hndx_acc, hndx)
+            ring_rows = [st_read(k) for k in range(ring)]
+            ring2 = [jnp.where(in_base & (hndx == k), height, ring_rows[k])
+                     for k in range(ring)]
+
+            vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
+            vah2 = jnp.where(do_fin, vah_fin, vah)
+            vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
+
+            # adjust_agc (decoder.c:500-531)
+            lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+            hgt_ok = lastheight > 0.0
+            g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
+            g_exp = jnp.minimum(aal_k * g_exp + (1 - aal_k) * agc,
+                                cm.AGC_MAX_VALUE)
+            ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
+                               lastheight, ring2[k]) for k in range(ring)]
+            minh = zf + cm.FLT_MAX
+            for k in range(ring):
+                minh = jnp.minimum(
+                    minh, jnp.where(k < awin_k, ring3[k], cm.FLT_MAX))
+            g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
+                                cm.AGC_MAX_VALUE)
+            agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
+            agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
+            hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc, hndx2)
+            changed = do_agc & (use_exp | use_win) & hgt_ok
+            max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2,
+                                 max_agc2)
+            min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                 agc2, st_read("min_agc"))
+
+            # ---- record write: lanes 4c..4c+3 = s, t_peak, agc', top ----
+            cnt = st_read("cnt")
+            c4 = cnt * 4.0
+            lf = lane.astype(F32)
+            in_slot = adm & (lf >= c4) & (lf < c4 + 4.0) & (cnt < A_MAX)
+            fld = lane % 4
+            newrec = jnp.where(fld == 0, s_f,
+                      jnp.where(fld == 1, t_peak,
+                       jnp.where(fld == 2, agc2,
+                                 jnp.where(is_top, F32(1.0), F32(0.0)))))
+            cur = recs_ref[0, 0, rr]
+            recs_ref[0, 0, rr] = jnp.where(in_slot, newrec, cur)
+
+            blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+            st_write("blind", blind2)
+            st_write("v_top", v_top2)
+            st_write("v_bot", v_bot2)
+            st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
+            st_write("agc", agc2)
+            st_write("vah", vah2)
+            st_write("vah_sum", vah_sum2)
+            st_write("vah_cnt", vah_cnt2)
+            st_write("hndx", hndx2)
+            st_write("max_agc", max_agc2)
+            st_write("min_agc", min_agc2)
+            st_write("v_lasttop", jnp.where(is_top, val,
+                                            st_read("v_lasttop")))
+            st_write("v_lastbot", jnp.where(is_bot, val,
+                                            st_read("v_lastbot")))
+            st_write("peakcount", pc)
+            st_write("cnt", cnt + jnp.where(adm, 1.0, 0.0))
+            for k in range(ring):
+                st_write(k, ring3[k])
+
+            # remaining eligibility under the new state; slot overflow
+            e2, _ = elig(agc2, vah2, blind2)
+            nleft = jnp.sum(e2.astype(F32), axis=1, keepdims=True)
+            ovf = (jnp.broadcast_to(nleft, lane.shape) > 0.0) & \
+                (cnt + 1.0 >= A_MAX)
+            st_write("overflow",
+                     jnp.where(ovf, zf + 1.0, st_read("overflow")))
+            smem_ref[0] = jnp.sum(e2.astype(I32))
+
+        return carry
+
+    jax.lax.fori_loop(0, A_MAX, slot_body, 0)
 
 
 def _kernel(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
@@ -93,41 +320,13 @@ def _kernel(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
     aal_v = const_f(aalphas)
     awin_v = const_i(awindows)
     grp_v = const_i(groups)
-    no_min = minp_v == 0.0
-    use_exp = aal_v > 0.0
-    use_win = awin_v > 0
 
-    FIDX = {k: n for n, k in enumerate(F_FIELDS)}
-
-    def st_read(k):
-        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
-        return st_ref[n * SL:(n + 1) * SL, :]
-
-    def st_write(k, val):
-        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
-        st_ref[n * SL:(n + 1) * SL, :] = val
-
+    st_read, st_write = _state_accessors(st_ref, SL)
     rec_sent = jnp.where(lane % 4 == 0, REC_SENT, F32(0.0))
 
     @pl.when(rblk == 0)
     def _():
-        st_write("blind", zf - 1.0)
-        st_write("v_top", zf)
-        st_write("v_bot", zf)
-        st_write("n_adm", zf)
-        st_write("agc", zf + 1.0)
-        st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
-        st_write("vah_sum", zf)
-        st_write("vah_cnt", zf)
-        st_write("hndx", zf)
-        st_write("max_agc", zf)
-        st_write("min_agc", zf + cm.FLT_MAX)
-        st_write("v_lasttop", zf)
-        st_write("v_lastbot", zf)
-        st_write("peakcount", zf)
-        st_write("overflow", zf)
-        for k in range(ring):
-            st_write(k, zf)
+        _init_state(st_write, zf, ring)
 
     for rr in range(RB):
         # ---- the row's precomputed features, group-selected per parmset ----
@@ -139,184 +338,27 @@ def _kernel(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
                                 feat_ref[0, g, 0, f, rr:rr + 1, :], out)
             return out
 
-        wmax, wmin = fsel(0), fsel(1)
-        v_left, v_right = fsel(2), fsel(3)
-        l_top, l_bot = fsel(4), fsel(7)
-        prevmax, nextmax = fsel(5), fsel(6)
-        prevmin, nextmin = fsel(8), fsel(9)
+        feat = (fsel(0), fsel(1), fsel(2), fsel(3), fsel(4), fsel(5),
+                fsel(6), fsel(7), fsel(8), fsel(9))
         # candidacy: nxt[s] == s (rows 10/11 are biased-bitcast int32)
         enc_here = feat_ref[0, 0, 0, 11, rr:rr + 1, :]
         nxt_here = jax.lax.bitcast_convert_type(enc_here, I32) - _BITS_BIAS
         base = (rblk * RB + rr) * 128
         pos1 = base + lane1                              # [1, 128] i32
-        cand1 = (nxt_here == pos1) & (pos1 < S)
+        cand_full = ((nxt_here == pos1) & (pos1 < S)) & active
         posf = (base + lane).astype(F32)                 # [SL, 128]
 
-        # polarity-combined rows (selected later at the admitted lane)
-        def elig(agc, vah, blind):
-            scale = vah / cm.PKWW_PEAKHEIGHT
-            rise = rise_v * scale / agc
-            rmin = minp_v * scale / agc
-            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
-                      (no_min | (wmax > rmin)))
-            is_bot = ((~is_top) & (wmin < v_left - rise) &
-                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
-            ok = cand1 & active & (posf > blind)
-            return (is_top | is_bot) & ok, is_top
-
-        # row-leading eligibility -> work flag
-        e0, _t0 = elig(st_read("agc"), st_read("vah"), st_read("blind"))
-        smem_ref[0] = jnp.sum(e0.astype(I32))
-        st_write("cnt", zf)
-        recs_ref[0, 0, rr] = rec_sent
-
-        def slot_body(j, carry, rr=rr):
-            @pl.when(smem_ref[0] > 0)
-            def _(rr=rr):
-                agc = st_read("agc")
-                vah = st_read("vah")
-                blind = st_read("blind")
-                e, is_top_row = elig(agc, vah, blind)
-
-                # first eligible lane per parmset (+ broadcast back)
-                li = jnp.min(jnp.where(e, lane, 9999), axis=1, keepdims=True)
-                li = jnp.broadcast_to(li, (SL, 128))
-                adm = (li < 9999) & active
-                sel = (lane == li) & adm
-
-                def ext(x):
-                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
-                    return jnp.broadcast_to(v, (SL, 128))
-
-                is_top = ext(jnp.where(is_top_row, F32(1.0), F32(0.0))) > 0.5
-                is_top = is_top & adm
-                is_bot = adm & (~is_top)
-                L = ext(jnp.where(is_top_row, l_top, l_bot))
-                val = ext(jnp.where(is_top_row, wmax, wmin))
-                prev = ext(jnp.where(is_top_row, prevmax, prevmin))
-                nxt = ext(jnp.where(is_top_row, nextmax, nextmin))
-                s_f = li.astype(F32) + F32(base)         # admitted position
-
-                # refine_peak (decoder.c:700-749)
-                thr = cm.PEAK_THRESHOLD / agc
-                ref = jnp.where(is_top, val - thr, val + thr)
-                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
-                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
-                adj = jnp.where(p_close & ~n_close, F32(-0.5),
-                                jnp.where(n_close & ~p_close, F32(0.5),
-                                          F32(0.0)))
-                t_peak = s_f - ((W_v - L) - adj)
-
-                # ---- state updates (nrzi_track_scan's extra hook) ----
-                n_adm = st_read("n_adm")
-                v_top2 = jnp.where(is_top, val, st_read("v_top"))
-                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
-                first = adm & (n_adm == 0.0)
-                max_agc2 = jnp.where(first, agc, st_read("max_agc"))
-
-                # nrzi_agc_policy (decode_nrzi.c:184-230)
-                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
-                height = v_top2 - v_bot2
-                in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
-                           (pc <= cm.AGC_ENDBASE))
-                past = pc > cm.AGC_ENDBASE
-                vah_cnt = st_read("vah_cnt")
-                do_fin = is_top & past & (vah_cnt > 0.0)
-                do_agc = adm & past & (vah_cnt == 0.0)
-
-                vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
-                                     st_read("vah_sum"))
-                vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
-                hndx = st_read("hndx")
-                hndx_acc = jnp.where(hndx + 1.0 >= awin_v.astype(F32),
-                                     F32(0.0), hndx + 1.0)
-                hndx2 = jnp.where(in_base, hndx_acc, hndx)
-                ring_rows = [st_read(k) for k in range(ring)]
-                ring2 = [jnp.where(in_base & (hndx == k), height, ring_rows[k])
-                         for k in range(ring)]
-
-                vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
-                vah2 = jnp.where(do_fin, vah_fin, vah)
-                vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
-
-                # adjust_agc (decoder.c:500-531)
-                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
-                hgt_ok = lastheight > 0.0
-                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
-                g_exp = jnp.minimum(aal_v * g_exp + (1 - aal_v) * agc,
-                                    cm.AGC_MAX_VALUE)
-                ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
-                                   lastheight, ring2[k]) for k in range(ring)]
-                minh = zf + cm.FLT_MAX
-                for k in range(ring):
-                    minh = jnp.minimum(
-                        minh, jnp.where(k < awin_v, ring3[k], cm.FLT_MAX))
-                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
-                                    cm.AGC_MAX_VALUE)
-                agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
-                agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
-                hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc, hndx2)
-                changed = do_agc & (use_exp | use_win) & hgt_ok
-                max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2,
-                                     max_agc2)
-                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
-                                     agc2, st_read("min_agc"))
-
-                # ---- record write: lanes 4c..4c+3 = s, t_peak, agc', top ----
-                cnt = st_read("cnt")
-                c4 = cnt * 4.0
-                lf = lane.astype(F32)
-                in_slot = adm & (lf >= c4) & (lf < c4 + 4.0) & (cnt < A_MAX)
-                fld = lane % 4
-                newrec = jnp.where(fld == 0, s_f,
-                          jnp.where(fld == 1, t_peak,
-                           jnp.where(fld == 2, agc2,
-                                     jnp.where(is_top, F32(1.0), F32(0.0)))))
-                cur = recs_ref[0, 0, rr]
-                recs_ref[0, 0, rr] = jnp.where(in_slot, newrec, cur)
-
-                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
-                st_write("blind", blind2)
-                st_write("v_top", v_top2)
-                st_write("v_bot", v_bot2)
-                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
-                st_write("agc", agc2)
-                st_write("vah", vah2)
-                st_write("vah_sum", vah_sum2)
-                st_write("vah_cnt", vah_cnt2)
-                st_write("hndx", hndx2)
-                st_write("max_agc", max_agc2)
-                st_write("min_agc", min_agc2)
-                st_write("v_lasttop", jnp.where(is_top, val,
-                                                st_read("v_lasttop")))
-                st_write("v_lastbot", jnp.where(is_bot, val,
-                                                st_read("v_lastbot")))
-                st_write("peakcount", pc)
-                st_write("cnt", cnt + jnp.where(adm, 1.0, 0.0))
-                for k in range(ring):
-                    st_write(k, ring3[k])
-
-                # remaining eligibility under the new state; slot overflow
-                e2, _ = elig(agc2, vah2, blind2)
-                nleft = jnp.sum(e2.astype(F32), axis=1, keepdims=True)
-                ovf = (jnp.broadcast_to(nleft, (SL, 128)) > 0.0) & \
-                    (cnt + 1.0 >= A_MAX)
-                st_write("overflow",
-                         jnp.where(ovf, zf + 1.0, st_read("overflow")))
-                smem_ref[0] = jnp.sum(e2.astype(I32))
-
-            return carry
-
-        jax.lax.fori_loop(0, A_MAX, slot_body, 0)
+        _row_commit(rr=rr, feat=feat, cand_full=cand_full, posf=posf,
+                    base=base, active=active, rise_k=rise_v, minp_k=minp_v,
+                    aal_k=aal_v, awin_k=awin_v, W_term=W_v,
+                    st_read=st_read, st_write=st_write, recs_ref=recs_ref,
+                    smem_ref=smem_ref, lane=lane, zf=zf, A_MAX=A_MAX,
+                    ring=ring, rec_sent=rec_sent)
 
     # ---- final scalars at the last row block ----
     @pl.when(rblk == n_rblks - 1)
     def _():
-        scal_ref[0, 0, 0] = st_read("n_adm")
-        scal_ref[0, 0, 1] = st_read("max_agc")
-        scal_ref[0, 0, 2] = st_read("min_agc")
-        ov = st_read("overflow") + jnp.where(st_read("n_adm") > K, 1.0, 0.0)
-        scal_ref[0, 0, 3] = ov
+        _final_scalars(scal_ref, st_read, K)
 
 
 def _kernel_tracks(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
@@ -333,14 +375,11 @@ def _kernel_tracks(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
     p_id = pl.program_id(0) % P
     sub = jax.lax.broadcasted_iota(I32, (SL, 128), 0)
     lane = jax.lax.broadcasted_iota(I32, (SL, 128), 1)
-    lane1 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
     active = sub < T
     zf = (sub * 0).astype(F32)
 
-    # knob constants as [SL, 128] vectors (not scalars): scalar-constant
-    # arithmetic fuses differently (FMA association) and diverges from the
-    # XLA scan by 1 ULP in the AGC update, which can cascade into
-    # admission decisions on marginal peaks
+    # knob constants as [SL, 128] vectors (not scalars): see module
+    # docstring (FMA association)
     def kf(vals):
         out = (sub * 0).astype(F32) + jnp.float32(vals[0])
         for p in range(1, P):
@@ -359,219 +398,36 @@ def _kernel_tracks(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
     minp_p = kf(minps)
     aal_p = kf(aalphas)
     awin_p = ki(awindows)
-    no_min = minp_p == 0.0
-    use_exp = aal_p > 0.0
-    use_win = awin_p > 0
     W_f = jnp.float32(W)
 
-    FIDX = {k: n for n, k in enumerate(F_FIELDS)}
-
-    def st_read(k):
-        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
-        return st_ref[n * SL:(n + 1) * SL, :]
-
-    def st_write(k, val):
-        n = FIDX[k] if isinstance(k, str) else len(F_FIELDS) + k
-        st_ref[n * SL:(n + 1) * SL, :] = val
-
+    st_read, st_write = _state_accessors(st_ref, SL)
     rec_sent = jnp.where(lane % 4 == 0, REC_SENT, F32(0.0))
 
     @pl.when(rblk == 0)
     def _():
-        st_write("blind", zf - 1.0)
-        st_write("v_top", zf)
-        st_write("v_bot", zf)
-        st_write("n_adm", zf)
-        st_write("agc", zf + 1.0)
-        st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
-        st_write("vah_sum", zf)
-        st_write("vah_cnt", zf)
-        st_write("hndx", zf)
-        st_write("max_agc", zf)
-        st_write("min_agc", zf + cm.FLT_MAX)
-        st_write("v_lasttop", zf)
-        st_write("v_lastbot", zf)
-        st_write("peakcount", zf)
-        st_write("overflow", zf)
-        for k in range(ring):
-            st_write(k, zf)
+        _init_state(st_write, zf, ring)
 
     for rr in range(RB):
         # feature rows cover ALL tracks at once (sublane-major reads)
-        wmax = feat_ref[0, 0, :, 0, rr, :]
-        wmin = feat_ref[0, 0, :, 1, rr, :]
-        v_left = feat_ref[0, 0, :, 2, rr, :]
-        v_right = feat_ref[0, 0, :, 3, rr, :]
-        l_top = feat_ref[0, 0, :, 4, rr, :]
-        prevmax = feat_ref[0, 0, :, 5, rr, :]
-        nextmax = feat_ref[0, 0, :, 6, rr, :]
-        l_bot = feat_ref[0, 0, :, 7, rr, :]
-        prevmin = feat_ref[0, 0, :, 8, rr, :]
-        nextmin = feat_ref[0, 0, :, 9, rr, :]
+        feat = tuple(feat_ref[0, 0, :, f, rr, :]
+                     for f in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
         enc_here = feat_ref[0, 0, :, 11, rr, :]
         nxt_here = jax.lax.bitcast_convert_type(enc_here, I32) - _BITS_BIAS
         base = (rblk * RB + rr) * 128
         pos = base + lane                                # [SL, 128]
-        cand = (nxt_here == pos) & (pos < S) & active
+        cand_full = (nxt_here == pos) & (pos < S) & active
         posf = pos.astype(F32)
 
-        def elig(agc, vah, blind):
-            scale = vah / cm.PKWW_PEAKHEIGHT
-            rise = rise_p * scale / agc
-            rmin = minp_p * scale / agc
-            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
-                      (no_min | (wmax > rmin)))
-            is_bot = ((~is_top) & (wmin < v_left - rise) &
-                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
-            return (is_top | is_bot) & cand & (posf > blind), is_top
-
-        e0, _t0 = elig(st_read("agc"), st_read("vah"), st_read("blind"))
-        smem_ref[0] = jnp.sum(e0.astype(I32))
-        st_write("cnt", zf)
-        recs_ref[0, 0, rr] = rec_sent
-
-        def slot_body(j, carry, rr=rr):
-            @pl.when(smem_ref[0] > 0)
-            def _(rr=rr):
-                agc = st_read("agc")
-                vah = st_read("vah")
-                blind = st_read("blind")
-                e, is_top_row = elig(agc, vah, blind)
-
-                li = jnp.min(jnp.where(e, lane, 9999), axis=1, keepdims=True)
-                li = jnp.broadcast_to(li, (SL, 128))
-                adm = (li < 9999) & active
-                sel = (lane == li) & adm
-
-                def ext(x):
-                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1,
-                                keepdims=True)
-                    return jnp.broadcast_to(v, (SL, 128))
-
-                is_top = ext(jnp.where(is_top_row, F32(1.0), F32(0.0))) > 0.5
-                is_top = is_top & adm
-                is_bot = adm & (~is_top)
-                L = ext(jnp.where(is_top_row, l_top, l_bot))
-                val = ext(jnp.where(is_top_row, wmax, wmin))
-                prev = ext(jnp.where(is_top_row, prevmax, prevmin))
-                nxt = ext(jnp.where(is_top_row, nextmax, nextmin))
-                s_f = li.astype(F32) + F32(base)
-
-                thr = cm.PEAK_THRESHOLD / agc
-                ref = jnp.where(is_top, val - thr, val + thr)
-                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
-                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
-                adj = jnp.where(p_close & ~n_close, F32(-0.5),
-                                jnp.where(n_close & ~p_close, F32(0.5),
-                                          F32(0.0)))
-                t_peak = s_f - ((W_f - L) - adj)
-
-                n_adm = st_read("n_adm")
-                v_top2 = jnp.where(is_top, val, st_read("v_top"))
-                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
-                first = adm & (n_adm == 0.0)
-                max_agc2 = jnp.where(first, agc, st_read("max_agc"))
-
-                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
-                height = v_top2 - v_bot2
-                in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
-                           (pc <= cm.AGC_ENDBASE))
-                past = pc > cm.AGC_ENDBASE
-                vah_cnt = st_read("vah_cnt")
-                do_fin = is_top & past & (vah_cnt > 0.0)
-                do_agc = adm & past & (vah_cnt == 0.0)
-
-                vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
-                                     st_read("vah_sum"))
-                vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
-                hndx = st_read("hndx")
-                hndx_acc = jnp.where(hndx + 1.0 >= awin_p.astype(F32),
-                                     F32(0.0), hndx + 1.0)
-                hndx2 = jnp.where(in_base, hndx_acc, hndx)
-                ring_rows = [st_read(k) for k in range(ring)]
-                ring2 = [jnp.where(in_base & (hndx == k), height,
-                                   ring_rows[k]) for k in range(ring)]
-
-                vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
-                vah2 = jnp.where(do_fin, vah_fin, vah)
-                vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
-
-                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
-                hgt_ok = lastheight > 0.0
-                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
-                g_exp = jnp.minimum(aal_p * g_exp + (1 - aal_p) * agc,
-                                    cm.AGC_MAX_VALUE)
-                ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
-                                   lastheight, ring2[k])
-                         for k in range(ring)]
-                minh = zf + cm.FLT_MAX
-                for k in range(ring):
-                    minh = jnp.minimum(
-                        minh, jnp.where(k < awin_p, ring3[k], cm.FLT_MAX))
-                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
-                                    cm.AGC_MAX_VALUE)
-                agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
-                agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
-                hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc, hndx2)
-                changed = do_agc & (use_exp | use_win) & hgt_ok
-                max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2,
-                                     max_agc2)
-                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
-                                     agc2, st_read("min_agc"))
-
-                cnt = st_read("cnt")
-                c4 = cnt * 4.0
-                lf = lane.astype(F32)
-                in_slot = adm & (lf >= c4) & (lf < c4 + 4.0) & (cnt < A_MAX)
-                fld = lane % 4
-                newrec = jnp.where(fld == 0, s_f,
-                          jnp.where(fld == 1, t_peak,
-                           jnp.where(fld == 2, agc2,
-                                     jnp.where(is_top, F32(1.0),
-                                               F32(0.0)))))
-                cur = recs_ref[0, 0, rr]
-                recs_ref[0, 0, rr] = jnp.where(in_slot, newrec, cur)
-
-                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
-                st_write("blind", blind2)
-                st_write("v_top", v_top2)
-                st_write("v_bot", v_bot2)
-                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
-                st_write("agc", agc2)
-                st_write("vah", vah2)
-                st_write("vah_sum", vah_sum2)
-                st_write("vah_cnt", vah_cnt2)
-                st_write("hndx", hndx2)
-                st_write("max_agc", max_agc2)
-                st_write("min_agc", min_agc2)
-                st_write("v_lasttop", jnp.where(is_top, val,
-                                                st_read("v_lasttop")))
-                st_write("v_lastbot", jnp.where(is_bot, val,
-                                                st_read("v_lastbot")))
-                st_write("peakcount", pc)
-                st_write("cnt", cnt + jnp.where(adm, 1.0, 0.0))
-                for k in range(ring):
-                    st_write(k, ring3[k])
-
-                e2, _ = elig(agc2, vah2, blind2)
-                nleft = jnp.sum(e2.astype(F32), axis=1, keepdims=True)
-                ovf = (jnp.broadcast_to(nleft, (SL, 128)) > 0.0) & \
-                    (cnt + 1.0 >= A_MAX)
-                st_write("overflow",
-                         jnp.where(ovf, zf + 1.0, st_read("overflow")))
-                smem_ref[0] = jnp.sum(e2.astype(I32))
-
-            return carry
-
-        jax.lax.fori_loop(0, A_MAX, slot_body, 0)
+        _row_commit(rr=rr, feat=feat, cand_full=cand_full, posf=posf,
+                    base=base, active=active, rise_k=rise_p, minp_k=minp_p,
+                    aal_k=aal_p, awin_k=awin_p, W_term=W_f,
+                    st_read=st_read, st_write=st_write, recs_ref=recs_ref,
+                    smem_ref=smem_ref, lane=lane, zf=zf, A_MAX=A_MAX,
+                    ring=ring, rec_sent=rec_sent)
 
     @pl.when(rblk == n_rblks - 1)
     def _():
-        scal_ref[0, 0, 0] = st_read("n_adm")
-        scal_ref[0, 0, 1] = st_read("max_agc")
-        scal_ref[0, 0, 2] = st_read("min_agc")
-        ov = st_read("overflow") + jnp.where(st_read("n_adm") > K, 1.0, 0.0)
-        scal_ref[0, 0, 3] = ov
+        _final_scalars(scal_ref, st_read, K)
 
 
 @functools.partial(jax.jit, static_argnames=(
