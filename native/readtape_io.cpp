@@ -243,4 +243,57 @@ int64_t tap_close(TapWriter *w) {
     return n;
 }
 
+// ---- 12-bit delta pack for the device upload ----
+//
+// The host->device link is the decode pipeline's largest cost in relay
+// environments (measured: ~25-45 MB/s for an 80 MB int16 tape).  Tape
+// waveforms are band-limited (~20 samples/bit-cell), so per-track sample
+// deltas fit comfortably in 12 bits; packing two biased 12-bit deltas
+// into 3 bytes cuts the transfer 25% and the device reconstructs the
+// exact int16 samples with one integer cumsum (segment.unpack12_tape).
+//
+// x: [n_rows, n_cols] int16 row-major.  Deltas run down each column
+// (x[i][t] - x[i-1][t], first row vs 0).  The flattened C-order element
+// stream is packed in pairs into three planes of ceil(n/2) bytes each:
+//   u = delta + 2048 (12-bit biased)
+//   p0[k] = u0 & 0xff;  p1[k] = (u0 >> 8) | ((u1 & 0xf) << 4);
+//   p2[k] = u1 >> 4
+// Returns 0 on success, 1 if any delta exceeds 12 bits (caller falls
+// back to the raw upload -- lossless either way).
+int pack12_delta(const int16_t *x, int64_t n_rows, int32_t n_cols,
+                 uint8_t *p0, uint8_t *p1, uint8_t *p2) {
+    if (n_cols <= 0 || n_cols > 64) return 1;
+    int32_t prev[64] = {0};
+    const int64_t n = n_rows * (int64_t)n_cols;
+    int64_t k = 0;
+    uint32_t u_hold = 0;
+    int phase = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int16_t *row = x + i * n_cols;
+        for (int32_t t = 0; t < n_cols; ++t) {
+            int32_t d = (int32_t)row[t] - prev[t];
+            prev[t] = row[t];
+            uint32_t u = (uint32_t)(d + 2048);
+            if (u > 4095u) return 1;
+            if (phase == 0) {
+                u_hold = u;
+                phase = 1;
+            } else {
+                p0[k] = (uint8_t)(u_hold & 0xff);
+                p1[k] = (uint8_t)((u_hold >> 8) | ((u & 0xf) << 4));
+                p2[k] = (uint8_t)(u >> 4);
+                ++k;
+                phase = 0;
+            }
+        }
+    }
+    if (phase == 1) {            // odd element count: pad with bias (0)
+        p0[k] = (uint8_t)(u_hold & 0xff);
+        p1[k] = (uint8_t)((u_hold >> 8) | ((2048u & 0xf) << 4));
+        p2[k] = (uint8_t)(2048u >> 4);
+    }
+    (void)n;
+    return 0;
+}
+
 }  // extern "C"

@@ -720,10 +720,24 @@ class TapeDecoder:
         self.n_samples = samples.shape[0]
         # upload [N, T] as stored; transpose + height + activity run as ONE
         # device program (the host-side transpose copy alone cost ~5 s/tape
-        # on one vCPU)
+        # on one vCPU). int16 tapes upload 12-bit delta-packed when the
+        # native packer is available and every delta fits (25% fewer bytes
+        # over the link -- the pipeline's largest cost on relay-attached
+        # TPUs); the device reconstructs the exact samples, so both paths
+        # are bit-identical.
         step = max(1, (self.n_samples * opts.ntrks) // 2_000_000)
-        self.v_i16, h_est, act = seg.tape_activity(
-            jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
+        packed = None
+        if (samples.dtype == np.int16
+                and os.environ.get("READTAPE_PACK12", "1") == "1"):
+            from .. import native
+            packed = native.pack12_delta(samples)
+        if packed is not None:
+            self.v_i16, h_est, act = seg.tape_activity_packed(
+                jnp.asarray(packed), jnp.float32(opts.maxvolts),
+                step=step, n=self.n_samples, t=opts.ntrks)
+        else:
+            self.v_i16, h_est, act = seg.tape_activity(
+                jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
         self.h_est = float(h_est)
         self._act = np.asarray(act)
         _tlog(f"upload+activity {_time.perf_counter() - t0:.2f}s")

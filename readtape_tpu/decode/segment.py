@@ -34,20 +34,16 @@ def activity_chunks(v_abs_max: jnp.ndarray, thresh) -> jnp.ndarray:
     return act
 
 
-@partial(jax.jit, static_argnames=("step",))
-def tape_activity(samples_nt: jnp.ndarray, maxvolts, *, step: int):
-    """One device pass over the uploaded tape [N, T]: the device-resident
-    transposed tape [T, N], the height estimate (twice the 0.999-quantile
-    of |v| on a subsample -- thresholds/floors only, never decode values)
-    and the per-CHUNK activity mask at the segmentation threshold derived
-    from it. The quantile must be extreme: on a mostly-empty tape (one
-    small block in seconds of gap) a 0.98-quantile lands in the NOISE,
-    collapsing the height estimate and dragging the activity threshold to
-    the noise floor -- every chunk goes active and the whole tape merges
-    into one segment (hard-fuzz case 7013 lost a tapemark that way). On
-    the host the transpose + quantile cost ~19 s per tape on one slow
-    vCPU; on device it is one fused pass plus two tiny fetches."""
-    v_i16 = samples_nt.T
+def _activity_from_tape(v_i16, maxvolts, step: int):
+    """Height estimate (twice the 0.999-quantile of |v| on a subsample --
+    thresholds/floors only, never decode values) and the per-CHUNK
+    activity mask at the segmentation threshold derived from it, from the
+    device-resident [T, N] tape. The quantile must be extreme: on a
+    mostly-empty tape (one small block in seconds of gap) a 0.98-quantile
+    lands in the NOISE, collapsing the height estimate and dragging the
+    activity threshold to the noise floor -- every chunk goes active and
+    the whole tape merges into one segment (hard-fuzz case 7013 lost a
+    tapemark that way)."""
     scale = maxvolts / 32767.0
     sub = jnp.abs(v_i16[:, ::step].astype(jnp.float32)) * scale
     amp = jnp.quantile(sub.reshape(-1), 0.999)
@@ -58,6 +54,38 @@ def tape_activity(samples_nt: jnp.ndarray, maxvolts, *, step: int):
     vmax = jnp.max(jnp.abs(v_i16[:, :n * CHUNK].astype(jnp.float32)),
                    axis=0) * scale
     act = (vmax.reshape(n, CHUNK) > thresh).any(axis=1)
+    return h_est, act
+
+
+@partial(jax.jit, static_argnames=("step",))
+def tape_activity(samples_nt: jnp.ndarray, maxvolts, *, step: int):
+    """One device pass over the uploaded tape [N, T]: the device-resident
+    transposed tape [T, N] plus _activity_from_tape's height estimate and
+    activity mask. On the host the transpose + quantile cost ~19 s per
+    tape on one slow vCPU; on device it is one fused pass plus two tiny
+    fetches."""
+    v_i16 = samples_nt.T
+    h_est, act = _activity_from_tape(v_i16, maxvolts, step)
+    return v_i16, h_est, act
+
+
+@partial(jax.jit, static_argnames=("step", "n", "t"))
+def tape_activity_packed(planes: jnp.ndarray, maxvolts, *, step: int,
+                         n: int, t: int):
+    """tape_activity from a 12-bit delta-packed upload
+    (native.pack12_delta): planes [3, ceil(n*t/2)] uint8 carry biased
+    12-bit per-track deltas of the [n, t] int16 tape in flattened C
+    order. 25% fewer bytes over the host->device link; the exact int16
+    samples come back from one integer cumsum, so everything downstream
+    is bit-identical to the raw-upload path."""
+    b = planes.astype(jnp.int32)
+    u0 = b[0] | ((b[1] & 0xF) << 8)
+    u1 = (b[1] >> 4) | (b[2] << 4)
+    u = jnp.stack([u0, u1], axis=1).reshape(-1)[: n * t]
+    d = u - 2048
+    x = jnp.cumsum(d.reshape(n, t), axis=0).astype(jnp.int16)
+    v_i16 = x.T
+    h_est, act = _activity_from_tape(v_i16, maxvolts, step)
     return v_i16, h_est, act
 
 

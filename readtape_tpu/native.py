@@ -59,6 +59,12 @@ def _load():
     lib.tap_write_eom.argtypes = [ctypes.c_void_p]
     lib.tap_close.argtypes = [ctypes.c_void_p]
     lib.tap_close.restype = ctypes.c_int64
+    if hasattr(lib, "pack12_delta"):
+        lib.pack12_delta.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.pack12_delta.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -118,3 +124,28 @@ class NativeTapWriter:
         if self._w:
             self.numoutbytes = self._lib.tap_close(self._w)
             self._w = None
+
+
+def pack12_delta(samples: np.ndarray):
+    """12-bit delta pack of an int16 [N, T] sample tensor for the device
+    upload (native/readtape_io.cpp::pack12_delta): three byte planes of
+    ceil(N*T/2) bytes each (25% fewer bytes over the host->device link
+    than raw int16). Returns a [3, M] uint8 array, or None when the
+    native library is unavailable or any per-track delta exceeds 12 bits
+    (callers then upload raw int16 -- both paths are lossless)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack12_delta"):
+        return None
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        return None
+    samples = np.ascontiguousarray(samples)
+    n, t = samples.shape
+    m = (n * t + 1) // 2
+    planes = np.empty((3, m), np.uint8)
+    rc = lib.pack12_delta(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(n), ctypes.c_int32(t),
+        planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return planes if rc == 0 else None
