@@ -260,10 +260,18 @@ int64_t tap_close(TapWriter *w) {
 //   p2[k] = u1 >> 4
 // Returns 0 on success, 1 if any delta exceeds 12 bits (caller falls
 // back to the raw upload -- lossless either way).
-int pack12_delta(const int16_t *x, int64_t n_rows, int32_t n_cols,
-                 uint8_t *p0, uint8_t *p1, uint8_t *p2) {
+// pack12_delta_base: same packing, but the delta chain starts from a
+// caller-supplied base row instead of zeros.  Granule-pipelined uploads
+// (pipeline.TapeDecoder) cut the tape at arbitrary sample positions, so
+// each granule's first row is delta-coded against the last row of the
+// previous granule (which the device unpack adds back, bit-exactly).
+int pack12_delta_base(const int16_t *x, int64_t n_rows, int32_t n_cols,
+                      const int16_t *base,
+                      uint8_t *p0, uint8_t *p1, uint8_t *p2) {
     if (n_cols <= 0 || n_cols > 64) return 1;
     int32_t prev[64] = {0};
+    if (base)
+        for (int32_t t = 0; t < n_cols; ++t) prev[t] = base[t];
     const int64_t n = n_rows * (int64_t)n_cols;
     int64_t k = 0;
     uint32_t u_hold = 0;
@@ -294,6 +302,11 @@ int pack12_delta(const int16_t *x, int64_t n_rows, int32_t n_cols,
     }
     (void)n;
     return 0;
+}
+
+int pack12_delta(const int16_t *x, int64_t n_rows, int32_t n_cols,
+                 uint8_t *p0, uint8_t *p1, uint8_t *p2) {
+    return pack12_delta_base(x, n_rows, n_cols, nullptr, p0, p1, p2);
 }
 
 }  // extern "C"

@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,15 @@ SEG_WARMUP = 64          # > PKWW_MAX_WIDTH + refine margin
 
 DIFFERENTIATE_THRESHOLD = 0.05
 DIFFERENTIATE_SCALE = 0.4
+
+# granule-pipeline window cap: a decode batch may span at most this many
+# upload granules; wider spans fall back to the full resident tape
+_WINDOW_KMAX = 4
+
+
+@lru_cache(maxsize=None)
+def _concat_granules(k: int):
+    return jax.jit(lambda *gs: jnp.concatenate(gs, axis=1))
 
 
 _TIMING = os.environ.get("READTAPE_TIMING") == "1"
@@ -495,8 +504,6 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
     return jax.vmap(seg_lane)(finals)
 
 
-from functools import lru_cache
-
 
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
@@ -710,7 +717,19 @@ def permute_heads(samples: np.ndarray, head_to_trk) -> np.ndarray:
 
 
 class TapeDecoder:
-    """Holds device state for one tape and runs decode passes over it."""
+    """Holds device state for one tape and runs decode passes over it.
+
+    int16 tapes upload through the GRANULE PIPELINE: activity/height run
+    on the host (numpy, one pass), the tape uploads lazily in fixed
+    power-of-two granules (12-bit delta-packed, native.pack12_delta), and
+    decode batches take a per-run WINDOW of concatenated granules instead
+    of the whole tape. Dispatch interleaves granule uploads with decode
+    executions, so on link-bound setups (a relay-attached TPU moves
+    ~25-45 MB/s) the upload of granule g+1 overlaps the decode of the
+    segments in granule g -- the reference streams blocks through a small
+    host buffer for the same reason (readtape.c:1112 reads per block); we
+    stream granules through the device link. Float tapes (CSV volts) keep
+    the one-shot device upload."""
 
     def __init__(self, samples: np.ndarray, opts: DecodeOptions):
         import time as _time
@@ -718,35 +737,101 @@ class TapeDecoder:
         self.opts = opts
         samples = permute_heads(samples, opts.head_to_trk)
         self.n_samples = samples.shape[0]
-        # upload [N, T] as stored; transpose + height + activity run as ONE
-        # device program (the host-side transpose copy alone cost ~5 s/tape
-        # on one vCPU). int16 tapes upload 12-bit delta-packed when the
-        # native packer is available and every delta fits (25% fewer bytes
-        # over the link -- the pipeline's largest cost on relay-attached
-        # TPUs); the device reconstructs the exact samples, so both paths
-        # are bit-identical.
-        step = max(1, (self.n_samples * opts.ntrks) // 2_000_000)
-        packed = None
+        self._granules = None
         if (samples.dtype == np.int16
-                and os.environ.get("READTAPE_PACK12", "1") == "1"):
-            from .. import native
-            packed = native.pack12_delta(samples)
-        if packed is not None:
-            self.v_i16, h_est, act = seg.tape_activity_packed(
-                jnp.asarray(packed), jnp.float32(opts.maxvolts),
-                step=step, n=self.n_samples, t=opts.ntrks)
+                and os.environ.get("READTAPE_GRANULES", "1") == "1"):
+            self._granule_L = int(os.environ.get("READTAPE_GRANULE",
+                                                 str(1 << 20)))
+            self.h_est, self._act = seg.host_activity(samples, opts.maxvolts)
+            self._samples_host = samples
+            self._granules = {}
+            self._windows = {}
+            self._nG = max(1, -(-self.n_samples // self._granule_L))
+            self.v_i16 = None          # materialized on demand (aux paths)
+            _tlog(f"host activity {_time.perf_counter() - t0:.2f}s "
+                  f"({self._nG} granules)")
         else:
+            # upload [N, T] as stored; transpose + height + activity run
+            # as ONE device program (the host-side transpose copy alone
+            # cost ~5 s/tape on one vCPU)
+            step = max(1, (self.n_samples * opts.ntrks) // 2_000_000)
             self.v_i16, h_est, act = seg.tape_activity(
                 jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
-        self.h_est = float(h_est)
-        self._act = np.asarray(act)
-        _tlog(f"upload+activity {_time.perf_counter() - t0:.2f}s")
+            self.h_est = float(h_est)
+            self._act = np.asarray(act)
+            _tlog(f"upload+activity {_time.perf_counter() - t0:.2f}s")
         self.pa = ParmArrays.from_parmsets(opts.parmsets)
         self.P = len(opts.parmsets)
         self.skew = np.zeros(opts.ntrks, np.int32)
         if opts.skew is not None:
             self.skew[:len(opts.skew)] = opts.skew
         self.deskew_percent = 0.0
+
+    # ---- granule pipeline ----
+    def _granule(self, g: int):
+        """Device [T, L] int16 for granule g, uploading on first use
+        (12-bit delta-packed against the previous granule's last row);
+        granules past the tape share one zeros block."""
+        if g >= self._nG:
+            z = self._granules.get(-1)
+            if z is None:
+                z = jnp.zeros((self.opts.ntrks, self._granule_L), jnp.int16)
+                self._granules[-1] = z
+            return z
+        d = self._granules.get(g)
+        if d is None:
+            L, t = self._granule_L, self.opts.ntrks
+            lo, hi = g * L, min((g + 1) * L, self.n_samples)
+            n = hi - lo
+            chunk = self._samples_host[lo:hi]
+            base = (self._samples_host[lo - 1] if lo
+                    else np.zeros(t, np.int16))
+            packed = None
+            if os.environ.get("READTAPE_PACK12", "1") == "1":
+                from .. import native
+                packed = native.pack12_delta(chunk, base=base)
+            if packed is not None:
+                if n < L:        # fixed-size planes: one executable for
+                    used = (n * t + 1) // 2     # every tape's last granule
+                    full = np.empty((3, (L * t) // 2), np.uint8)
+                    full[:, :used] = packed
+                    for pl in range(3):
+                        full[pl, used:] = seg.PACK12_PAD[pl]
+                    packed = full
+                d = seg.unpack_granule(jnp.asarray(packed),
+                                       jnp.asarray(base), jnp.int32(n),
+                                       t=t, L=L)
+            else:
+                if n < L:
+                    pad = np.zeros((L - n, t), np.int16)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                d = seg.granule_from_raw(jnp.asarray(chunk))
+            self._granules[g] = d
+        return d
+
+    def _window(self, ga: int, gb: int):
+        """Concatenated granules [ga, gb) as one [T, (gb-ga)*L] array."""
+        w = self._windows.get((ga, gb))
+        if w is None:
+            gs = [self._granule(g) for g in range(ga, gb)]
+            w = gs[0] if len(gs) == 1 else _concat_granules(len(gs))(*gs)
+            self._windows[(ga, gb)] = w
+        return w
+
+    def window_for(self, spans, S: int):
+        """(window array, origin sample) covering every decode window a
+        batch over `spans` with bucket S can touch: [a - SEG_WARMUP,
+        b + S) per span (phase windows start at a - SEG_WARMUP; re-
+        dispatched remainders start anywhere below b, so b + S bounds
+        their reach). Returns None if the spans would need more than
+        _WINDOW_KMAX granules (caller falls back to the full tape)."""
+        L = self._granule_L
+        lo = min(max(a - SEG_WARMUP, 0) for a, b in spans)
+        hi = max(b for a, b in spans) + S
+        ga, gb = lo // L, -(-hi // L)
+        if gb - ga > _WINDOW_KMAX:
+            return None
+        return self._window(ga, gb), ga * L
 
     # ---- segmentation ----
     def segments(self):
@@ -799,7 +884,11 @@ class TapeDecoder:
 
     def _tape_padded(self, min_len: int):
         """The device-resident tape, zero-padded so any in-jit
-        dynamic_slice window fits (padded once, grown if ever needed)."""
+        dynamic_slice window fits (padded once, grown if ever needed).
+        In granule mode the full tape materializes here on first use
+        (aux paths: deskew, parmscan, -zeros chains, trace, density)."""
+        if self.v_i16 is None:
+            self.v_i16 = self._window(0, self._nG)
         if self.v_i16.shape[1] < min_len:
             n_pad = seg.bucket_length(min_len)
             self.v_i16 = jnp.pad(
@@ -807,7 +896,7 @@ class TapeDecoder:
         return self.v_i16
 
     def decode_segment_batch(self, spans, fetch=True, bucket=None,
-                             nparms=None):
+                             nparms=None, window=None):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
@@ -822,7 +911,12 @@ class TapeDecoder:
 
         spans is a list of (a, b) tuples (one sub-batch) or a list of
         equally-sized lists of them (several sub-batches executed inside
-        one device program); results carry leading axes [nb, B]."""
+        one device program); results carry leading axes [nb, B].
+
+        window=(array [T, W], origin): decode against a granule window
+        instead of the full resident tape; offsets become window-relative.
+        Callers must guarantee every [a - SEG_WARMUP, a0 + S) slice lies
+        inside the window (TapeDecoder.window_for does)."""
         opts = self.opts
         nparms = self.P if nparms is None else min(nparms, self.P)
         active = opts.parmsets.sets[:nparms]
@@ -835,8 +929,16 @@ class TapeDecoder:
             return max(a - SEG_WARMUP, 0)
         S = bucket or seg.bucket_length(max(b - a0(a) for a, b in flat))
         T = opts.ntrks
-        tape = self._tape_padded(max(a0(a) for a, b in flat) + S)
-        offsets = jnp.asarray([[a0(a) for a, b in g] for g in groups], I32)
+        if window is not None:
+            tape, origin = window
+            assert all(a0(a) >= origin and
+                       a0(a) + S <= origin + tape.shape[1]
+                       for a, b in flat)
+        else:
+            tape = self._tape_padded(max(a0(a) for a, b in flat) + S)
+            origin = 0
+        offsets = jnp.asarray([[a0(a) - origin for a, b in g]
+                               for g in groups], I32)
         seg_lens = jnp.asarray([[b - a0(a) for a, b in g] for g in groups],
                                I32)
         leads = jnp.asarray([[a - a0(a) for a, b in g] for g in groups], I32)
@@ -914,7 +1016,7 @@ class TapeDecoder:
         opts = self.opts
         T = opts.ntrks
         S = seg.bucket_length(b - a)
-        v = self.v_i16[:, a:b]
+        v = self._tape_padded(b)[:, a:b]
         if v.shape[1] < S:
             v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
         vf = _prep_volts(v, jnp.float32(opts.maxvolts),
@@ -1127,7 +1229,7 @@ class TapeDecoder:
         total = 0
         for (a, b) in segments:
             S = seg.bucket_length(b - a)
-            v = self.v_i16[:, a:b]
+            v = self._tape_padded(b)[:, a:b]
             if v.shape[1] < S:
                 v = jnp.pad(v, ((0, 0), (0, S - v.shape[1])))
             vf = v.astype(F32) * (opts.maxvolts / 32767.0)
@@ -1543,13 +1645,57 @@ def _decode_tape_nrzi_like(samples, opts, log):
 
     def dispatch(indices, nparms):
         """Async-dispatch a set of segments; returns [(chunk, thunk)]."""
-        by_bucket = {}
-        for i in indices:
-            by_bucket.setdefault(buckets[i], []).append(i)
         # the cap bounds LANES (segments x parmsets): a parmset-0-only pass
         # can batch P x more segments per call at the same device footprint
         elems = max_batch_elems * max(1, dec.P // nparms)
         pending = []
+        leftover = []
+        if dec._granules is not None:
+            # granule pipeline: RUNS of tape-order-consecutive same-bucket
+            # segments, each decoded against its own granule window as its
+            # own device execution. Uploads happen lazily inside
+            # window_for, so the enqueue order interleaves [granules of
+            # run k] -> [decode of run k] -> [granules of run k+1] -> ...
+            # and the link streams granule k+1 while run k decodes. Runs
+            # cap at 32 segments: finer pipeline grain than one
+            # whole-phase program, and full runs stay a power of two so
+            # every batch reuses one compiled executable.
+            L = dec._granule_L
+            runs = []
+            cur, cga, cgb = [], 0, 0
+            for i in sorted(indices, key=lambda i_: segs[i_][0]):
+                S = buckets[i]
+                a, b = segs[i]
+                lo = max(a - SEG_WARMUP, 0)
+                ga, gb = lo // L, -(-(b + S) // L)
+                run_b = max(1, min(elems // S, 32))
+                if cur and (buckets[cur[0]] != S or len(cur) >= run_b
+                            or max(cgb, gb) - min(cga, ga) > _WINDOW_KMAX):
+                    runs.append(cur)
+                    cur = []
+                if not cur:
+                    cga, cgb = ga, gb
+                cur.append(i)
+                cga, cgb = min(cga, ga), max(cgb, gb)
+            if cur:
+                runs.append(cur)
+            for run in runs:
+                S = buckets[run[0]]
+                spans = [segs[i] for i in run]
+                win = dec.window_for(spans, S)
+                if win is None:        # span too wide: full-tape fallback
+                    leftover.extend(run)
+                    continue
+                B = seg.bucket_length(len(spans), 1)
+                while len(spans) < B:
+                    spans.append(spans[-1])
+                pending.append(([run], dec.decode_segment_batch(
+                    [spans], fetch=False, bucket=S, nparms=nparms,
+                    window=win)))
+            indices = leftover
+        by_bucket = {}
+        for i in indices:
+            by_bucket.setdefault(buckets[i], []).append(i)
         for S, idxs in sorted(by_bucket.items()):
             bmax = max(1, elems // S)
             chunk_list, span_groups = [], []

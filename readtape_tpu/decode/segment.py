@@ -89,6 +89,62 @@ def tape_activity_packed(planes: jnp.ndarray, maxvolts, *, step: int,
     return v_i16, h_est, act
 
 
+@partial(jax.jit, static_argnames=("t", "L"))
+def unpack_granule(planes: jnp.ndarray, base: jnp.ndarray, n, *, t: int,
+                   L: int):
+    """Reconstruct one upload granule: planes [3, ceil(L*t/2)] uint8 of
+    12-bit biased per-track deltas (native.pack12_delta with `base` = the
+    previous granule's last row; the host fills bytes past the real n*t
+    elements with the zero-delta pattern), base [t] int16. Returns the
+    exact [t, L] int16 slice, zeroed past n. `n` is DATA, not a static
+    shape: a tape's final partial granule reuses the same executable as
+    every other tape's (remote compiles cost seconds; fresh tapes are the
+    common case)."""
+    b = planes.astype(jnp.int32)
+    u0 = b[0] | ((b[1] & 0xF) << 8)
+    u1 = (b[1] >> 4) | (b[2] << 4)
+    u = jnp.stack([u0, u1], axis=1).reshape(-1)[: L * t]
+    d = u - 2048
+    x = (jnp.cumsum(d.reshape(L, t), axis=0) +
+         base[None, :].astype(jnp.int32)).astype(jnp.int16)
+    v = x.T
+    return jnp.where(jnp.arange(L)[None, :] < n, v, jnp.int16(0))
+
+
+# trailing plane bytes for zero-delta pairs (u0 = u1 = 2048):
+# p0 = 0, p1 = (2048 >> 8) | ((2048 & 0xF) << 4) = 8, p2 = 2048 >> 4 = 128
+PACK12_PAD = (0, 8, 128)
+
+
+@partial(jax.jit, static_argnames=())
+def granule_from_raw(samples_nt: jnp.ndarray):
+    """Raw-upload fallback of unpack_granule: [L, T] int16 (host-padded
+    with zeros past the tape) -> [T, L]."""
+    return samples_nt.T
+
+
+def host_activity(samples_i16: np.ndarray, maxvolts: float):
+    """_activity_from_tape computed on the host, so segmentation (and the
+    decode dispatch it gates) no longer waits on the device upload -- the
+    granule pipeline overlaps that upload with decode compute instead.
+    Mirrors the device formula op for op (same subsample set, same f32
+    scale/compares), so h_est and the mask match up to float reduction
+    order; the activity compare itself is exact (|int16| -> f32 * scale
+    is lossless and monotone)."""
+    n, t = samples_i16.shape
+    scale = np.float32(maxvolts / 32767.0)
+    step = max(1, (n * t) // 2_000_000)
+    sub = np.abs(samples_i16[::step].astype(np.float32)) * scale
+    amp = np.quantile(sub, 0.999)
+    h_est = float(max(2.0 * amp, 0.05))
+    thresh = np.float32(max(0.04, 0.15 * h_est / 2))
+    nc = n // CHUNK
+    m = np.abs(samples_i16[: nc * CHUNK]).max(axis=1)
+    act = ((m.reshape(nc, CHUNK).astype(np.float32) * scale)
+           > thresh).any(axis=1)
+    return h_est, act
+
+
 def estimate_height(samples_i16: np.ndarray, maxvolts: float) -> float:
     """Host fallback of tape_activity's height estimate (kept for callers
     that have no device-resident tape)."""

@@ -65,6 +65,13 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8)]
         lib.pack12_delta.restype = ctypes.c_int
+    if hasattr(lib, "pack12_delta_base"):
+        lib.pack12_delta_base.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.pack12_delta_base.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -126,25 +133,32 @@ class NativeTapWriter:
             self._w = None
 
 
-def pack12_delta(samples: np.ndarray):
+def pack12_delta(samples: np.ndarray, base: np.ndarray = None):
     """12-bit delta pack of an int16 [N, T] sample tensor for the device
     upload (native/readtape_io.cpp::pack12_delta): three byte planes of
     ceil(N*T/2) bytes each (25% fewer bytes over the host->device link
-    than raw int16). Returns a [3, M] uint8 array, or None when the
-    native library is unavailable or any per-track delta exceeds 12 bits
-    (callers then upload raw int16 -- both paths are lossless)."""
+    than raw int16). `base` is an optional int16 [T] row the delta chain
+    starts from (granule-pipelined uploads pass the previous granule's
+    last row; default zeros). Returns a [3, M] uint8 array, or None when
+    the native library is unavailable or any per-track delta exceeds 12
+    bits (callers then upload raw int16 -- both paths are lossless)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "pack12_delta"):
+    if lib is None or not hasattr(lib, "pack12_delta_base"):
         return None
     if samples.dtype != np.int16 or samples.ndim != 2:
         return None
     samples = np.ascontiguousarray(samples)
     n, t = samples.shape
+    base_p = None
+    if base is not None:
+        base = np.ascontiguousarray(base, np.int16)
+        assert base.shape == (t,)
+        base_p = base.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
     m = (n * t + 1) // 2
     planes = np.empty((3, m), np.uint8)
-    rc = lib.pack12_delta(
+    rc = lib.pack12_delta_base(
         samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        ctypes.c_int64(n), ctypes.c_int32(t),
+        ctypes.c_int64(n), ctypes.c_int32(t), base_p,
         planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
