@@ -309,4 +309,43 @@ int pack12_delta(const int16_t *x, int64_t n_rows, int32_t n_cols,
     return pack12_delta_base(x, n_rows, n_cols, nullptr, p0, p1, p2);
 }
 
+// ---- one-pass tape scan for host-side segmentation ----
+//
+// The granule pipeline computes activity on the HOST so decode dispatch
+// never waits on the device upload (pipeline.TapeDecoder); numpy needs
+// ~0.7-1.0 s/tape for the sweep on a slow vCPU, this single pass runs at
+// memory bandwidth.  Emits per-16-row-chunk max |x| over all tracks
+// (int32: |INT16_MIN| does not wrap) and the |x| subsample every `step`
+// rows that the 0.999-quantile height estimate reads.
+void tape_scan(const int16_t *x, int64_t n_rows, int32_t n_cols,
+               int64_t step, int32_t *chunk_max, int32_t *sub) {
+    const int64_t n_chunks = n_rows / 16;
+    int64_t si = 0;
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        int32_t m = 0;
+        const int16_t *row = x + c * 16 * n_cols;
+        for (int64_t r = 0; r < 16; ++r) {
+            const int64_t gr = c * 16 + r;
+            for (int32_t t = 0; t < n_cols; ++t) {
+                int32_t v = row[r * n_cols + t];
+                if (v < 0) v = -v;
+                if (v > m) m = v;
+            }
+            if (gr % step == 0)
+                for (int32_t t = 0; t < n_cols; ++t) {
+                    int32_t v = row[r * n_cols + t];
+                    sub[si++] = v < 0 ? -v : v;
+                }
+        }
+        chunk_max[c] = m;
+    }
+    // tail rows past the last full chunk still feed the subsample
+    for (int64_t gr = n_chunks * 16; gr < n_rows; ++gr)
+        if (gr % step == 0)
+            for (int32_t t = 0; t < n_cols; ++t) {
+                int32_t v = x[gr * n_cols + t];
+                sub[si++] = v < 0 ? -v : v;
+            }
+}
+
 }  // extern "C"

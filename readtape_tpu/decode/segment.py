@@ -130,18 +130,29 @@ def host_activity(samples_i16: np.ndarray, maxvolts: float):
     Mirrors the device formula op for op (same subsample set, same f32
     scale/compares), so h_est and the mask match up to float reduction
     order; the activity compare itself is exact (|int16| -> f32 * scale
-    is lossless and monotone)."""
+    is lossless and monotone, so comparing the per-chunk int max is the
+    same as comparing every sample). The heavy sweep runs in the native
+    scanner when available (numpy needs ~1 s/tape on a slow vCPU)."""
+    from .. import native
+
     n, t = samples_i16.shape
     scale = np.float32(maxvolts / 32767.0)
     step = max(1, (n * t) // 2_000_000)
-    sub = np.abs(samples_i16[::step].astype(np.float32)) * scale
+    scanned = native.tape_scan(samples_i16, step)
+    if scanned is not None:
+        chunk_max, sub_abs = scanned
+        sub = sub_abs.astype(np.float32) * scale
+    else:
+        # int32 abs: np.abs wraps at int16 -32768, the device path
+        # (abs of float32) does not
+        sub = np.abs(samples_i16[::step].astype(np.float32)) * scale
+        nc = n // CHUNK
+        chunk_max = (np.abs(samples_i16[: nc * CHUNK].astype(np.int32))
+                     .max(axis=1).reshape(nc, CHUNK).max(axis=1))
     amp = np.quantile(sub, 0.999)
     h_est = float(max(2.0 * amp, 0.05))
     thresh = np.float32(max(0.04, 0.15 * h_est / 2))
-    nc = n // CHUNK
-    m = np.abs(samples_i16[: nc * CHUNK]).max(axis=1)
-    act = ((m.reshape(nc, CHUNK).astype(np.float32) * scale)
-           > thresh).any(axis=1)
+    act = (chunk_max.astype(np.float32) * scale) > thresh
     return h_est, act
 
 

@@ -65,6 +65,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8)]
         lib.pack12_delta.restype = ctypes.c_int
+    if hasattr(lib, "tape_scan"):
+        lib.tape_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.tape_scan.restype = None
     if hasattr(lib, "pack12_delta_base"):
         lib.pack12_delta_base.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
@@ -131,6 +137,30 @@ class NativeTapWriter:
         if self._w:
             self.numoutbytes = self._lib.tap_close(self._w)
             self._w = None
+
+
+def tape_scan(samples: np.ndarray, step: int):
+    """One native pass over an int16 [N, T] tape: (chunk_max int32
+    [N//16] = max |x| over each 16-row chunk and all tracks, sub int32
+    [ceil(N/step)*T] = |x| of every step-th row) -- the inputs of the
+    host-side activity mask and height estimate
+    (segment.host_activity). Returns None if the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tape_scan"):
+        return None
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        return None
+    samples = np.ascontiguousarray(samples)
+    n, t = samples.shape
+    chunk_max = np.empty(n // 16, np.int32)
+    sub = np.empty(-(-n // step) * t, np.int32)
+    lib.tape_scan(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(n), ctypes.c_int32(t), ctypes.c_int64(step),
+        chunk_max.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return chunk_max, sub
 
 
 def pack12_delta(samples: np.ndarray, base: np.ndarray = None):
