@@ -276,7 +276,9 @@ def run_tapread(o: Options, basefile: str, ext: str, log):
     ntrks = o.ntrks if o.ntrks > 0 else 9
     topt = TxtOptions(o.numtype, o.chartype, o.linesize or 64,
                       o.dataspace, o.linefeed, verbose=False)
-    outbase = o.outf or (o.outp + os.path.basename(basefile))
+    outbase = o.outf or (o.outp + basefile)  # ref concatenates the
+    # given path+basename verbatim (readtape.c:1972-1975), so with no
+    # -outp/-outf the outputs land next to the input file
     txt = TextFile(outbase + f".{topt.suffix}txt", topt, __version__,
                    ntrks=ntrks, tapread=True)
     log(f"processing {path}\n")
@@ -349,7 +351,9 @@ def main(argv=None) -> int:
 
 
 def process_file(o: Options, basefile: str, ext: str) -> bool:
-    outbase = o.outf or (o.outp + os.path.basename(basefile))
+    outbase = o.outf or (o.outp + basefile)  # ref concatenates the
+    # given path+basename verbatim (readtape.c:1972-1975), so with no
+    # -outp/-outf the outputs land next to the input file
     log = Logger(outbase + ".log" if o.logging and not o.tapread else None,
                  o.quiet, o.sumt)
     if o.tapread or ext.lower() == ".tap":

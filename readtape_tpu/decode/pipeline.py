@@ -753,10 +753,22 @@ class TapeDecoder:
         else:
             # upload [N, T] as stored; transpose + height + activity run
             # as ONE device program (the host-side transpose copy alone
-            # cost ~5 s/tape on one vCPU)
+            # cost ~5 s/tape on one vCPU). int16 tapes go over the link
+            # 12-bit delta-packed when the native packer is available.
             step = max(1, (self.n_samples * opts.ntrks) // 2_000_000)
-            self.v_i16, h_est, act = seg.tape_activity(
-                jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
+            packed = None
+            if (samples.dtype == np.int16
+                    and os.environ.get("READTAPE_PACK12", "1") == "1"):
+                from .. import native
+                packed = native.pack12_delta(samples)
+            if packed is not None:
+                self.v_i16, h_est, act = seg.tape_activity_packed(
+                    jnp.asarray(packed), jnp.float32(opts.maxvolts),
+                    step=step, n=self.n_samples, t=opts.ntrks)
+            else:
+                self.v_i16, h_est, act = seg.tape_activity(
+                    jnp.asarray(samples), jnp.float32(opts.maxvolts),
+                    step=step)
             self.h_est = float(h_est)
             self._act = np.asarray(act)
             _tlog(f"upload+activity {_time.perf_counter() - t0:.2f}s")
@@ -810,11 +822,19 @@ class TapeDecoder:
         return d
 
     def _window(self, ga: int, gb: int):
-        """Concatenated granules [ga, gb) as one [T, (gb-ga)*L] array."""
+        """Concatenated granules [ga, gb) as one [T, (gb-ga)*L] array.
+        Single-granule windows alias the granule itself (free); each
+        multi-granule window is a fresh device copy, so only the most
+        recent one is kept cached -- dispatch walks the tape in order, so
+        re-use beyond the current run is rare and the bound keeps device
+        memory at one tape + one window instead of O(runs) copies."""
         w = self._windows.get((ga, gb))
         if w is None:
             gs = [self._granule(g) for g in range(ga, gb)]
             w = gs[0] if len(gs) == 1 else _concat_granules(len(gs))(*gs)
+            if gb - ga > 1:
+                for k in [k for k in self._windows if k[1] - k[0] > 1]:
+                    del self._windows[k]
             self._windows[(ga, gb)] = w
         return w
 
@@ -825,7 +845,9 @@ class TapeDecoder:
         dispatched remainders start anywhere below b, so b + S bounds
         their reach). Returns None if the spans would need more than
         _WINDOW_KMAX granules (caller falls back to the full tape)."""
-        L = self._granule_L
+        if self.v_i16 is not None:
+            return None       # full tape already resident: windows would
+        L = self._granule_L   # only add redundant device copies
         lo = min(max(a - SEG_WARMUP, 0) for a, b in spans)
         hi = max(b for a, b in spans) + S
         ga, gb = lo // L, -(-hi // L)
@@ -889,6 +911,9 @@ class TapeDecoder:
         (aux paths: deskew, parmscan, -zeros chains, trace, density)."""
         if self.v_i16 is None:
             self.v_i16 = self._window(0, self._nG)
+            # the full tape subsumes every granule and window copy
+            self._granules.clear()
+            self._windows.clear()
         if self.v_i16.shape[1] < min_len:
             n_pad = seg.bucket_length(min_len)
             self.v_i16 = jnp.pad(
