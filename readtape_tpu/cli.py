@@ -68,6 +68,7 @@ class Options:
         self.tap = False
         self.tapread = False
         self.deskew = False
+        self.adjskew = False
         self.skew = None
         self.correct = False
         self.correct2 = False
@@ -154,7 +155,7 @@ def parse_option(o: Options, option: str) -> bool:
     elif a == "deskew":
         o.deskew = True
     elif a == "adjskew":
-        pass                                    # experimental no-op (as in ref)
+        o.adjskew = True        # experimental +-1 skew nudging (NRZI)
     elif (v := val("skew=")) is not None:
         o.skew = tuple(int(x) for x in v.split(","))
         o.deskew = True
@@ -466,6 +467,7 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
         expected_parity=0 if o.even else 1, revparity=o.revparity,
         invert=o.invert, differentiate=o.differentiate,
         find_zeros=o.find_zeros, deskew=o.deskew, skew=o.skew,
+        adjskew=o.adjskew,
         add_parity=o.addparity, head_to_trk=head_to_trk,
         reverse=o.reverse, fluxdir=o.fluxdir,
         ww_order=o.order or "CMLcml", blklimit=o.blklimit, t0_seconds=t0)
@@ -635,6 +637,16 @@ def write_outputs(o, outbase, blocks, stats, dopts, log, start_time,
                     f"parmset {blk.parmset}, {agc_txt}, "
                     f"{format_block_errors(blk)}, avg speed {speed:.2f} IPS "
                     f"at time {blk.t_end:.8f}")
+            # -adjskew per-track report (adjust_deskew, decoder.c:306-320)
+            for trk, (dev, bsp, act, newskew) in enumerate(
+                    blk.detail.get("adjskew", [])):
+                line = (f"trk {trk} deviation is {dev * 1e6:.2f} usec of "
+                        f"bitspacing {bsp * 1e6:.2f} usec")
+                if act < 0:
+                    line += f", skew reduced to {newskew}"
+                elif act > 0:
+                    line += f", skew increased to {newskew}"
+                log(line)
 
     if tapw:
         tapw.write_eom()

@@ -178,12 +178,18 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         # peak statistics for deskew (decode_gcr.c:839-840,849-850)
         stat_ok = admit & st["datablock"]
         val = t_peak - st["t_lastpeak"]
-        bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
+        # (int) cast truncates toward zero (decoder.c:160)
+        bkt = ((val - stat_leftbin) / stat_binwidth).astype(I32)
         st4, wr = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt,
                                pulse_adj_parm, clk_window, clk_alpha,
                                spb, maxb)
         rec = dict(wr=jnp.stack(wr),
-                   hb=jnp.where(stat_ok, jnp.clip(bkt, 0, 49), 50))
+                   # in-range buckets 0..49 count toward trksums;
+                   # out-of-range maps to the extremes without trksums
+                   hb=jnp.where(stat_ok,
+                                jnp.where(bkt < 0, 52,
+                                          jnp.where(bkt > 49, 53, bkt)),
+                                50))
         if debug_peaks:
             # zero-inference events for the -trace zerpos/adjpos lanes
             rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top,
@@ -203,8 +209,9 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                                        agc_ring=agc_ring)
     final["bits"] = gcr_replay_bits(recs["wr"], maxb)
     hb = recs["hb"]
-    final["hist"] = jnp.zeros(50, I32).at[hb].add(1, mode="drop")
-    final["trksum"] = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32))
+    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
+    final["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
+    final["trksum"] = jnp.sum((hb <= 49).astype(I32))
     if debug_peaks:
         final.update(ts.compact_outputs(
             recs["admit"], maxb,

@@ -125,10 +125,17 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                    maxb: int, max_slots: int,
                    stat_leftbin, stat_binwidth,
                    clk_ring: int = cm.CLKRATE_WINDOW,
-                   debug: bool = False):
+                   debug: bool = False, adj_init=None):
     """One parmset lane. trans_*: [T, K] admitted transitions per track
     (s_det ascending, BIG_S fill). Returns the per-track bit buffers and the
-    block-result scalars."""
+    block-result scalars.
+
+    adj_init=(n0 [T] f32, mean0 [T] f32) enables the -adjskew accumulators
+    (decoder.c:128-173 peak_block_deviation): per track, the incremental
+    f32 mean of (peaktime - bitspacing) over stat-recorded in-range peaks,
+    SEEDED from the running value (the C resets it only in adjust_deskew,
+    so tapemark/noise blocks roll their events into the next data block's
+    average). Final values come back as adj_n / adj_mean (sample units)."""
     T, K = trans_s.shape
     trk = jnp.arange(T)
 
@@ -162,6 +169,9 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
         ended_by_post=jnp.bool_(False),
         end_s=I32(S),        # sample where the block ended (postamble idle)
     )
+    if adj_init is not None:
+        init["adj_n"] = adj_init[0].astype(F32)
+        init["adj_mean"] = adj_init[1].astype(F32)
 
     def consume(st, s_z):
         """Append 1-bits for transitions with s_det < s_z (detection order);
@@ -194,11 +204,33 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             # midbit warning (nrzi_top/bot:189,204): peak before last midbit
             miss = has & (tj < st["t_last_midbit"]) & (st["post_counter"] == 0)
             out["missed_midbits"] = out["missed_midbits"] + jnp.sum(miss)
-            # peak statistics (nrzi_top/bot:187,202)
-            stat_ok = has & (st["post_counter"] == 0)
+            # peak statistics (nrzi_top/bot:187,202). The block's very
+            # FIRST transition is never recorded: the C's record check
+            # runs before nrzi_addbit sets nrzi.datablock
+            # (decode_nrzi.c:156-162), so the peak that seeds t_lastclock
+            # sees datablock still false.
+            stat_ok = (has & (st["post_counter"] == 0) &
+                       ~((trk == first_k) & (kj == 0)))
             val = tj - st["t_lastclock"]
-            bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
-            hb.append(jnp.where(stat_ok, jnp.clip(bkt, 0, 49), 50))
+            # (int) cast truncates toward zero: a quotient in (-1, 0)
+            # lands in bucket 0 WITH trksums (decoder.c:160)
+            bkt = ((val - stat_leftbin) / stat_binwidth).astype(I32)
+            # codes: computed bucket 0..49 counts toward peak_trksums
+            # (record_peakstat's in-range branch, decoder.c:168-173);
+            # out-of-range lands in the extreme buckets WITHOUT trksums
+            # (52 -> bucket 0, 53 -> bucket 49); 50 = not recorded
+            code = jnp.where(bkt < 0, 52, jnp.where(bkt > 49, 53, bkt))
+            hb.append(jnp.where(stat_ok, code, 50))
+            if adj_init is not None:
+                # -adjskew block-deviation accumulator (decoder.c:169-173):
+                # updated only for IN-RANGE buckets (the ++peak_trksums
+                # branch), incremental mean in the C's expression order
+                ok = stat_ok & (bkt >= 0) & (bkt < 50)
+                n2 = out["adj_n"] + ok.astype(F32)
+                out["adj_mean"] = jnp.where(
+                    ok, out["adj_mean"] + ((val - b) - out["adj_mean"])
+                    / jnp.maximum(n2, 1.0), out["adj_mean"])
+                out["adj_n"] = n2
         out["dc"] = jnp.minimum(dc + n_new, maxb)
         out["kvis"] = jnp.minimum(st["kvis"] + n_new, K)
         out["consume_overflow"] = st["consume_overflow"] | jnp.any(seen[3])
@@ -395,11 +427,11 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
     final["bits"] = jnp.where(packed >= 0, packed & 1, 0).astype(jnp.int8)
 
     hb = recs["hb"]                                      # [nsl, T, 6]
+    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
     final["hist"] = jnp.zeros((T, 50), I32).at[
-        jnp.broadcast_to(trk[None, :, None], hb.shape), hb].add(
+        jnp.broadcast_to(trk[None, :, None], hb.shape), hb2].add(
             1, mode="drop")
-    final["trksums"] = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32),
-                               axis=(0, 2))
+    final["trksums"] = jnp.sum((hb <= 49).astype(I32), axis=(0, 2))
     if debug:
         final["dbg_zc"] = recs["dbg_zc"]
         final["dbg_avgpos"] = recs["dbg_avgpos"]

@@ -445,7 +445,7 @@ def nrzi_slot_scan_pallas(tr_s, tr_t, counts, *, S, T, Kp, max_slots,
 
 def slot_stream_reconstruct(stream, tb, scal, *,
                              T: int, S: int, maxb: int, spb,
-                             stat_leftbin, stat_binwidth):
+                             stat_leftbin, stat_binwidth, first_k=None):
     """Rebuild the XLA slot scan's final state from the v3 kernel's
     streams for ONE (parmset) lane. stream: [nsl, 128]; tb: [nch, 16,
     128]; scal: [128]. The track block is transposed once ([nsl, T,
@@ -494,14 +494,28 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     t_lc0 = stream[:, L_TLC0]
     t_lc1 = stream[:, L_TLC1]
 
-    def buckets(tj, has, t_lc):
-        val = tj - t_lc[:, None, None]
-        bkt = jnp.floor((val - stat_leftbin) / stat_binwidth).astype(I32)
-        return jnp.where(has & stat_ok[:, None, None],
-                         jnp.clip(bkt, 0, 49), 50)
+    # the block's FIRST transition (track first_k, rank 0) is never
+    # stat-recorded: the C's record check runs before nrzi_addbit sets
+    # nrzi.datablock (decode_nrzi.c:156-162, 187, 202)
+    if first_k is not None:
+        fe = (kvis_b4 == 0) & (trk[None, :] == first_k)        # [nsl, T]
+        skip1 = fe[:, :, None] & (j3 == 0)
+        skip2 = fe[:, :, None] & (n1[:, :, None] == 0) & (j3 == 0)
+    else:
+        skip1 = skip2 = jnp.zeros((1, 1, 1), bool)
 
-    hb = jnp.concatenate([buckets(tj1, has1, t_lc0),
-                          buckets(tj2, has2, t_lc1)], axis=2)   # [nsl, T, 6]
+    def buckets(tj, has, t_lc, skip):
+        val = tj - t_lc[:, None, None]
+        # (int) cast truncates toward zero (decoder.c:160)
+        bkt = ((val - stat_leftbin) / stat_binwidth).astype(I32)
+        # in-range buckets 0..49 count toward trksums; out-of-range maps
+        # to the extreme buckets without trksums (52 -> 0, 53 -> 49)
+        code = jnp.where(bkt < 0, 52, jnp.where(bkt > 49, 53, bkt))
+        return jnp.where(has & stat_ok[:, None, None] & ~skip, code, 50)
+
+    hb = jnp.concatenate([buckets(tj1, has1, t_lc0, skip1),
+                          buckets(tj2, has2, t_lc1, skip2)],
+                         axis=2)                                # [nsl, T, 6]
 
     # midbit warnings (nrzi consume():193-194)
     t_lm0 = stream[:, L_TLM0]
@@ -530,9 +544,10 @@ def slot_stream_reconstruct(stream, tb, scal, *,
 
     # dense one-hot reduction instead of scatter-add: TPU scatters cost
     # ~14 ns/update (measured), the 51-bin compare+sum is ~3.4x faster
-    hist = jnp.sum((hb[:, :, :, None] ==
+    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
+    hist = jnp.sum((hb2[:, :, :, None] ==
                     jnp.arange(50, dtype=I32)).astype(I32), axis=(0, 2))
-    trksums = jnp.sum(((hb >= 1) & (hb <= 48)).astype(I32), axis=(0, 2))
+    trksums = jnp.sum((hb <= 49).astype(I32), axis=(0, 2))
 
     # ---- first/last bit times ----
     b0 = stream[:, L_B0]

@@ -35,6 +35,8 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   clk_window, clk_alpha, clk_factor, pulse_adj_parm,
                   spb, maxb: int,
+                  stat_leftbin=jnp.float32(0.0),
+                  stat_binwidth=jnp.float32(1.0),
                   clk_ring: int = cm.CLKRATE_WINDOW,
                   agc_ring: int = cm.AGC_MAX_WINDOW,
                   pre: bool = False, debug_peaks: bool = False):
@@ -90,6 +92,17 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
 
         # ---- data classification (decode_pe.c:157-201) ----
         in_data = admit & st["datablock"]          # datablock BEFORE this peak
+        # peak statistics (pe_top/bot:159-160,182-183): every data-block
+        # peak, vs the previous peak, with the PRE-update clock. In-range
+        # buckets 0..49 count toward trksums; out-of-range maps to the
+        # extremes without trksums (52 -> 0, 53 -> 49); 50 = unrecorded.
+        stat_val = t_this - st["t_lastpeak"]
+        # (int) cast truncates toward zero (decoder.c:160)
+        stat_bkt = ((stat_val - stat_leftbin) / stat_binwidth).astype(I32)
+        stat_hb = jnp.where(
+            in_data,
+            jnp.where(stat_bkt < 0, 52,
+                      jnp.where(stat_bkt > 49, 53, stat_bkt)), 50)
         missed = (t_this + st["t_pulse_adj"]) - st["t_lastpeak"] > st["t_clkwindow"]
         is_data = in_data & (~st["clknext"] | missed)
         bitval = jnp.where(admit_top, bit1_up, ~bit1_up)
@@ -150,7 +163,7 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         rec = dict(widx=widx, bitval=bitval.astype(jnp.int8),
                    run_start=run["start"], run_len=run["length"],
                    run_bit=run["bit"].astype(jnp.int8),
-                   run_valid=run["valid"])
+                   run_valid=run["valid"], hb=stat_hb)
         if debug_peaks:
             rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top,
                        is_data=is_data, clkw=t_clkwindow,
@@ -183,6 +196,10 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
     # replay streamed bit writes (indices are unique and monotonic)
     final["bits"] = jnp.zeros(maxb, jnp.int8).at[recs["widx"]].set(
         recs["bitval"], mode="drop")
+    hb = recs["hb"]
+    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
+    final["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
+    final["trksum"] = jnp.sum((hb <= 49).astype(I32))
     final["faked"] = jnp.zeros(maxb, jnp.int8)
     final.update(ts.compact_outputs(
         recs["run_valid"], RUN_CAP,
@@ -295,7 +312,7 @@ def pe_finish(finals, T: int, expected_parity, revparity, maxb: int):
         missed_midbits=jnp.int32(0), corrected_bits=corrected,
         faked_tracks=jnp.int32(0),
         avg_bit_spacing=avg_sp, frames=frames, faked_frames=faked_frames,
-        hist=jnp.zeros((T, 50), I32), trksums=jnp.zeros(T, I32),
+        hist=finals["hist"], trksums=finals["trksum"],
         consume_overflow=jnp.any(finals["incomplete"]),
         alltrk_max_agc=alltrk_max, alltrk_min_agc=alltrk_min,
     )

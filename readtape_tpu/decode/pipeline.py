@@ -107,6 +107,7 @@ class DecodeOptions:
     add_parity: bool = False
     head_to_trk: tuple = None         # permutation; None = identity
     reverse: bool = False
+    adjskew: bool = False             # NRZI: per-block +-1 skew nudging
     fluxdir: str = "neg"              # ww: "pos" | "neg" | "auto"
     ww_order: str = "CMLcml"
     blklimit: int = 2 ** 31 - 1
@@ -185,8 +186,8 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                          skew_delay,
                          pa: ParmArrays, spb, expected_parity, revparity,
                          rise_floor, min_floor,
-                         stat_leftbin, stat_binwidth,
-                         *, S, T, P, nsteps, K, maxb, max_slots,
+                         stat_leftbin, stat_binwidth, *adj_init,
+                         S, T, P, nsteps, K, maxb, max_slots,
                          Ws, do_correct, find_zeros, differentiate, spb_int,
                          clk_ring=50, agc_ring=10):
     """v_i16: [T, S] int16 (S is the shared power-of-two bucket; only the
@@ -237,7 +238,8 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                 trans["overflow"] | (n_adm > K), (P, T)))
         return _nrzi_globals(finals, pa, spb, expected_parity, revparity,
                              do_correct, maxb, max_slots, T, S,
-                             stat_leftbin, stat_binwidth, clk_ring)
+                             stat_leftbin, stat_binwidth, clk_ring,
+                             adj_init=adj_init or None)
     nxt = _mask_jump_table(
         _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
 
@@ -271,19 +273,21 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
 
     return _nrzi_globals(finals, pa, spb, expected_parity, revparity,
                          do_correct, maxb, max_slots, T, S,
-                         stat_leftbin, stat_binwidth, clk_ring)
+                         stat_leftbin, stat_binwidth, clk_ring,
+                         adj_init=adj_init or None)
 
 
 def _nrzi_globals(finals, pa, spb, expected_parity, revparity, do_correct,
                   maxb, max_slots, T, S, stat_leftbin, stat_binwidth,
-                  clk_ring):
+                  clk_ring, adj_init=None):
     """The per-parmset global slot scan over admitted transition lists
     (shared by the peak and zero-crossing front ends)."""
     def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
         st = nrzi_mod.nrzi_slot_scan(
             ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
             expected_parity, do_correct, maxb, max_slots,
-            stat_leftbin, stat_binwidth, clk_ring=clk_ring)
+            stat_leftbin, stat_binwidth, clk_ring=clk_ring,
+            adj_init=adj_init)
         r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
         # multi-block support: where the block ended and how many admitted
         # transitions remain unconsumed past it (a sub-min_gap gap means
@@ -291,6 +295,13 @@ def _nrzi_globals(finals, pa, spb, expected_parity, revparity, do_correct,
         # remainder, mirroring readtape.c:1720-1882's per-block loop)
         r["end_s"] = st["end_s"]
         r["unconsumed"] = jnp.sum(jnp.maximum(cnt1 - st["kvis"], 0))
+        if adj_init is not None:
+            # -adjskew: the running deviation accumulators plus the live
+            # clock at block end (adjust_deskew's bitspacing argument,
+            # readtape.c:1310)
+            r["adj_n"] = st["adj_n"]
+            r["adj_mean"] = st["adj_mean"]
+            r["t_bitspaceavg"] = st["clkavg"]["t_bitspaceavg"]
         return r
 
     res = jax.vmap(global_lane)(
@@ -307,6 +318,8 @@ def _pe_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                        skew_delay,
                        pa: ParmArrays, spb, expected_parity, revparity,
                        rise_floor, min_floor,
+                       stat_leftbin=jnp.float32(0.0),
+                       stat_binwidth=jnp.float32(1.0),
                        *, S, T, P, nsteps, maxb, Ws,
                        differentiate, spb_int, clk_ring=50, agc_ring=10):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
@@ -325,6 +338,7 @@ def _pe_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
         lane = jax.vmap(    # over tracks
             lambda ft, nx, *p, _W=Wd: pe_mod.pe_track_scan(
                 ft, nx, _W, S, nsteps, *p, spb_f, maxb,
+                stat_leftbin, stat_binwidth,
                 clk_ring=clk_ring, agc_ring=agc_ring, pre=True),
             in_axes=(0, 0) + (None,) * 8)
         sel = jnp.asarray(idxs, I32)
@@ -464,11 +478,12 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
             max_slots=max_slots, spb_i=spb_f, clk_windows=clk_ws,
             clk_alphas=clk_as, pulse_adjs=padjs, midbits=mbs)
 
-        def slot_lane(strm, tbb, scl, cnt):
+        def slot_lane(strm, tbb, scl, cnt, ts0):
             st = psl.slot_stream_reconstruct(
                 strm, tbb, scl, T=T, S=S, maxb=maxb,
                 spb=spb_f, stat_leftbin=stat_leftbin,
-                stat_binwidth=stat_binwidth)
+                stat_binwidth=stat_binwidth,
+                first_k=jnp.argmin(ts0))
             r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
                                      maxb)
             r["end_s"] = st["end_s"]
@@ -476,7 +491,8 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
             return r
 
         res = jax.vmap(jax.vmap(slot_lane))(
-            stream, tbk, scal, finals["n_admitted"])
+            stream, tbk, scal, finals["n_admitted"],
+            finals["tr_s"][:, :, :, 0])
         res["alltrk_max_agc"] = jnp.max(finals["max_agc_gain"], axis=2)
         res["alltrk_min_agc"] = jnp.min(finals["min_agc_gain"], axis=2)
         res["event_overflow"] = jnp.any(finals["incomplete"], axis=(1, 2))
@@ -508,7 +524,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 do_correct, do_correct2, find_zeros, differentiate, spb_int,
-                clk_ring, agc_ring, pallas_knobs=None):
+                clk_ring, agc_ring, pallas_knobs=None, adjskew=False):
     """Cached jitted segment-batch decoder for one static configuration.
 
     The returned function takes (tape [T, N] int16, offsets [B] int32,
@@ -524,13 +540,13 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                        find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int,
                        clk_ring=clk_ring, agc_ring=agc_ring)
-        n_in = 11
+        n_in = 13 if adjskew else 11    # +2: the -adjskew (n, mean) seeds
     elif mode == tb.MODE_PE:
         base = partial(_pe_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
                        differentiate=differentiate, spb_int=spb_int,
                        clk_ring=clk_ring, agc_ring=agc_ring)
-        n_in = 9
+        n_in = 11
     elif mode == tb.MODE_GCR:
         base = partial(_gcr_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
@@ -921,7 +937,8 @@ class TapeDecoder:
         return self.v_i16
 
     def decode_segment_batch(self, spans, fetch=True, bucket=None,
-                             nparms=None, window=None):
+                             nparms=None, window=None, parm_sel=None,
+                             adj_init=None):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
@@ -941,12 +958,23 @@ class TapeDecoder:
         window=(array [T, W], origin): decode against a granule window
         instead of the full resident tape; offsets become window-relative.
         Callers must guarantee every [a - SEG_WARMUP, a0 + S) slice lies
-        inside the window (TapeDecoder.window_for does)."""
+        inside the window (TapeDecoder.window_for does).
+
+        parm_sel selects an arbitrary tuple of parmset indices instead of
+        the nparms prefix (the -adjskew driver decodes single parmsets
+        sequentially, threading the deviation accumulators through
+        adj_init=(n0 [T], mean0 [T]) -- NRZI only)."""
         opts = self.opts
-        nparms = self.P if nparms is None else min(nparms, self.P)
-        active = opts.parmsets.sets[:nparms]
-        pa = (self.pa if nparms == self.P else
-              jax.tree.map(lambda a: a[:nparms], self.pa))
+        if parm_sel is not None:
+            sel = list(parm_sel)
+            active = [opts.parmsets.sets[k] for k in sel]
+            pa = jax.tree.map(lambda a: a[jnp.asarray(sel)], self.pa)
+            nparms = len(sel)
+        else:
+            nparms = self.P if nparms is None else min(nparms, self.P)
+            active = opts.parmsets.sets[:nparms]
+            pa = (self.pa if nparms == self.P else
+                  jax.tree.map(lambda a: a[:nparms], self.pa))
         groups = spans if spans and isinstance(spans[0], list) else [spans]
         flat = [s for g in groups for s in g]
 
@@ -996,7 +1024,7 @@ class TapeDecoder:
         # (whose AGC-keyed bit flip needs the full XLA slot scan).
         pallas_knobs = None
         if (opts.mode == tb.MODE_NRZI and _pallas_enabled()
-                and not opts.find_zeros
+                and not opts.find_zeros and adj_init is None
                 and S % 1024 == 0 and nparms <= 16
                 and 128 // (min(Ws) + 1) + 1 <= 32):
             track_knobs = tuple(
@@ -1021,16 +1049,21 @@ class TapeDecoder:
                          max_slots, Ws, opts.do_correct, opts.do_correct2,
                          opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring,
-                         pallas_knobs=pallas_knobs)
+                         pallas_knobs=pallas_knobs,
+                         adjskew=adj_init is not None)
         args = [tape, offsets, seg_lens, leads, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
                 jnp.int32(opts.expected_parity), jnp.int32(opts.revparity),
                 rise_floor, min_floor]
-        if opts.mode in (tb.MODE_NRZI, tb.MODE_GCR):
+        if opts.mode in (tb.MODE_NRZI, tb.MODE_GCR, tb.MODE_PE):
             lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
             args += [jnp.float32(lb / opts.deltat),
                      jnp.float32(bw / opts.deltat)]
+        if adj_init is not None:
+            assert opts.mode == tb.MODE_NRZI
+            args += [jnp.asarray(adj_init[0], F32),
+                     jnp.asarray(adj_init[1], F32)]
         return fn(*args, fetch=fetch)
 
     # ---- debug trace extraction (trace.c equivalent; runtime option) ----
@@ -1229,18 +1262,23 @@ class TapeDecoder:
                 break
         if trksums.min() == 0:
             return False
-        # average peak position per track over interior buckets (us)
-        bkt = np.arange(50)
-        us = bw * 1e6 * bkt + lb * 1e6
-        interior = slice(1, 49)
-        avgsum = (hist[:, interior] *
-                  us[interior][None, :].astype(np.int64)).sum(axis=1)
-        avg = avgsum / np.maximum(trksums, 1)
+        # average peak position per track over interior buckets, with the
+        # C's exact arithmetic (skew_compute_deskew, decoder.c:243-281):
+        # bin centers from the FLOAT32 binwidth/leftbin, each product
+        # truncated to integer before summing, f32 division
+        lb32 = np.float64(np.float32(lb)) * 1e6
+        bw32 = np.float64(np.float32(bw)) * 1e6
+        avgsum = np.asarray(
+            [sum(int(int(hist[t, k]) * (bw32 * k + lb32))
+                 for k in range(1, 49)) for t in range(opts.ntrks)])
+        avg = (np.float32(avgsum) / np.float32(trksums)).astype(np.float32)
         maxavg = avg.max()
-        delays_us = np.where(trksums > 0, maxavg - avg, 0.0)
+        t_sec = np.where(trksums > 0,
+                         ((maxavg - avg).astype(np.float32)
+                          / np.float32(1e6)), np.float32(0))
         delays = np.minimum(
-            ((delays_us * 1e-6 + opts.deltat / 2) / opts.deltat).astype(int),
-            50)
+            ((t_sec.astype(np.float64) + opts.deltat / 2)
+             / opts.deltat).astype(int), 50)
         self.skew = delays.astype(np.int32)
         bitspace_us = 1e6 / (opts.bpi * opts.ips)
         self.deskew_percent = float((maxavg - avg.min()) / bitspace_us * 100)
@@ -1778,7 +1816,98 @@ def _decode_tape_nrzi_like(samples, opts, log):
             _tlog(f"retry({len(retry)} segs) {_time.perf_counter()-t2:.2f}s")
 
     order = list(range(len(segs)))
-    if opts.mode == tb.MODE_NRZI and opts.find_zeros:
+    adjskew_seq = (opts.mode == tb.MODE_NRZI and opts.adjskew
+                   and not opts.find_zeros)
+    if adjskew_seq:
+        # -adjskew (decoder.c:305-320, experimental in the reference):
+        # after every data block, nudge each track's skew delay by +-1
+        # sample based on that block's average peak deviation. The skew
+        # applied to block n depends on blocks 0..n-1 AND the deviation
+        # accumulator threads through every parmset try in the C's
+        # sequential order (reset only in adjust_deskew, so tapemark /
+        # noise segments roll their events into the next data block) --
+        # so segments decode ONE AT A TIME, each parmset try its own
+        # device call seeded with the running (count, mean).
+        ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
+        adj_n = np.zeros(opts.ntrks, np.float32)
+        adj_mean = np.zeros(opts.ntrks, np.float32)
+        worklist = order[:]
+        order = []
+        k = 0
+        while k < len(worklist):
+            i = worklist[k]
+            k += 1
+            a, b = segs[i]
+            S_i = buckets[i]
+
+            def one(psel, span=None):
+                nonlocal adj_n, adj_mean
+                r = dec.decode_segment_batch(
+                    [span or (a, b)], bucket=S_i, parm_sel=(psel,),
+                    adj_init=(adj_n, adj_mean))
+                r = jax.tree.map(lambda x: x[0, 0], r)   # [nb=1, B=1, ...]
+                adj_n = np.asarray(r["adj_n"][0], np.float32)
+                adj_mean = np.asarray(r["adj_mean"][0], np.float32)
+                return r
+
+            tries_res = [one(0)]
+            if opts.multiple_tries:
+                while len(tries_res) < dec.P:
+                    r = tries_res[-1]
+                    if is_stopping_decode(
+                            int(r["blktype"][0]), int(r["errcount"][0]),
+                            int(r["warncount"][0]), int(r["minbits"][0]),
+                            opts.mode):
+                        break
+                    tries_res.append(one(len(tries_res)))
+            res = {kk: np.stack([np.asarray(r[kk][0]) for r in tries_res])
+                   for kk in tries_res[0]}
+            results[i] = res
+            order.append(i)
+            p, _tries = pick_best(res, len(tries_res),
+                                  opts.multiple_tries, opts.mode)
+            if p != len(tries_res) - 1:
+                # re-decode with the winner (readtape.c:1853-1863); its
+                # stat events accumulate AGAIN, like the C's re-decode
+                rw = one(p)
+                bitspace = float(np.asarray(rw["t_bitspaceavg"])[0])
+            else:
+                bitspace = float(res["t_bitspaceavg"][p])
+            bt = int(res["blktype"][p])
+            if bt in (nrzi_mod.BS_BLOCK, nrzi_mod.BS_BADBLOCK):
+                # adjust_deskew runs for every got_datablock call
+                # (readtape.c:1310), zero-length and label blocks included
+                report = []
+                thr = np.float32(0.1) * np.float32(bitspace)
+                for trk in range(opts.ntrks):
+                    dev = np.float32(adj_mean[trk])
+                    act = 0
+                    if dev < thr and dec.skew[trk] > 0:
+                        dec.skew[trk] -= 1
+                        act = -1
+                    elif dev > thr and dec.skew[trk] < 50:  # MAXSKEWSAMP
+                        dec.skew[trk] += 1
+                        act = 1
+                    report.append((float(dev) * opts.deltat,
+                                   float(bitspace) * opts.deltat,
+                                   act, int(dec.skew[trk])))
+                res["_adjskew_report"] = report
+                adj_n = np.zeros(opts.ntrks, np.float32)
+                adj_mean = np.zeros(opts.ntrks, np.float32)
+            # multi-block remainder, inline so it stays in tape order
+            if ("unconsumed" in res and int(res["unconsumed"][p]) > 0
+                    and bt != nrzi_mod.BS_NONE):
+                a0_ = max(a - SEG_WARMUP, 0)
+                a_rem = a0_ + int(res["end_s"][p]) + ibg_blank
+                if a < a_rem < b - 4:
+                    j = len(segs)
+                    segs.append((a_rem, b))
+                    buckets.append(
+                        maxbkt if unified else
+                        seg.bucket_length(b - max(a_rem - SEG_WARMUP, 0)))
+                    results.append(None)
+                    worklist.insert(k, j)
+    elif opts.mode == tb.MODE_NRZI and opts.find_zeros:
         # -zeros NRZI decodes as a SEQUENTIAL per-block chain, exactly
         # readtape.c:1720-1882: the zero-crossing extremum carries
         # (v_top/v_bot, decoder.c:617-649) are long-range -- they
@@ -1840,8 +1969,9 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # point, the segment holds ANOTHER block behind a sub-min_gap gap.
     # Re-dispatch the remainder as a fresh segment starting after the
     # reference's interblock blanking (decode_nrzi.c:112), exactly the
-    # per-block re-entry of readtape.c:1720-1882.
-    if opts.mode == tb.MODE_NRZI and not opts.find_zeros:
+    # per-block re-entry of readtape.c:1720-1882. (The -adjskew driver
+    # carves its remainders inline, sequentially.)
+    if opts.mode == tb.MODE_NRZI and not opts.find_zeros and not adjskew_seq:
         ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
         frontier = order[:]
         # each round carves at most ONE remainder per chain, so a merged
@@ -1884,8 +2014,16 @@ def _decode_tape_nrzi_like(samples, opts, log):
         p, tries = pick_best(res, len(res["blktype"]),
                              opts.multiple_tries, opts.mode)
         if "hist" in res:
-            stats["peak_hist"] += res["hist"][p]
-            stats["peak_trksums"] += res["trksums"][p]
+            # peak stats accumulate across EVERY parmset try, plus the
+            # winner's re-decode when it wasn't the last try (the C never
+            # resets peak_counts between retries, decoder.c:136-141;
+            # re-decode at readtape.c:1853-1863)
+            for t_i in range(min(tries, len(res["hist"]))):
+                stats["peak_hist"] += res["hist"][t_i]
+                stats["peak_trksums"] += res["trksums"][t_i]
+            if tries > 1 and p != tries - 1:
+                stats["peak_hist"] += res["hist"][p]
+                stats["peak_trksums"] += res["trksums"][p]
         for i in range(tries):
             stats["tried"][i] += 1
         bt = int(res["blktype"][p])
@@ -1917,6 +2055,8 @@ def _decode_tape_nrzi_like(samples, opts, log):
                             "missed_midbits", "corrected_bits",
                             "faked_tracks", "avg_bit_spacing",
                             "alltrk_max_agc", "alltrk_min_agc")}
+        if "_adjskew_report" in res:
+            detail["adjskew"] = res["_adjskew_report"]
         if bt == nrzi_mod.BS_BADBLOCK:
             blocks.append(BlockResult("badblock", parmset=p, tries=tries,
                                       errcount=err, warncount=warn,
@@ -1946,4 +2086,7 @@ def _decode_tape_nrzi_like(samples, opts, log):
             stats["ncorrected"] += 1
         if err == 0 and warn == 0 and tries > 1:
             stats["ngoodmultiple"] += 1
+    if adjskew_seq:
+        # the end-of-run skew report shows the ADJUSTED delays
+        stats["skew"] = dec.skew.tolist()
     return blocks, stats

@@ -277,13 +277,14 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
             (delta > -b * 1.5) & (delta < b * 1.5)
         delta = jnp.where(delta <= 0, delta + b,
                           jnp.where(delta < b * 0.5, delta + b, delta))
-        bkt = jnp.floor((delta - stat_leftbin) / stat_binwidth).astype(I32)
+        # (int) cast truncates toward zero (decoder.c:160)
+        bkt = ((delta - stat_leftbin) / stat_binwidth).astype(I32)
         bkt_c = jnp.clip(bkt, 0, 49)
         st["hist"] = st["hist"].at[jnp.where(near, trk, T),
                                    jnp.where(near, bkt_c, 0)].add(
             1, mode="drop")
         st["trksums"] = st["trksums"].at[
-            jnp.where(near & (bkt >= 1) & (bkt <= 48), trk, T)].add(
+            jnp.where(near & (bkt >= 0) & (bkt <= 49), trk, T)].add(
             1, mode="drop")
         end_clk = pe & is_clk
         do_chk = end_clk & ((t - st["t_lastclkpulseend"]) >

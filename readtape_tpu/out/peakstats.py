@@ -26,17 +26,24 @@ def write_peakstats(path: str, hist: np.ndarray, trksums: np.ndarray,
         if is_nrzi:
             f.write(",avg uS")
         f.write("\n")
+        # exact C arithmetic (output_peakstats, decoder.c:198-210):
+        # percentages and the average divide by peak_trksums (in-range
+        # buckets 0..49) in float32; each avgsum term truncates to int64;
+        # bin centers form from the FLOAT32 binwidth/leftbin
+        lb32 = np.float64(np.float32(leftbin_s)) * 1e6
+        bw32 = np.float64(np.float32(binwidth_s)) * 1e6
         for trk in range(T):
-            interior = int(trksums[trk])
-            f.write(f"{interior + int(hist[trk, 0]) + int(hist[trk, -1])}, "
+            n = int(trksums[trk])
+            f.write(f"{n + int(hist[trk, 0]) + int(hist[trk, -1])}, "
                     f"{int(hist[trk, 0])}, {int(hist[trk, -1])},trk{trk}")
-            avgsum = 0.0
+            avgsum = 0
             for bkt in range(1, nb - 1):
-                pct = (100.0 * hist[trk, bkt] / interior) if interior else 0.0
+                pct = (float(np.float32(100 * int(hist[trk, bkt]))
+                             / np.float32(n)) if n else 0.0)
                 f.write(f", {pct:.2f}%")
-                avgsum += hist[trk, bkt] * (bw * bkt + lb)
+                avgsum += int(int(hist[trk, bkt]) * (bw32 * bkt + lb32))
             if is_nrzi:
-                f.write(f", {avgsum / interior if interior else 0:.2f}")
+                f.write(f", {float(np.float32(avgsum) / np.float32(n)) if n else 0:.2f}")
             f.write("\n")
-            total += interior
+            total += n
     return total

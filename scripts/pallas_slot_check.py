@@ -125,13 +125,14 @@ def main():
         stream, tb_, scal = psl.nrzi_slot_scan_pallas(
             tr_s, tr_t, counts, S=S, T=T, Kp=K, max_slots=max_slots,
             spb_i=float(spb), **kw)
-        return jax.vmap(jax.vmap(lambda st, tbb, sc:
+        return jax.vmap(jax.vmap(lambda st, tbb, sc, ts0:
                                  psl.slot_stream_reconstruct(
                                      st, tbb, sc, T=T, S=S, maxb=maxb,
                                      spb=float(spb),
                                      stat_leftbin=jnp.float32(lb),
-                                     stat_binwidth=jnp.float32(bw))))(
-            stream, tb_, scal)
+                                     stat_binwidth=jnp.float32(bw),
+                                     first_k=jnp.argmin(ts0))))(
+            stream, tb_, scal, tr_s[:, :, :, 0])
 
     t0 = time.perf_counter()
     try:

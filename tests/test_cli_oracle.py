@@ -324,3 +324,53 @@ def test_cli_nrzi_zeros_noisy_tap_identical(oracle, tmp_path):
         oracle, tmp_path, "nz", hdr, samples,
         ["-v", "-m", "-nrzi", "-bpi=800", "-ips=50", "-zeros", "-tap"])
     assert ref == ours
+
+
+def test_cli_adjskew_identical(oracle, tmp_path):
+    """-adjskew (decoder.c:305-320): per-block +-1 skew nudging. The .tap,
+    every per-track deviation/bitspacing log line, and each skew
+    increase/reduce decision must match the reference."""
+    rng = np.random.default_rng(42)
+    spec = default_spec(tb.MODE_NRZI,
+                        skew_samples=(0, 3, 1, 5, 2, 0, 4, 1, 2))
+    items = []
+    for n in (200, 80, 512, 120, 300):
+        items.append(("block", bytes(rng.integers(0, 256, n,
+                                                  dtype=np.uint8))))
+    items.insert(2, ("tapemark",))
+    hdr, samples = synthesize_tape(spec, items)
+    ref, ours, ref_out, ours_out = run_both(
+        oracle, tmp_path, "adj", hdr, samples,
+        ["-v", "-m", "-nrzi", "-adjskew", "-tap"])
+    assert ref == ours
+    ref_dev = [ln for ln in ref_out.splitlines() if "deviation is" in ln]
+    ours_dev = [ln for ln in ours_out.splitlines() if "deviation is" in ln]
+    assert ref_dev and ref_dev == ours_dev
+
+
+def test_cli_peakstats_identical_nrzi_pe(oracle, tmp_path):
+    """peakstats CSVs byte-identical for NRZI and PE: first-transition
+    skip (datablock gate), peak_trksums in-range 0/49 counting, and
+    output_peakstats' truncating average."""
+    rng = np.random.default_rng(43)
+    cases = [
+        ("ps_n", tb.MODE_NRZI, ["-v", "-m", "-nrzi", "-tap"],
+         default_spec(tb.MODE_NRZI,
+                      skew_samples=(0, 3, 1, 5, 2, 0, 4, 1, 2))),
+        ("ps_p", tb.MODE_PE,
+         ["-v", "-m", "-pe", "-bpi=1600", "-ips=50", "-tap"],
+         default_spec(tb.MODE_PE)),
+    ]
+    for name, mode, args, spec in cases:
+        items = []
+        for n in (150, 80, 64):
+            items.append(("block", bytes(rng.integers(0, 256, n,
+                                                      dtype=np.uint8))))
+        items.append(("tapemark",))
+        hdr, samples = synthesize_tape(spec, items)
+        ref, ours, _, _ = run_both(oracle, tmp_path, name, hdr, samples,
+                                   args)
+        assert ref == ours, name
+        ref_ps = (tmp_path / "ref" / f"{name}.peakstats.csv").read_bytes()
+        ours_ps = (tmp_path / "ours" / f"{name}.peakstats.csv").read_bytes()
+        assert ref_ps == ours_ps, name

@@ -107,7 +107,8 @@ def test_slot_kernel_matches_xla(nblocks, ibg, ntrks):
         got = psl.slot_stream_reconstruct(
             stream[0, pi], tb_[0, pi], scal[0, pi],
             T=T, S=S, maxb=maxb, spb=spb,
-            stat_leftbin=jnp.float32(lb), stat_binwidth=jnp.float32(bw))
+            stat_leftbin=jnp.float32(lb), stat_binwidth=jnp.float32(bw),
+            first_k=jnp.argmin(tr_s[0, pi, :, 0]))
         got = {k: np.asarray(x) for k, x in got.items()}
         r = ref[pi]
         msg = f"parmset {pi} (cw={p.clk_window} ca={p.clk_alpha})"
