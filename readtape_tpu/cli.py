@@ -43,6 +43,8 @@ options include:
   -ascii -ebcdic -bcd -b5500 -sixbit -sds -sdsm -flexo -adage -adagetape
   -cdc -univac -linesize=n -dataspace=n -linefeed -tapread -outf= -outp=
   -sumt= -sumc= -m -nm -v[n] -q -f
+  -adjskew -mesh[=DxP] (shard segment batches over D x P devices)
+  -correctdbg (-correct with the reference DEBUG build's parity index)
 """
 
 
@@ -69,9 +71,11 @@ class Options:
         self.tapread = False
         self.deskew = False
         self.adjskew = False
+        self.mesh = None
         self.skew = None
         self.correct = False
         self.correct2 = False
+        self.correct_debug = False
         self.parmscan = False
         self.addparity = False
         self.tbin_only = False
@@ -152,6 +156,12 @@ def parse_option(o: Options, option: str) -> bool:
         o.fluxdir = v
     elif a == "reverse":
         o.reverse = True
+    elif a == "mesh" or (v := val("mesh=")) is not None:
+        # extension (no reference equivalent): shard segment batches over
+        # the chips this host can see -- "-mesh" = all devices data-
+        # parallel, "-mesh=4x2" = (data=4, parm=2)
+        o.mesh = (1, 1) if a == "mesh" else tuple(
+            int(x) for x in v.split("x"))
     elif a == "deskew":
         o.deskew = True
     elif a == "adjskew":
@@ -166,6 +176,12 @@ def parse_option(o: Options, option: str) -> bool:
     elif a == "correct2":     # extension: GCR 2-track erasure correction
         o.correct = True
         o.correct2 = True
+    elif a == "correctdbg":
+        # NRZI -correct with the reference DEBUG build's parity-check
+        # index (data[last_complete_byte] instead of the release build's
+        # data[0]; decode_nrzi.c:258,262 under #define DEBUG true)
+        o.correct = True
+        o.correct_debug = True
     elif a == "nocorrect":
         o.correct = False
         o.correct2 = False
@@ -458,12 +474,26 @@ def process_file(o: Options, basefile: str, ext: str) -> bool:
             if o.ntrks <= 0:
                 o.ntrks = len(head_to_trk)
 
+    if o.mesh is not None:
+        import jax
+        from .parallel import make_decode_mesh, set_decode_mesh
+        devs = jax.devices()
+        if len(devs) > 1:
+            parm = o.mesh[1] if o.mesh != (1, 1) else 1
+            n = (o.mesh[0] * o.mesh[1] if o.mesh != (1, 1) else len(devs))
+            set_decode_mesh(make_decode_mesh(devs[:n], parm_axis=parm))
+            log.info(f"  sharding segment batches over {n} devices "
+                     f"(parm axis {parm})")
+        else:
+            log.info("  -mesh ignored: only one device visible")
+
     from .decode.pipeline import DecodeOptions, TapeDecoder, decode_tape
     dopts = DecodeOptions(
         mode=o.mode, ntrks=o.ntrks, bpi=max(o.bpi, 0), ips=o.ips,
         deltat=deltat, maxvolts=maxvolts, parmsets=parmsets,
         multiple_tries=o.multiple_tries, do_correct=o.correct,
-        do_correct2=o.correct2, parmscan=o.parmscan,
+        do_correct2=o.correct2, do_correct_debug=o.correct_debug,
+        parmscan=o.parmscan,
         expected_parity=0 if o.even else 1, revparity=o.revparity,
         invert=o.invert, differentiate=o.differentiate,
         find_zeros=o.find_zeros, deskew=o.deskew, skew=o.skew,

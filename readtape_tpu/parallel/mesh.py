@@ -18,10 +18,40 @@ host, riding ICI.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# --- production decode mesh -------------------------------------------------
+# decode_tape shards its segment batches over this mesh when one is set
+# (pipeline._batched_fn wraps the device program in jax.shard_map). The
+# version counter keys the pipeline's executable cache so switching meshes
+# mid-process can't reuse a stale sharded executable.
+_DECODE_MESH = None
+_DECODE_MESH_VERSION = 0
+
+
+def set_decode_mesh(mesh: "Mesh | None") -> None:
+    """Install (or clear) the mesh the production decode pipeline shards
+    over. The CLI's -mesh option and READTAPE_MESH=1 call this."""
+    global _DECODE_MESH, _DECODE_MESH_VERSION
+    _DECODE_MESH = mesh
+    _DECODE_MESH_VERSION += 1
+
+
+def get_decode_mesh():
+    """(mesh, version) -- mesh is None when decoding single-device."""
+    global _DECODE_MESH, _DECODE_MESH_VERSION
+    if _DECODE_MESH is None and os.environ.get("READTAPE_MESH") == "1":
+        if len(jax.devices()) > 1:
+            _DECODE_MESH = make_decode_mesh(
+                parm_axis=int(os.environ.get("READTAPE_MESH_PARM", "1")))
+            _DECODE_MESH_VERSION += 1
+    return _DECODE_MESH, _DECODE_MESH_VERSION
 
 
 def make_decode_mesh(devices=None, parm_axis: int = 1) -> Mesh:
