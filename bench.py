@@ -4,14 +4,29 @@ The BASELINE.json metric: TBIN Msamples/sec on the 9trk NRZI config, vs the
 reference C decoder's ~1.49 Msamples/s (examples/9trk_NRZI PLAGO: 4,481,584
 samples in 3 s on a desktop core -- BASELINE.md).
 
-Synthesizes a PLAGO-scale tape (~4.5M samples, >=150 blocks), decodes it with
-the full production pipeline (8 parmsets, best-pick, block emission), checks
-every byte, and reports steady-state wall-clock throughput. Prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+Synthesizes PLAGO-scale tapes (~4.5M samples, >=150 blocks), decodes them
+with the full production pipeline (8 parmsets, best-pick, block emission),
+checks every byte against the synthesizer's ground truth, and additionally
+diffs the warmup tape's .tap byte-for-byte against the reference C binary
+(the reference's own acceptance methodology, examples/*/Makefile).
+
+Prints ONE JSON line with:
+  value            end-to-end Msamples/s (host tape in, decoded blocks out;
+                   includes the host->device upload, which on this relay-
+                   tunneled TPU is link-bound)
+  resident_msps    Msamples/s decoding a DEVICE-RESIDENT tape (timed after
+                   upload; the chip-capability number BASELINE.md's north
+                   star is about)
+  kernel_path      which compute path produced the numbers
+                   (pallas-v3 / pallas-admission+xla-slot / xla / ...)
+  fallback         true if any bit-exactness fallback triggered
+  oracle_tap       result of the .tap diff vs the reference C binary
 """
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 from dataclasses import replace
@@ -26,13 +41,20 @@ enable_compilation_cache()
 
 BASELINE_MSPS = 1.49
 
+KERNEL_PATHS = (
+    (None, "pallas-v3"),
+    ({"READTAPE_SLOT_PALLAS": "0"}, "pallas-admission+xla-slot"),
+    ({"READTAPE_PALLAS": "0"}, "xla"),
+    ({"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "4"}, "xla-b4"),
+    ({"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "1"}, "xla-b1"),
+)
+
 
 def _backend_alive(timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT",
                                                   "900"))):
     """Probe the TPU backend in a subprocess: the axon relay sometimes
     goes down and jax.devices() then HANGS (observed for hours), which
     would leave the bench silently stuck. Probe first, fail loudly."""
-    import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
@@ -40,6 +62,47 @@ def _backend_alive(timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT",
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+
+
+def _oracle_tap_check(hdr, samples, out):
+    """Diff our decode's .tap against the reference C binary's on the same
+    tape (built from /root/reference/src; never copied into this repo)."""
+    import tempfile
+    from readtape_tpu.formats import tbin as tb
+    from readtape_tpu.formats.simh import TapWriter
+
+    src = "/root/reference/src"
+    exe = "/tmp/oracle/readtape"
+    try:
+        if not os.path.exists(exe):
+            if not os.path.isdir(src):
+                return "skipped(no reference source)"
+            os.makedirs("/tmp/oracle", exist_ok=True)
+            for name in os.listdir(src):
+                shutil.copy(os.path.join(src, name), "/tmp/oracle")
+            subprocess.run(["make"], cwd="/tmp/oracle", check=True,
+                           capture_output=True, timeout=300)
+        with tempfile.TemporaryDirectory() as td:
+            tb.write_tbin(os.path.join(td, "bench.tbin"), hdr, samples)
+            r = subprocess.run([exe, "-m", "-tap", "bench.tbin"], cwd=td,
+                               capture_output=True, text=True, timeout=600)
+            if r.returncode != 0:
+                return f"skipped(oracle exit {r.returncode})"
+            ref = open(os.path.join(td, "bench.tap"), "rb").read()
+            # our .tap from the already-decoded blocks, via the same output
+            # layer the CLI uses (cli.py block emission loop)
+            w = TapWriter(os.path.join(td, "ours.tap"))
+            for blk in out:
+                if blk.kind == "tapemark":
+                    w.write_tapemark()
+                elif blk.kind == "data" and len(blk.data):
+                    w.write_block(blk.data, error=blk.errcount > 0)
+            w.write_eom()
+            w.close()
+            ours = open(os.path.join(td, "ours.tap"), "rb").read()
+        return "identical" if ref == ours else "MISMATCH"
+    except Exception as e:
+        return f"skipped({type(e).__name__})"
 
 
 def main():
@@ -61,7 +124,8 @@ def main():
         time.sleep(120)
     from readtape_tpu.formats import tbin as tb
     from readtape_tpu.synth import default_spec, synthesize_tape
-    from readtape_tpu.decode.pipeline import DecodeOptions, decode_tape
+    from readtape_tpu.decode.pipeline import (DecodeOptions, TapeDecoder,
+                                              decode_tape)
 
     nblocks = int(os.environ.get("BENCH_BLOCKS", "160"))
     blocksize = int(os.environ.get("BENCH_BLOCKSIZE", "1200"))
@@ -96,14 +160,15 @@ def main():
     # stack miscompiles at the default batch size or the Mosaic kernel
     # misbehaves, fall back (correctness always wins over speed)
     ok = False
-    for env_override in (None, {"READTAPE_SLOT_PALLAS": "0"},
-                         {"READTAPE_PALLAS": "0"},
-                         {"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "4"},
-                         {"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "1"}):
+    kernel_path, fallback = KERNEL_PATHS[0][1], False
+    out = None
+    for env_override, path_name in KERNEL_PATHS:
         if env_override is not None:
             os.environ.update(env_override)
+            fallback = True
             print(f"# retrying with {env_override}",
                   file=sys.stderr, flush=True)
+        kernel_path = path_name
         t_warm = time.perf_counter()
         try:
             out, stats = decode_tape(samples, opts)
@@ -125,28 +190,65 @@ def main():
                           "error": "decode mismatch"}))
         return 1
 
-    best = None
-    for i in range(reps):
-        blocks_i, _, samples_i = tapes[1 + i]
+    oracle_tap = _oracle_tap_check(hdr, samples, out)
+    print(f"# oracle .tap diff: {oracle_tap}", file=sys.stderr, flush=True)
+
+    def run_checked(samples_i, blocks_i, label, decoder=None):
         t0 = time.perf_counter()
-        out_i, stats_i = decode_tape(samples_i, opts)
+        out_i, stats_i = decode_tape(samples_i, opts, decoder=decoder)
         dt = time.perf_counter() - t0
         datas_i = [b.data for b in out_i if b.kind == "data"]
         if datas_i != blocks_i or stats_i["nerrblocks"] != 0:
-            print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
-                              "value": 0.0, "unit": "Msamples/s",
-                              "vs_baseline": 0.0,
-                              "error": f"decode mismatch on timed rep {i}"}))
-            return 1
-        best = dt if best is None else min(best, dt)
+            raise AssertionError(f"decode mismatch on {label}")
+        return dt
+
+    try:
+        # end-to-end: host samples in -> decoded+checked blocks out
+        best = None
+        for i in range(reps):
+            blocks_i, _, samples_i = tapes[1 + i]
+            dt = run_checked(samples_i, blocks_i, f"end-to-end rep {i}")
+            best = dt if best is None else min(best, dt)
+
+        # HBM-resident: upload each rep tape fully (one-shot path), then
+        # time the decode alone. Distinct tapes per rep so relay-side
+        # program/data caches can't flatter the number.
+        import jax
+        saved_granules = os.environ.get("READTAPE_GRANULES")
+        os.environ["READTAPE_GRANULES"] = "0"   # one-shot resident upload
+        try:
+            best_res = None
+            for i in range(reps):
+                blocks_i, _, samples_i = tapes[1 + i]
+                dec = TapeDecoder(samples_i, opts)
+                jax.block_until_ready(dec.v_i16)
+                dt = run_checked(samples_i, blocks_i, f"resident rep {i}",
+                                 decoder=dec)
+                best_res = dt if best_res is None else min(best_res, dt)
+        finally:
+            if saved_granules is None:
+                os.environ.pop("READTAPE_GRANULES", None)
+            else:
+                os.environ["READTAPE_GRANULES"] = saved_granules
+    except AssertionError as e:
+        print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
+                          "value": 0.0, "unit": "Msamples/s",
+                          "vs_baseline": 0.0, "error": str(e),
+                          "kernel_path": kernel_path}))
+        return 1
 
     msps = nsamples / best / 1e6
     print(json.dumps({
         "metric": "TBIN Msamples/sec/chip (9trk NRZI, 8 parmsets, "
-                  "bit-exact vs reference)",
+                  "block bytes checked vs ground truth every rep; "
+                  ".tap diffed vs reference binary)",
         "value": round(msps, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
+        "resident_msps": round(nsamples / best_res / 1e6, 3),
+        "kernel_path": kernel_path,
+        "fallback": fallback,
+        "oracle_tap": oracle_tap,
     }))
     return 0
 

@@ -125,7 +125,8 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                    maxb: int, max_slots: int,
                    stat_leftbin, stat_binwidth,
                    clk_ring: int = cm.CLKRATE_WINDOW,
-                   debug: bool = False, adj_init=None):
+                   debug: bool = False, adj_init=None,
+                   stream_writes: bool = False):
     """One parmset lane. trans_*: [T, K] admitted transitions per track
     (s_det ascending, BIG_S fill). Returns the per-track bit buffers and the
     block-result scalars.
@@ -267,6 +268,20 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             later = (~last_in) & (~prev_in) & (lastpeak > right)
             zero = (~last_in) & (~prev_in) & (~later)
 
+            lcb = I32(-1)
+            if stream_writes:
+                # DEBUG-build last_complete_byte (decode_nrzi.c:258,262
+                # under #define DEBUG true): the track loop leaves the
+                # value from the HIGHEST track with a peak in the window --
+                # datacount-1 after the dup deletion when the last peak is
+                # in, else datacount-2 when only the previous peak is.
+                # (Tracks on the "neither" branch never assign it.)
+                cand = last_in | prev_in
+                dc_postdup = jnp.where(dup, st["dc"] - 1, st["dc"])
+                idx_t = jnp.where(last_in, dc_postdup - 1, dc_postdup - 2)
+                hi_trk = (T - 1) - jnp.argmax(cand[::-1])
+                lcb = jnp.where(jnp.any(cand), idx_t[hi_trk], -1)
+
             dc = st["dc"]
             bits0 = st["bits0"]
             # dup: delete the extra appended 1
@@ -361,6 +376,10 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
             rec = dict(wr=jnp.stack(wr1 + wr2 + [i0, i1, i2], axis=-1),
                        hb=jnp.stack(hb1 + hb2, axis=-1),
                        fix_trk=fix_trk, fix_val=fix_val)
+            if stream_writes:
+                agc_now_s = jnp.where(
+                    k >= 1, trans_agc[trk, jnp.maximum(k - 1, 0)], 1.0)
+                rec.update(lcb=lcb, agc=agc_now_s, have=have)
             if debug:
                 # per-slot events for the -trace avgpos/zerchk lanes
                 rec.update(dbg_zc=jnp.minimum(s_z, S).astype(F32),
@@ -375,6 +394,9 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
                     hb=jnp.where(d, 50, rec["hb"]),
                     fix_trk=jnp.where(d, T, rec["fix_trk"]),
                     fix_val=rec["fix_val"])
+        if stream_writes:
+            rec2.update(lcb=jnp.where(d, -1, rec["lcb"]), agc=rec["agc"],
+                        have=jnp.where(d, False, rec["have"]))
         if debug:
             rec2.update(dbg_zc=jnp.where(d, F32(0.0), rec["dbg_zc"]),
                         dbg_avgpos=jnp.where(d, F32(0.0),
@@ -432,6 +454,13 @@ def nrzi_slot_scan(trans_s, trans_t, trans_agc, counts, S, spb,
         jnp.broadcast_to(trk[None, :, None], hb.shape), hb2].add(
             1, mode="drop")
     final["trksums"] = jnp.sum((hb <= 49).astype(I32), axis=(0, 2))
+    if stream_writes:
+        # the DEBUG-variant -correct host replay re-derives data[] slot by
+        # slot from these (pipeline._nrzi_correctdbg path)
+        final["rec_wr"] = recs["wr"]
+        final["rec_lcb"] = recs["lcb"]
+        final["rec_agc"] = recs["agc"]
+        final["rec_have"] = recs["have"]
     if debug:
         final["dbg_zc"] = recs["dbg_zc"]
         final["dbg_avgpos"] = recs["dbg_avgpos"]
@@ -528,3 +557,45 @@ def nrzi_finish(st, ntrks: int, expected_parity, revparity, maxb: int):
         hist=st["hist"], trksums=st["trksums"],
         consume_overflow=st["consume_overflow"],
     )
+
+
+def correct_debug_replay(wr, lcb, agc, have, T: int, maxb: int,
+                         expected_parity: int):
+    """Host replay of the DEBUG-build ``-correct`` chain
+    (decode_nrzi.c:232-314 compiled with ``#define DEBUG true``): the
+    parity check reads data[last_complete_byte] AT SLOT TIME, where
+    last_complete_byte is the index left by the highest track with a peak
+    in the zerocheck window -- so the data array must be rebuilt write by
+    write. Corrections feed back into later parity checks (a flipped bit
+    stays flipped unless a later write overwrites it), so this is a
+    sequential host pass over the streamed per-slot write records.
+
+    wr: [nsl, T, 9] int write indices (maxb = no write), ops in program
+    order with static values (1,1,1,1,1,1,0,1,0); lcb: [nsl]; agc: [nsl,
+    T]; have: [nsl] bool. Returns (bits [T, maxb] int8, corrected_bits,
+    faked_tracks)."""
+    op_val = np.asarray([1, 1, 1, 1, 1, 1, 0, 1, 0], np.int8)
+    bits = np.zeros((T, maxb + 1), np.int8)       # col maxb = drop target
+    trkr = np.arange(T)
+    corrected = 0
+    faked = 0
+    # past the last live slot nothing is written or checked
+    live = have | (wr < maxb).any(axis=(1, 2))
+    lastn = int(np.max(np.nonzero(live)[0])) + 1 if live.any() else 0
+    for n in range(lastn):
+        w = wr[n]
+        for j in range(9):
+            bits[trkr, np.minimum(w[:, j], maxb)] = op_val[j]
+        c = int(lcb[n])
+        if have[n] and 0 <= c < maxb:
+            if (int(bits[:T, c].sum()) & 1) != expected_parity:
+                a = agc[n]
+                b_i = int(np.argmax(a))
+                hi = float(a[b_i])
+                rest = np.delete(a, b_i)
+                next_hi = float(rest.max()) if rest.size else 0.0
+                if hi >= cm.NRZI_BADTRK_FACTOR * next_hi:
+                    bits[b_i, c] ^= 1
+                    corrected += 1
+                    faked |= 1 << (T - 1 - b_i)
+    return bits[:, :maxb], corrected, faked

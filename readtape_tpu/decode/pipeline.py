@@ -97,6 +97,10 @@ class DecodeOptions:
     multiple_tries: bool = True
     do_correct: bool = False
     do_correct2: bool = False     # extension: 2-track GCR erasure correction
+    # NRZI -correct with the reference's DEBUG-build parity-index semantics
+    # (decode_nrzi.c:258,262 under #define DEBUG true): the parity check
+    # reads data[last_complete_byte] at slot time instead of data[0]
+    do_correct_debug: bool = False
     expected_parity: int = 1          # 1 = odd (default), 0 = even
     revparity: int = 0
     invert: bool = False
@@ -189,7 +193,7 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                          stat_leftbin, stat_binwidth, *adj_init,
                          S, T, P, nsteps, K, maxb, max_slots,
                          Ws, do_correct, find_zeros, differentiate, spb_int,
-                         clk_ring=50, agc_ring=10):
+                         clk_ring=50, agc_ring=10, stream_writes=False):
     """v_i16: [T, S] int16 (S is the shared power-of-two bucket; only the
     first seg_len samples belong to this segment -- the rest is real tape
     past the block's idle point, which the reference never scans, so
@@ -239,7 +243,8 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
         return _nrzi_globals(finals, pa, spb, expected_parity, revparity,
                              do_correct, maxb, max_slots, T, S,
                              stat_leftbin, stat_binwidth, clk_ring,
-                             adj_init=adj_init or None)
+                             adj_init=adj_init or None,
+                             stream_writes=stream_writes)
     nxt = _mask_jump_table(
         _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
 
@@ -274,20 +279,37 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
     return _nrzi_globals(finals, pa, spb, expected_parity, revparity,
                          do_correct, maxb, max_slots, T, S,
                          stat_leftbin, stat_binwidth, clk_ring,
-                         adj_init=adj_init or None)
+                         adj_init=adj_init or None,
+                         stream_writes=stream_writes)
 
 
 def _nrzi_globals(finals, pa, spb, expected_parity, revparity, do_correct,
                   maxb, max_slots, T, S, stat_leftbin, stat_binwidth,
-                  clk_ring, adj_init=None):
+                  clk_ring, adj_init=None, stream_writes=False):
     """The per-parmset global slot scan over admitted transition lists
-    (shared by the peak and zero-crossing front ends)."""
+    (shared by the peak and zero-crossing front ends).
+
+    stream_writes: the -correct DEBUG-variant path -- return the scan's
+    raw per-slot write/check records plus the pre-finish state instead of
+    finished results; the host replays the parity/correction chain
+    (nrzi.correct_debug_replay) and re-finishes."""
     def global_lane(ts1, tt1, ta1, cnt1, cw, ca, padj, mb):
         st = nrzi_mod.nrzi_slot_scan(
             ts1, tt1, ta1, cnt1, S, spb, cw, ca, padj, mb,
             expected_parity, do_correct, maxb, max_slots,
             stat_leftbin, stat_binwidth, clk_ring=clk_ring,
-            adj_init=adj_init)
+            adj_init=adj_init, stream_writes=stream_writes)
+        if stream_writes:
+            r = {k: st[k] for k in
+                 ("dc", "kvis", "t_firstbit", "t_lastbit",
+                  "missed_midbits", "consume_overflow", "hist",
+                  "trksums", "rec_lcb", "rec_agc", "rec_have")}
+            r["rec_wr"] = (st["rec_wr"].astype(jnp.int16)
+                           if maxb < 32767 else st["rec_wr"])
+            r["counts"] = cnt1
+            r["end_s"] = st["end_s"]
+            r["unconsumed"] = jnp.sum(jnp.maximum(cnt1 - st["kvis"], 0))
+            return r
         r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
         # multi-block support: where the block ended and how many admitted
         # transitions remain unconsumed past it (a sub-min_gap gap means
@@ -524,7 +546,8 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
 @lru_cache(maxsize=None)
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 do_correct, do_correct2, find_zeros, differentiate, spb_int,
-                clk_ring, agc_ring, pallas_knobs=None, adjskew=False):
+                clk_ring, agc_ring, pallas_knobs=None, adjskew=False,
+                mesh_ver=0, correctdbg=False):
     """Cached jitted segment-batch decoder for one static configuration.
 
     The returned function takes (tape [T, N] int16, offsets [B] int32,
@@ -536,10 +559,12 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
     if mode == tb.MODE_NRZI:
         base = partial(_nrzi_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
-                       max_slots=max_slots, Ws=Ws, do_correct=do_correct,
+                       max_slots=max_slots, Ws=Ws,
+                       do_correct=do_correct and not correctdbg,
                        find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int,
-                       clk_ring=clk_ring, agc_ring=agc_ring)
+                       clk_ring=clk_ring, agc_ring=agc_ring,
+                       stream_writes=correctdbg)
         n_in = 13 if adjskew else 11    # +2: the -adjskew (n, mean) seeds
     elif mode == tb.MODE_PE:
         base = partial(_pe_segment_device,
@@ -596,16 +621,49 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
             lambda ol: _group(tape, ol[0], ol[1], ol[2], *args),
             (offsets, seg_lens, leads))
         ikeys, fkeys, bkeys = _categorize(res, B)
+        # P from a result field, not the static config: under a sharded
+        # parm axis each device sees its LOCAL parmset count ("end_s" for
+        # NRZI incl. the stream-writes mode, "blktype" otherwise)
+        anchor = "end_s" if "end_s" in res else "blktype"
+        Pdim = res[anchor].shape[2]
 
         def to_bp(x):
             return (x if x.ndim == 3
-                    else jnp.broadcast_to(x[:, :, None], (nb, B, P)))
+                    else jnp.broadcast_to(x[:, :, None], (nb, B, Pdim)))
         packed_i = jnp.stack(
             [to_bp(res[k].astype(jnp.int32)) for k in ikeys], axis=-1)
         packed_f = jnp.stack([to_bp(res[k]) for k in fkeys], axis=-1)
         return packed_i, packed_f, [res[k] for k in bkeys]
 
     compiled = jax.jit(run)
+
+    # multi-chip: shard the SEGMENT axis of the batch over the decode
+    # mesh's "data" axis (each device decodes its own blocks -- SURVEY.md
+    # §2's block parallelism), and, when every parmset shares one window
+    # width, the parmset axis over "parm". shard_map keeps the Mosaic
+    # kernels intact per device; the only collective is the output gather.
+    sharded, data_n = None, 1
+    from ..parallel import mesh as pmesh
+    mesh, _ = pmesh.get_decode_mesh()
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PS
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        data_n = axes.get("data", 1)
+        parm_n = axes.get("parm", 1)
+        shard_parm = (parm_n > 1 and len(set(Ws)) == 1 and P % parm_n == 0
+                      and pallas_knobs is None and not find_zeros
+                      and not adjskew)
+        if data_n > 1 or shard_parm:
+            dspec = PS(None, "data")
+            pa_spec = PS("parm") if shard_parm else PS()
+            in_specs = ((PS(), dspec, dspec, dspec)
+                        + (PS(),) * 3 + (pa_spec,)
+                        + (PS(),) * (n_in - 4))
+            out_specs = (PS(None, "data", "parm") if shard_parm
+                         else PS(None, "data"))
+            sharded = jax.jit(jax.shard_map(
+                run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False))
 
     def call(tape, offsets, seg_lens, leads, *args, fetch=True):
         """offsets, seg_lens: [nb, B] sub-batch groups. fetch=False
@@ -619,8 +677,10 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                     (o_, l_, ld_)),
                 tape, offsets, seg_lens, leads, *args)
             call.keys = _categorize(shaped, offsets.shape[1])
-        packed_i, packed_f, bigs = compiled(tape, offsets, seg_lens, leads,
-                                            *args)
+        fn_ = (sharded if sharded is not None
+               and offsets.shape[1] % data_n == 0 else compiled)
+        packed_i, packed_f, bigs = fn_(tape, offsets, seg_lens, leads,
+                                       *args)
 
         def materialize():
             pi, pf = np.asarray(packed_i), np.asarray(packed_f)
@@ -938,7 +998,7 @@ class TapeDecoder:
 
     def decode_segment_batch(self, spans, fetch=True, bucket=None,
                              nparms=None, window=None, parm_sel=None,
-                             adj_init=None):
+                             adj_init=None, correctdbg=False):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
@@ -976,6 +1036,19 @@ class TapeDecoder:
             pa = (self.pa if nparms == self.P else
                   jax.tree.map(lambda a: a[:nparms], self.pa))
         groups = spans if spans and isinstance(spans[0], list) else [spans]
+        # decode mesh: pad every sub-batch to a multiple of the mesh's
+        # "data" axis so the segment axis shards evenly (padding repeats
+        # the last span; callers index results by chunk position and never
+        # read the pad lanes)
+        from ..parallel import mesh as pmesh
+        mesh, mesh_ver = pmesh.get_decode_mesh()
+        if mesh is None:
+            mesh_ver = 0
+        else:
+            dn = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+            if dn > 1:
+                tgt = -(-max(len(g) for g in groups) // dn) * dn
+                groups = [list(g) + [g[-1]] * (tgt - len(g)) for g in groups]
         flat = [s for g in groups for s in g]
 
         def a0(a):
@@ -1025,6 +1098,7 @@ class TapeDecoder:
         pallas_knobs = None
         if (opts.mode == tb.MODE_NRZI and _pallas_enabled()
                 and not opts.find_zeros and adj_init is None
+                and not correctdbg
                 and S % 1024 == 0 and nparms <= 16
                 and 128 // (min(Ws) + 1) + 1 <= 32):
             track_knobs = tuple(
@@ -1050,7 +1124,8 @@ class TapeDecoder:
                          opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring,
                          pallas_knobs=pallas_knobs,
-                         adjskew=adj_init is not None)
+                         adjskew=adj_init is not None, mesh_ver=mesh_ver,
+                         correctdbg=correctdbg)
         args = [tape, offsets, seg_lens, leads, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
@@ -1341,10 +1416,15 @@ class TapeDecoder:
                            "please specify -bpi")
 
 
-def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None):
-    """Decode a whole tape. Returns (blocks, stats dict)."""
+def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None,
+                decoder: "TapeDecoder" = None):
+    """Decode a whole tape. Returns (blocks, stats dict).
+
+    decoder: reuse a pre-built TapeDecoder (device-resident tape) instead
+    of uploading `samples` -- the bench's HBM-resident throughput metric
+    times the decode alone this way."""
     if opts.mode in (tb.MODE_NRZI, tb.MODE_PE, tb.MODE_GCR):
-        return _decode_tape_nrzi_like(samples, opts, log)
+        return _decode_tape_nrzi_like(samples, opts, log, decoder)
     if opts.mode == tb.MODE_WW:
         return _decode_tape_ww(samples, opts, log)
     raise NotImplementedError(f"mode {opts.mode}")
@@ -1656,8 +1736,65 @@ def gcr_parmscan(dec, span, log, combos=None):
         opts.parmsets, dec.pa, dec.P = saved
 
 
-def _decode_tape_nrzi_like(samples, opts, log):
-    dec = TapeDecoder(samples, opts)
+@lru_cache(maxsize=None)
+def _correctdbg_finish_fn(T, maxb):
+    """Finish a batch of parmset lanes from host-replayed bit buffers
+    (the -correct DEBUG-variant second device call)."""
+    def fin(dc, kvis, tf, tl, mm, hist, trksums, covf, bits, corrected,
+            faked, counts, end_s, expected_parity, revparity):
+        def lane(dc1, kv1, tf1, tl1, mm1, h1, ts1, co1, b1, cb1, fk1,
+                 cnt1, es1):
+            st = dict(dc=dc1, kvis=kv1, t_firstbit=tf1, t_lastbit=tl1,
+                      missed_midbits=mm1, hist=h1, trksums=ts1,
+                      consume_overflow=co1, bits=b1, corrected_bits=cb1,
+                      faked_tracks=fk1)
+            r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity,
+                                     maxb)
+            r["end_s"] = es1
+            r["unconsumed"] = jnp.sum(jnp.maximum(cnt1 - kv1, 0))
+            return r
+        return jax.vmap(lane)(dc, kvis, tf, tl, mm, hist, trksums, covf,
+                              bits, corrected, faked, counts, end_s)
+    return jax.jit(fin)
+
+
+def _nrzi_correctdbg_segment(dec, a, b, S):
+    """One segment under the -correct DEBUG-variant semantics: device
+    slot scan streaming per-slot write/check records -> host replay of
+    the parity/correction chain per parmset lane -> device finish."""
+    opts = dec.opts
+    res = dec.decode_segment_batch([(a, b)], bucket=S, correctdbg=True)
+    res = {k: v[0, 0] for k, v in res.items()}          # [P, ...]
+    P = res["end_s"].shape[0]
+    T = opts.ntrks
+    maxb = int(S / opts.spb * 1.3) + 64   # same formula as the batch call
+    bits_l, corr_l, fak_l = [], [], []
+    for p in range(P):
+        bits, corr, fak = nrzi_mod.correct_debug_replay(
+            res["rec_wr"][p].astype(np.int32), res["rec_lcb"][p],
+            res["rec_agc"][p], res["rec_have"][p], T, maxb,
+            opts.expected_parity)
+        bits_l.append(bits)
+        corr_l.append(corr)
+        fak_l.append(fak)
+    fin = _correctdbg_finish_fn(T, maxb)(
+        jnp.asarray(res["dc"]), jnp.asarray(res["kvis"]),
+        jnp.asarray(res["t_firstbit"]), jnp.asarray(res["t_lastbit"]),
+        jnp.asarray(res["missed_midbits"]), jnp.asarray(res["hist"]),
+        jnp.asarray(res["trksums"]),
+        jnp.asarray(res["consume_overflow"].astype(bool)),
+        jnp.asarray(np.stack(bits_l)), jnp.asarray(corr_l, I32),
+        jnp.asarray(fak_l, I32), jnp.asarray(res["counts"]),
+        jnp.asarray(res["end_s"]), jnp.int32(opts.expected_parity),
+        jnp.int32(opts.revparity))
+    out = {k: np.asarray(v) for k, v in fin.items()}
+    for k in ("alltrk_max_agc", "alltrk_min_agc", "event_overflow"):
+        out[k] = res[k]
+    return out
+
+
+def _decode_tape_nrzi_like(samples, opts, log, decoder=None):
+    dec = decoder if decoder is not None else TapeDecoder(samples, opts)
     segs = dec.segments()
     stats = dict(nblocks=0, ntapemarks=0, nerrblocks=0, nwarnblocks=0,
                  nunusable=0, nmismatched=0, nmidbiterr=0, ncorrected=0,
@@ -1700,11 +1837,12 @@ def _decode_tape_nrzi_like(samples, opts, log):
     unified = opts.mode == tb.MODE_NRZI and maxbkt <= 65536
     if unified:
         buckets = [maxbkt] * len(buckets)
-    # batches cap at 8 segments by default: larger batched while-loops
-    # miscompile on some TPU runtime/compiler stacks (lane corruption
-    # observed at B=16 on a v5e remote-compile setup), and 8 already
-    # amortizes the scans; override with READTAPE_MAX_BATCH
-    max_batch_elems = int(os.environ.get("READTAPE_MAX_BATCH", "8")) * 32768
+    # batch cap: round-1's batched-while version corrupted whole lanes at
+    # B=16 on the v5e; the current scan-with-outputs + Mosaic-kernel path
+    # was re-proven bit-exact at B=16 and B=32 on hardware (round 3,
+    # scripts/batch_exact.py), and B=16 measured fastest end-to-end.
+    # Override with READTAPE_MAX_BATCH.
+    max_batch_elems = int(os.environ.get("READTAPE_MAX_BATCH", "16")) * 32768
 
     def dispatch(indices, nparms):
         """Async-dispatch a set of segments; returns [(chunk, thunk)]."""
@@ -1907,6 +2045,37 @@ def _decode_tape_nrzi_like(samples, opts, log):
                         seg.bucket_length(b - max(a_rem - SEG_WARMUP, 0)))
                     results.append(None)
                     worklist.insert(k, j)
+    elif (opts.mode == tb.MODE_NRZI and opts.do_correct_debug
+          and not opts.find_zeros):
+        # -correct under DEBUG-build semantics: device scan -> host
+        # parity/correction replay -> device finish, one segment at a time
+        # (the host replay is sequential by nature; this is an opt-in
+        # recovery mode, not the throughput path)
+        ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
+        worklist = order[:]
+        order = []
+        k = 0
+        while k < len(worklist):
+            i = worklist[k]
+            k += 1
+            a, b = segs[i]
+            res = _nrzi_correctdbg_segment(dec, a, b, buckets[i])
+            results[i] = res
+            order.append(i)
+            p, _t = pick_best(res, len(res["blktype"]),
+                              opts.multiple_tries, opts.mode)
+            bt = int(res["blktype"][p])
+            if int(res["unconsumed"][p]) > 0 and bt != nrzi_mod.BS_NONE:
+                a0_ = max(a - SEG_WARMUP, 0)
+                a_rem = a0_ + int(res["end_s"][p]) + ibg_blank
+                if a < a_rem < b - 4:
+                    j = len(segs)
+                    segs.append((a_rem, b))
+                    buckets.append(
+                        maxbkt if unified else
+                        seg.bucket_length(b - max(a_rem - SEG_WARMUP, 0)))
+                    results.append(None)
+                    worklist.insert(k, j)
     elif opts.mode == tb.MODE_NRZI and opts.find_zeros:
         # -zeros NRZI decodes as a SEQUENTIAL per-block chain, exactly
         # readtape.c:1720-1882: the zero-crossing extremum carries
@@ -1971,7 +2140,8 @@ def _decode_tape_nrzi_like(samples, opts, log):
     # reference's interblock blanking (decode_nrzi.c:112), exactly the
     # per-block re-entry of readtape.c:1720-1882. (The -adjskew driver
     # carves its remainders inline, sequentially.)
-    if opts.mode == tb.MODE_NRZI and not opts.find_zeros and not adjskew_seq:
+    if (opts.mode == tb.MODE_NRZI and not opts.find_zeros
+            and not adjskew_seq and not opts.do_correct_debug):
         ibg_blank = int(cm.NRZI_IBG_SECS / opts.deltat)
         frontier = order[:]
         # each round carves at most ONE remainder per chain, so a merged

@@ -374,3 +374,70 @@ def test_cli_peakstats_identical_nrzi_pe(oracle, tmp_path):
         ref_ps = (tmp_path / "ref" / f"{name}.peakstats.csv").read_bytes()
         ours_ps = (tmp_path / "ours" / f"{name}.peakstats.csv").read_bytes()
         assert ref_ps == ours_ps, name
+
+
+DEBUG_DIR = "/tmp/oracle_debug"
+
+
+def _build_debug_oracle():
+    """The reference binary compiled with #define DEBUG true: the only
+    semantic difference is -correct's parity-check index
+    (decode_nrzi.c:258,262 set last_complete_byte; the release build
+    leaves it 0)."""
+    import shutil
+    exe = os.path.join(DEBUG_DIR, "readtape")
+    if os.path.exists(exe):
+        return exe
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        return None
+    os.makedirs(DEBUG_DIR, exist_ok=True)
+    for name in os.listdir(ref_src):
+        shutil.copy(os.path.join(ref_src, name), DEBUG_DIR)
+    hdr = os.path.join(DEBUG_DIR, "decoder.h")
+    src = open(hdr).read()
+    assert "#define DEBUG false" in src
+    src = src.replace("#define DEBUG false", "#define DEBUG true")
+    # keep the DEBUG build from also writing a trace spreadsheet
+    src = src.replace("#define TRACEFILE (true & DEBUG)",
+                      "#define TRACEFILE false")
+    open(hdr, "w").write(src)
+    r = subprocess.run(["make"], cwd=DEBUG_DIR, capture_output=True,
+                       timeout=300)
+    return exe if r.returncode == 0 and os.path.exists(exe) else None
+
+
+def test_cli_nrzi_correctdbg_tap_identical(tmp_path):
+    """-correctdbg: the DEBUG-build variant of NRZI -correct, whose parity
+    check reads data[last_complete_byte] at slot time
+    (decode_nrzi.c:116-140, 258-302 with DEBUG). Diffed against an oracle
+    binary actually built with #define DEBUG true."""
+    import pytest
+    oracle = _build_debug_oracle()
+    if oracle is None:
+        pytest.skip("DEBUG reference oracle could not be built")
+    rng = np.random.default_rng(67)
+    blocks = [bytes(rng.integers(0, 256, 150, dtype=np.uint8))
+              for _ in range(3)]
+    spec = default_spec(tb.MODE_NRZI, noise_rms=0.04, amp_jitter=0.08)
+    hdr, samples = synthesize_tape(spec, [("block", b) for b in blocks])
+    tb.write_tbin(str(tmp_path / "cd.tbin"), hdr, samples)
+    (tmp_path / "ref").mkdir()
+    (tmp_path / "ours").mkdir()
+    args = ["-v", "-m", "-nrzi", "-bpi=800", "-ips=50", "-tap"]
+    r1 = subprocess.run([oracle] + args + ["-correct", "-outp=ref/",
+                                           "cd.tbin"],
+                        cwd=tmp_path, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "readtape")] + args +
+        ["-correctdbg", "-outp=ours/", "cd.tbin"],
+        cwd=tmp_path, capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert (tmp_path / "ref" / "cd.tap").read_bytes() == \
+        (tmp_path / "ours" / "cd.tap").read_bytes()
+    # the per-block decisions (tries/parmset/errors) must agree too
+    import re
+    pat = re.compile(r"wrote block.*parmset \d+")
+    assert pat.findall(r1.stdout) == pat.findall(r2.stdout)
