@@ -533,14 +533,58 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     wr = jnp.concatenate([wr1, wr2, i0[:, :, None], i1[:, :, None],
                           i2[:, :, None]], axis=2)              # [nsl, T, 9]
 
-    # ---- replay (same key scheme as nrzi.nrzi_slot_scan) ----
+    # ---- replay without last-writer keys ----
+    # The scatter-max replay (key = (slot*16+op)*2+val over all 9 write
+    # ops) costs ~14 ns/update on the v5e; its entry count dominates the
+    # reconstruct. But the final bit at interior positions needs no key
+    # resolution at all: consume/op7 1-writes at a position always come
+    # BEFORE any zerocheck 0-write there (future consume ranges start at
+    # dc >= dcb > the zeroed index), so
+    #     bits[m] = covered_by_a_1_range(m) AND NOT zero_marked(m).
+    # Coverage is a prefix-max: scatter end-of-range at start-of-range,
+    # cummax along m, covered iff running end > m. Only 4 scatter
+    # columns per (slot, track) instead of 9. The two positions where
+    # index CLAMPING can break the no-later-1-write argument (0, from
+    # max(dca-1, 0); maxb-1, from min(., maxb-1)) are fixed up exactly
+    # with the original max-key rule via two cheap reductions over wr.
+    m1 = jnp.minimum(n1, 3)
+    m2 = jnp.minimum(n2, 3)
+    s2w = dc_b4 + n1
+    hole1 = n1 > 3                     # round-1 write cap leaves a hole
+    # col A: merged round-1+2 range when contiguous, else round 1 only
+    stA = jnp.where((m1 + m2) > 0, dc_b4, maxb)
+    enA = jnp.where(hole1, dc_b4 + m1, s2w + m2)
+    # col B: round-2 range when a hole separates it from round 1
+    stB = jnp.where(hole1 & (m2 > 0), s2w, maxb)
+    enB = s2w + m2
+    # col C: op7 (the "later" re-write at dca, val 1)
+    stC = jnp.where(later, dca, maxb)
+    enC = dca + 1
+    covst = jnp.clip(jnp.stack([stA, stB, stC], axis=-1), 0, maxb)
+    coven = jnp.stack([enA, enB, enC], axis=-1)
+    ti2 = trk[:, None]
+    cov = jnp.full((T, maxb + 1), -1, I32).at[
+        ti2, covst.transpose(1, 0, 2).reshape(T, nsl * 3)].max(
+        coven.transpose(1, 0, 2).reshape(T, nsl * 3), mode="drop")
+    mm = jnp.arange(maxb, dtype=I32)
+    covered = jax.lax.cummax(cov[:, :maxb], axis=1) > mm[None, :]
+    # zero marks: op6 (later) and op8 (zero) are mutually exclusive
+    zidx = jnp.where(later, jnp.maximum(dca - 1, 0),
+                     jnp.where(zero, dcb, maxb))
+    zz = jnp.zeros((T, maxb + 1), I32).at[
+        ti2, jnp.clip(zidx, 0, maxb).T].max(1, mode="drop")
+    bits = (covered & (zz[:, :maxb] == 0)).astype(jnp.int8)
+
+    # exact fixup at the clamp-collision positions via the key rule
     op_val = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 1, 0], I32)
     key = ((slot_i[:, None, None] * 16 + jnp.arange(9, dtype=I32)) * 2
-           + op_val)
-    trkb = jnp.broadcast_to(trk[None, :, None], (nsl, T, 9))
-    packed = jnp.full((T, maxb), -1, I32).at[trkb, wr].max(
-        jnp.broadcast_to(key, (nsl, T, 9)), mode="drop")
-    bits = jnp.where(packed >= 0, packed & 1, 0).astype(jnp.int8)
+           + op_val)                                            # [nsl,1,9]
+    k0 = jnp.max(jnp.where(wr == 0, key, -1), axis=(0, 2))      # [T]
+    kL = jnp.max(jnp.where(wr == maxb - 1, key, -1), axis=(0, 2))
+    bits = bits.at[:, 0].set(
+        jnp.where(k0 >= 0, (k0 & 1), 0).astype(jnp.int8))
+    bits = bits.at[:, maxb - 1].set(
+        jnp.where(kL >= 0, (kL & 1), 0).astype(jnp.int8))
 
     # dense one-hot reduction instead of scatter-add: TPU scatters cost
     # ~14 ns/update (measured), the 51-bin compare+sum is ~3.4x faster
