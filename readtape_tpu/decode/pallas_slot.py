@@ -474,20 +474,47 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     kvis_b4 = jnp.cumsum(ncons, axis=0) - ncons                # [nsl, T]
     kvis_fin = kvis_b4[-1] + ncons[-1] if nsl else jnp.zeros(T, I32)
 
-    # dc evolution (appends then zerocheck adjustments)
-    delta = ncons - dup.astype(I32) + later.astype(I32) + zero.astype(I32)
-    dc_b4 = jnp.cumsum(delta, axis=0) - delta
-    dc_fin = dc_b4[-1] + delta[-1]
-    dca = dc_b4 + ncons - dup.astype(I32)      # after consumes + dup delete
+    # dc evolution. The XLA scan CLAMPS at every sub-update
+    # (nrzi.py: dc = min(dc + n_new, maxb) per consume round, the dup
+    # delete, then min(dc + 1, maxb) for later/zero), so a plain cumsum
+    # diverges once any track overflows maxb. Each slot's net effect is
+    # an affine-min map x -> min(x + a, b) (composition of clamped adds:
+    # (a1,b1)∘(a2,b2) = (a1+a2, min(b1+a2, b2))), so the exact clamped
+    # dc comes from one associative scan over slots.
+    dupi = dup.astype(I32)
+    lati = later.astype(I32)
+    zeri = zero.astype(I32)
+    # within-slot composition: consume n1 (clamp maxb), consume n2
+    # (clamp), dup -1 (no clamp), later +1 (clamp), zero +1 (clamp)
+    a_slot = ncons - dupi + lati + zeri
+    b_slot = jnp.minimum(maxb - dupi + lati, maxb) + zeri
+    b_slot = jnp.minimum(b_slot, maxb)
+
+    def _amin_compose(f, g):
+        # apply f THEN g (scan runs in slot order)
+        return (f[0] + g[0], jnp.minimum(f[1] + g[0], g[1]))
+
+    pa_, pb_ = jax.lax.associative_scan(
+        _amin_compose, (a_slot, b_slot), axis=0)
+    dc_after = jnp.minimum(pa_, pb_)           # dc entering slot i+1
+    dc_b4 = jnp.concatenate(
+        [jnp.zeros((1, T), I32), dc_after[:-1]], axis=0)
+    dc_fin = dc_after[-1] if nsl else jnp.zeros(T, I32)
+    dc1c = jnp.minimum(dc_b4 + n1, maxb)       # after consume round 1
+    dc2c = jnp.minimum(dc1c + n2, maxb)        # after consume round 2
+    dca = dc2c - dupi                          # after the dup delete
 
     # ---- consume write indices (ops 0..5) and peak-stat buckets ----
     # counts advance kvis/dc by up to 4, but only 3 positions get writes
-    # and peak stats (the XLA consume's wr/hb loops run j in range(3))
+    # and peak stats (the XLA consume's wr/hb loops run j in range(3));
+    # writes clamp to maxb-1 exactly like the scan's min(dc + j, maxb-1)
     j3 = jnp.arange(3)[None, None, :]
     has1 = j3 < jnp.minimum(n1, 3)[:, :, None]                  # [nsl, T, 3]
     has2 = j3 < jnp.minimum(n2, 3)[:, :, None]
-    wr1 = jnp.where(has1, dc_b4[:, :, None] + j3, maxb)
-    wr2 = jnp.where(has2, dc_b4[:, :, None] + n1[:, :, None] + j3, maxb)
+    wr1 = jnp.where(has1, jnp.minimum(dc_b4[:, :, None] + j3, maxb - 1),
+                    maxb)
+    wr2 = jnp.where(has2, jnp.minimum(dc1c[:, :, None] + j3, maxb - 1),
+                    maxb)
 
     post0 = stream[:, L_POST0]
     stat_ok = post0 == 0.0
@@ -527,7 +554,7 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     # ---- zerocheck write indices (ops 6..8) ----
     i0 = jnp.where(later, jnp.maximum(dca - 1, 0), maxb)
     i1 = jnp.where(later, jnp.minimum(dca, maxb - 1), maxb)
-    dcb = dca + later.astype(I32)
+    dcb = jnp.minimum(dca + lati, maxb)
     i2 = jnp.where(zero, jnp.minimum(dcb, maxb - 1), maxb)
 
     wr = jnp.concatenate([wr1, wr2, i0[:, :, None], i1[:, :, None],
@@ -545,11 +572,12 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     # cummax along m, covered iff running end > m. Only 4 scatter
     # columns per (slot, track) instead of 9. The two positions where
     # index CLAMPING can break the no-later-1-write argument (0, from
-    # max(dca-1, 0); maxb-1, from min(., maxb-1)) are fixed up exactly
-    # with the original max-key rule via two cheap reductions over wr.
+    # max(dca-1, 0); maxb-1, where every overflowing write of either
+    # value piles up via min(., maxb-1)) are fixed up exactly with the
+    # original max-key rule via two cheap reductions over wr.
     m1 = jnp.minimum(n1, 3)
     m2 = jnp.minimum(n2, 3)
-    s2w = dc_b4 + n1
+    s2w = dc1c                         # round-2 writes start here (clamped)
     hole1 = n1 > 3                     # round-1 write cap leaves a hole
     # col A: merged round-1+2 range when contiguous, else round 1 only
     stA = jnp.where((m1 + m2) > 0, dc_b4, maxb)
@@ -628,7 +656,7 @@ def slot_stream_reconstruct(stream, tb, scal, *,
     tj_first = jnp.where(jnp.minimum(n1, 3) > 0, tj1[:, :, 0],
                          tj2[:, :, 0])
     zlike = later | zero
-    first_z = zlike & ((dc_b4 + ncons - dup.astype(I32)) == 0)
+    first_z = zlike & (dca == 0)
     t_first_slot = jnp.where(first_c, tj_first,
                              jnp.where(first_z, tz[:, None], BIG_S))
     first_slot = jnp.argmin(

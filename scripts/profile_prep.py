@@ -4,10 +4,11 @@ features) at bench shapes on the real TPU.
 
     python scripts/profile_prep.py [B] [S]
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -127,3 +127,123 @@ def test_slot_kernel_matches_xla(nblocks, ibg, ntrks):
             bool(r["consume_overflow"]), msg
         assert int(got["end_s"]) == int(r["end_s"]), msg
         assert r["dc"].max() > 100, "segment decoded too little"
+
+
+# ---------------------------------------------------------------------------
+# Handcrafted-stream reconstruct fuzz (ADVICE r3): drive the coverage/clamp
+# branches (n1=4 holes, dc overflow piling writes on maxb-1, later/zero at
+# dca 0) that synthesized tapes rarely reach, and check bits/dc/kvis against
+# a direct replay of the XLA scan's write semantics (nrzi.py consume +
+# zerocheck index arithmetic, clamps included).
+# ---------------------------------------------------------------------------
+
+def _replay_bits(n1, n2, act, T, maxb):
+    """Sequential replay of the scan's bit-buffer writes (indices only;
+    values are static per op: consume/later-reinsert write 1, zerocheck
+    writes 0)."""
+    nsl = n1.shape[0]
+    bits = np.zeros((T, maxb), np.int8)
+    dc = np.zeros(T, np.int64)
+    kvis = np.zeros(T, np.int64)
+    for i in range(nsl):
+        for t in range(T):
+            for nn in (n1[i, t], n2[i, t]):
+                for j in range(min(nn, 3)):
+                    bits[t, min(dc[t] + j, maxb - 1)] = 1
+                dc[t] = min(dc[t] + nn, maxb)
+                kvis[t] += nn
+            a = act[i, t]
+            if a == 1:                        # dup: delete the extra 1
+                dc[t] -= 1
+            elif a == 2:                      # later: insert 0 before the 1
+                bits[t, max(dc[t] - 1, 0)] = 0
+                bits[t, min(dc[t], maxb - 1)] = 1
+                dc[t] = min(dc[t] + 1, maxb)
+            elif a == 3:                      # zero: append a 0
+                bits[t, min(dc[t], maxb - 1)] = 0
+                dc[t] = min(dc[t] + 1, maxb)
+    return bits, dc, kvis
+
+
+def _reconstruct_from(n1, n2, act, T, S, maxb):
+    """Pack handcrafted per-slot fields into the kernel's stream/tb layout
+    and run slot_stream_reconstruct."""
+    nsl = n1.shape[0]
+    assert nsl % psl.CH == 0
+    nch = nsl // psl.CH
+    tbt = np.zeros((nsl, 16, psl.F), np.float32)
+    tbt[:, :T, psl.TB_N1] = n1
+    tbt[:, :T, psl.TB_N2] = n2
+    tbt[:, :T, psl.TB_ACT] = act
+    for j in range(3):
+        tj = np.arange(nsl, dtype=np.float32)[:, None] * 10 + j
+        tbt[:, :T, psl.TB_TJ10 + j] = np.where(j < np.minimum(n1, 3), tj, 0)
+        tbt[:, :T, psl.TB_TJ20 + j] = np.where(j < np.minimum(n2, 3),
+                                               tj + 5, 0)
+    tbt[:, :T, psl.TB_LP] = np.arange(nsl, dtype=np.float32)[:, None] + 0.5
+    tb_ = (tbt.reshape(nch, psl.CH, 16, psl.F).transpose(0, 2, 1, 3)
+           .reshape(nch, 16, psl.CH * psl.F))
+    stream = np.zeros((nsl, 128), np.float32)
+    stream[:, psl.L_POST0] = 1.0          # post area: no stat recording
+    stream[:, psl.L_B0] = 19.0
+    stream[:, psl.L_TLC2] = np.arange(nsl, dtype=np.float32) * 10
+    live = np.float32(psl.F_LIVE)
+    stream[:, psl.L_FLAGS] = live
+    scal = np.zeros(128, np.float32)
+    scal[2] = S
+    got = psl.slot_stream_reconstruct(
+        jnp.asarray(stream), jnp.asarray(tb_), jnp.asarray(scal),
+        T=T, S=S, maxb=maxb, spb=19.0,
+        stat_leftbin=jnp.float32(0.0), stat_binwidth=jnp.float32(1.0))
+    return {k: np.asarray(v) for k, v in got.items()}
+
+
+def test_reconstruct_handcrafted_branches():
+    """Directed cases: n1=4 hole, later at dca=0, zero at dca=0, write
+    pile-up at maxb-1 (dc overflow), later/zero during overflow."""
+    T, S, maxb = 3, 4096, 8
+    nsl = 16
+    cases = [
+        # (slot, track, n1, n2, act)
+        (0, 0, 4, 0, 0),      # hole: 4 seen, only 3 written
+        (1, 0, 4, 2, 0),      # hole then round 2 past the hole
+        (0, 1, 0, 0, 2),      # later at dca=0 (i0 clamps to 0)
+        (0, 2, 0, 0, 3),      # zero at dca=0
+        (2, 0, 4, 4, 0),      # dc hits 11 -> clamp to maxb=8
+        (3, 0, 3, 0, 2),      # later during overflow (writes at maxb-1)
+        (4, 0, 0, 0, 3),      # zero during overflow
+        (5, 0, 2, 0, 1),      # dup after overflow (dc back below maxb)
+        (6, 0, 1, 0, 3),
+    ]
+    n1 = np.zeros((nsl, T), np.int64)
+    n2 = np.zeros((nsl, T), np.int64)
+    act = np.zeros((nsl, T), np.int64)
+    for s, t, a, b, c in cases:
+        n1[s, t], n2[s, t], act[s, t] = a, b, c
+    got = _reconstruct_from(n1, n2, act, T, S, maxb)
+    bits, dc, kvis = _replay_bits(n1, n2, act, T, maxb)
+    np.testing.assert_array_equal(got["bits"], bits)
+    np.testing.assert_array_equal(got["dc"], dc)
+    np.testing.assert_array_equal(got["kvis"], kvis)
+
+
+def test_reconstruct_fuzz_vs_replay():
+    """Randomized slot streams with a tiny maxb so clamps fire constantly;
+    dup only ever follows an append (the kernel's invariant)."""
+    rng = np.random.default_rng(42)
+    T, S = 5, 4096
+    for maxb in (6, 10, 17):
+        for trial in range(8):
+            nsl = 24
+            n1 = rng.integers(0, 5, (nsl, T))
+            n2 = np.where(rng.random((nsl, T)) < 0.4,
+                          rng.integers(0, 5, (nsl, T)), 0)
+            act = rng.integers(0, 4, (nsl, T))
+            # dup needs a preceding append in the same slot
+            act = np.where((act == 1) & (n1 + n2 == 0), 0, act)
+            got = _reconstruct_from(n1, n2, act, T, S, maxb)
+            bits, dc, kvis = _replay_bits(n1, n2, act, T, maxb)
+            msg = f"maxb={maxb} trial={trial}"
+            np.testing.assert_array_equal(got["bits"], bits, err_msg=msg)
+            np.testing.assert_array_equal(got["dc"], dc, err_msg=msg)
+            np.testing.assert_array_equal(got["kvis"], kvis, err_msg=msg)
