@@ -1,0 +1,999 @@
+"""Fused Mosaic kernel for NRZI: window features + peak admission + the
+global bit-slot scan + bit/statistic accumulation in ONE tape sweep.
+
+Round-3 measurements showed the three-stage Pallas pipeline (admission
+kernel -> XLA compaction -> slot kernel -> XLA reconstruct) spends more
+than half its time in the XLA glue and the intermediate HBM streams
+(~620 MB per 16-segment batch: the [B,P,R,16,128] admission record
+plane, the [B,P,T,Kp] transition regather, and the per-slot
+stream/track-block outputs). This kernel removes all of it:
+
+  grid = (B*P, S/1024); each step reads 1024 samples of volts per track,
+
+  1. computes the 10 per-position window features IN-KERNEL via
+     lane-roll sparse-table doubling over a (prev row, cur row) pair
+     (replacing the XLA feature precompute and its 14 MB/segment pack),
+  2. runs the admission commit loop (same formulation as
+     pallas_scan._row_commit, validated bit-exact against the XLA jump
+     scan) and appends admitted transitions to per-track VMEM rings,
+  3. advances the global slot machine (same formulation as
+     pallas_slot._kernel) over every bit slot whose consume boundary
+     falls inside the swept samples -- admission and slot decoding are
+     one-way coupled (slots only read transitions with s_det < s_z,
+     all of which are already in the rings; see the boundary proof in
+     _slot_iteration), and
+  4. accumulates the per-track BIT BUFFERS, peak-statistics histogram,
+     first/last bit times and all block scalars in VMEM, so the XLA
+     side goes straight to nrzi_finish -- no stream reconstruction.
+
+Semantics are decoder.c:751-810 (admission), decode_nrzi.c:86-314
+(slot consume/zerocheck incl. -correct's release-binary AGC-keyed flip,
+decode_nrzi.c:116-140), validated bit-exact against the XLA scans
+(tests/test_pallas_fused.py).
+
+Mosaic-on-v5e constraints (inherited from rounds 1-3): state in VMEM
+scratch (no loop-carried vectors), no bool-branch selects, no
+sub-(8,128) blocked inputs, scalars for pl.when from full reduces,
+knob constants rebuilt from iota + selects (no captured arrays).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import common as cm
+from .common import F32, I32
+
+RB = 8                       # 128-sample rows per grid step
+NEG = np.float32(-1e30)
+NEGF = np.float32(-3.0e38)   # stage1.NEG (loose-candidate fill)
+POSF = np.float32(3.0e38)
+BIG_S = np.float32(2 ** 30)
+
+# ---- meta input lanes ([B, 16, 128] f32, lane-replicated rows) ----
+M_SEGLEN, M_LEAD, M_STATLB, M_STATBW, M_EXPPAR = range(5)
+M_RISEF, M_MINF = 5, 6       # per-track floors: value at (row=track, lane)
+
+# ---- final-scalars output lanes ([B*P, 16, 128]) ----
+(L_NADM, L_MAXAGC, L_MINAGC, L_INCOMP, L_KVIS, L_DC, L_TFIRST, L_TLAST,
+ L_TRKSUM, L_FAKED, L_ENDED, L_CONSOVF, L_ENDS, L_MISSMID, L_NSLOT,
+ L_CORR, L_BAIL) = range(17)
+
+# ---- SMEM scalar slots (f32) ----
+(SM_TLC, SM_TLM, SM_POST, SM_AVG, SM_BITNDX, SM_DONE, SM_OVF, SM_ENDED,
+ SM_ENDS, SM_NSLOT, SM_STARTED, SM_MISSMID, SM_CORR, SM_BAIL,
+ SM_BITBASE, SM_AWORK) = range(16)
+N_SM = 16
+
+RING = 256                   # per-track transition ring entries (2 blocks)
+
+# ---- VMEM state rows (each a [16, 128] block unless noted) ----
+# admission state (pallas_scan.F_FIELDS order + AGC ring rows appended)
+ADM_FIELDS = ("blind", "v_top", "v_bot", "n_adm", "agc", "vah", "vah_sum",
+              "vah_cnt", "hndx", "max_agc", "min_agc", "v_lasttop",
+              "v_lastbot", "peakcount", "overflow")
+
+
+def _fused_layout(agc_ring: int):
+    """Row offsets into the VMEM state scratch."""
+    off = {}
+    n = 0
+
+    def alloc(name, rows=16):
+        nonlocal n
+        off[name] = n
+        n += rows
+        return off[name]
+
+    for f in ADM_FIELDS:
+        alloc(f"adm_{f}")
+    for k in range(agc_ring):
+        alloc(f"admring_{k}")
+    alloc("elig")                 # carried eligibility (saves a recompute)
+    alloc("rs0"); alloc("rs1")    # transition ring: s_det (2 blocks)
+    alloc("rt0"); alloc("rt1")    # t_peak
+    alloc("ra0"); alloc("ra1")    # agc_after
+    alloc("kv")                   # slot consume counts (lane-replicated)
+    alloc("dc")                   # per-track bit count (lane-replicated)
+    alloc("lp"); alloc("pv")      # last / previous consumed peak time
+    alloc("bw0"); alloc("bw1")    # rolling bit window (2 blocks)
+    alloc("bits0")                # running bit column 0 (for -correct)
+    alloc("tfirst"); alloc("tlast")
+    alloc("trksum")
+    alloc("faked")
+    alloc("vmarg")                # previous row's volts (feature margin)
+    alloc("firstk")               # first-transition track one-hot column
+    alloc("col0v")                # the segment's first sample per track
+    alloc("clkring", 1)           # clock ring, lane vector [1, 128]
+    alloc("misc", 1)              # cross-pl.when scalar staging [1, 128]
+    return off, n
+
+
+# ---------------------------------------------------------------------------
+# in-kernel window features (replaces trackscan.precompute_window_features)
+# ---------------------------------------------------------------------------
+
+def _row_features(vprev, vcur, vnext0, W: int, *, first_row, seg_end_col,
+                  col0_v):
+    """Features for the 128 positions of vcur given the previous row.
+
+    vprev/vcur: [16, 128]; vnext0: [16, 1] (first sample of the next row,
+    for the nextmax/nextmin neighbor of a window extremum at the current
+    sample). first_row: python bool-ish traced scalar -- at the segment's
+    first row the trailing window is PARTIAL (fills: -inf/+inf values,
+    0.0 neighbors, like stage1.window_minmax / precompute's shifts).
+    seg_end_col: [16, 128] bool, col == S-1 (vnext fill 0.0 there).
+    col0_v: [16, 1] the segment's first sample (v_left clamp for s < W-1).
+
+    Returns the 10 feature blocks of pallas_scan's contract, [16, 128]
+    each, plus (wmax, wmin, v_left) for the loose candidacy test."""
+    cat_v = jnp.concatenate([vprev, vcur], axis=1)          # [16, 256]
+    colc = jax.lax.broadcasted_iota(I32, (16, 256), 1)
+
+    # neighbor-value base arrays (precompute: vprev/vnext shifts, 0.0 fill)
+    vm1 = pltpu.roll(cat_v, 1, 1)
+    vm1 = jnp.where(colc == 0, 0.0, vm1)          # unused for outputs
+    vp1 = pltpu.roll(cat_v, 255, 1)
+    vp1 = jnp.where(colc == 255, jnp.broadcast_to(vnext0, (16, 256)), vp1)
+    vp1 = jnp.where(jnp.concatenate(
+        [jnp.zeros_like(seg_end_col), seg_end_col], axis=1), 0.0, vp1)
+
+    fmask = colc < 128                     # prev-row half
+    # at the segment's first row the prev half must act as fills
+    def fill(x, f):
+        return jnp.where(first_row & fmask, f, x)
+
+    # global position index rides as f32 (exact below 2^24; S <= 2^20)
+    # NOTE: positions here are ROW-LOCAL (-128..127 relative to cur row
+    # start); converted to absolute by the caller. Row-local keeps the
+    # values tiny and exact.
+    pos = (colc - 128).astype(F32)
+
+    def combine(acc_mx, acc_mn, d):
+        def half(cur, fills, better):
+            sh = [pltpu.roll(a, d, 1) for a in cur]
+            sh = [jnp.where(colc < d, f, s) for s, f in zip(sh, fills)]
+            take = better(sh[0], cur[0])
+            return [jnp.where(take, s, c) for s, c in zip(sh, cur)]
+        mx = half(acc_mx, [NEGF, 0.0, 0.0, 0.0], lambda a, b: a >= b)
+        mn = half(acc_mn, [POSF, 0.0, 0.0, 0.0], lambda a, b: a <= b)
+        return mx, mn
+
+    base_mx = [fill(cat_v, NEGF), pos, fill(vm1, 0.0), fill(vp1, 0.0)]
+    base_mn = [fill(cat_v, POSF), pos, fill(vm1, 0.0), fill(vp1, 0.0)]
+    mx, mn = base_mx, base_mn
+    p = 1
+    while 2 * p <= W:
+        mx, mn = combine(mx, mn, p)
+        p *= 2
+    if p < W:
+        mx, mn = combine(mx, mn, W - p)
+
+    out_half = colc >= 128
+
+    def cut(x):
+        return x[:, 128:]
+
+    wmax, k_top, prevmax, nextmax = (cut(a) for a in mx)
+    wmin, k_bot, prevmin, nextmin = (cut(a) for a in mn)
+    posr = cut(pos)
+    left_pos = posr - (W - 1)
+    # v_left: the sample at the window's left edge; while the window is
+    # filling (s < W-1, first row block only) it clamps to the segment's
+    # first sample (precompute_window_features' iota < W-1 patch)
+    v_left = pltpu.roll(cat_v, W - 1, 1)[:, 128:]
+    filling = first_row & (posr < np.float32(W - 1))
+    v_left = jnp.where(filling, jnp.broadcast_to(col0_v, (16, 128)), v_left)
+    left_eff = jnp.where(filling, 0.0, left_pos)
+    l_top = k_top - left_eff + 1.0
+    l_bot = k_bot - left_eff + 1.0
+    return dict(wmax=wmax, wmin=wmin, v_left=v_left, v_right=vcur,
+                l_top=l_top, prevmax=prevmax, nextmax=nextmax,
+                l_bot=l_bot, prevmin=prevmin, nextmin=nextmin)
+
+
+def _mod(x, m: float):
+    return x - m * jnp.floor(x / m)
+
+
+def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
+            st_ref, smem_ref, *, P, T, S, maxb, max_slots, MBP,
+            Ws, rises, minps, aalphas, awindows,
+            clk_windows, clk_alphas, pulse_adjs, midbits,
+            spb, do_correct, agc_ring):
+    n_rblks = pl.num_programs(1)
+    rblk = pl.program_id(1)
+    last_blk = rblk == n_rblks - 1
+    p_id = pl.program_id(0) % P
+    sub = jax.lax.broadcasted_iota(I32, (16, 128), 0)
+    lane = jax.lax.broadcasted_iota(I32, (16, 128), 1)
+    lane1 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+    zf = jnp.zeros((16, 128), F32)
+    zf1 = jnp.zeros((1, 128), F32)
+    active = sub < T
+    lanef = lane.astype(F32)
+    OFF, _NR = _fused_layout(agc_ring)
+
+    def srow(name):
+        o = OFF[name]
+        n = 1 if name in ("clkring", "misc") else 16
+        return st_ref[o:o + n, :]
+
+    def wrow(name, val):
+        o = OFF[name]
+        n = 1 if name in ("clkring", "misc") else 16
+        st_ref[o:o + n, :] = val
+
+    def st_read(k):
+        return srow(f"adm_{k}" if isinstance(k, str) else None) \
+            if isinstance(k, str) else srow(f"admring_{k}")
+
+    def st_write(k, val):
+        if isinstance(k, str):
+            wrow(f"adm_{k}", val)
+        else:
+            wrow(f"admring_{k}", val)
+
+    # ---- per-parmset compile-time knobs (scalar selects on p_id) ----
+    def kf(vals):
+        out = jnp.float32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, jnp.float32(vals[p]), out)
+        return out
+
+    def kfv(vals):
+        out = zf + jnp.float32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, zf + jnp.float32(vals[p]), out)
+        return out
+
+    def kiv(vals):
+        out = sub * 0 + jnp.int32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, sub * 0 + jnp.int32(vals[p]), out)
+        return out
+
+    rise_k = kfv(rises)
+    minp_k = kfv(minps)
+    aal_k = kfv(aalphas)
+    awin_k = kiv(awindows)
+    clk_window = kf([float(x) for x in clk_windows])
+    clk_alpha = kf(clk_alphas)
+    pulse_adj = kf(pulse_adjs)
+    midbit = kf(midbits)
+    wset = sorted(set(Ws))
+    G = len(wset)
+    grp_k = kiv([wset.index(w) for w in Ws])        # this parmset's W group
+    W_f = kf([float(w) for w in Ws])
+
+    meta = meta_ref[0, :, :]                         # [16, 128], resident
+
+    def meta_scalar(lane_idx):
+        return jnp.sum(jnp.where((sub == 0) & (lane == lane_idx), meta, 0.0))
+
+    def meta_col(lane_idx):
+        c = jnp.sum(jnp.where(lane == lane_idx, meta, 0.0), axis=1,
+                    keepdims=True)
+        return jnp.broadcast_to(c, (16, 128))
+
+    seg_len = meta_scalar(M_SEGLEN)
+    lead_len = meta_scalar(M_LEAD)
+    stat_lb = meta_scalar(M_STATLB)
+    stat_bw = meta_scalar(M_STATBW)
+    exp_par = meta_scalar(M_EXPPAR)
+    rf_col = meta_col(M_RISEF)
+    mf_col = meta_col(M_MINF)
+
+    # ---- init at the segment's first grid step ----
+    @pl.when(rblk == 0)
+    def _():
+        zeros16 = zf
+        st_write("blind", zeros16 - 1.0)
+        st_write("v_top", zeros16)
+        st_write("v_bot", zeros16)
+        st_write("n_adm", zeros16)
+        st_write("agc", zeros16 + 1.0)
+        st_write("vah", zeros16 + cm.PKWW_PEAKHEIGHT)
+        st_write("vah_sum", zeros16)
+        st_write("vah_cnt", zeros16)
+        st_write("hndx", zeros16)
+        st_write("max_agc", zeros16)
+        st_write("min_agc", zeros16 + cm.FLT_MAX)
+        st_write("v_lasttop", zeros16)
+        st_write("v_lastbot", zeros16)
+        st_write("peakcount", zeros16)
+        st_write("overflow", zeros16)
+        for k in range(agc_ring):
+            st_write(k, zeros16)
+        for nm in ("elig", "rs0", "rs1", "rt0", "rt1", "ra0", "ra1",
+                   "kv", "dc", "bw0", "bw1", "bits0", "tfirst", "tlast",
+                   "trksum", "faked", "vmarg", "firstk", "col0v"):
+            wrow(nm, zf)
+        wrow("lp", zf + NEG)
+        wrow("pv", zf + NEG)
+        wrow("clkring", zf1 + jnp.float32(spb))
+        for sm, val in ((SM_TLC, 0.0), (SM_TLM, 0.0), (SM_POST, 0.0),
+                        (SM_AVG, float(spb)), (SM_BITNDX, 0.0),
+                        (SM_DONE, 0.0), (SM_OVF, 0.0), (SM_ENDED, 0.0),
+                        (SM_ENDS, float(S)), (SM_NSLOT, 0.0),
+                        (SM_STARTED, 0.0), (SM_MISSMID, 0.0),
+                        (SM_CORR, 0.0), (SM_BAIL, 0.0), (SM_BITBASE, 0.0)):
+            smem_ref[sm] = jnp.float32(val)
+        for k in range(MBP // 128):
+            bits_ref[0, :, k * 128:(k + 1) * 128] = zf
+        hist_ref[0, :, :] = zf
+
+    # ======================================================================
+    # 1. admission for this step's RB rows
+    # ======================================================================
+    A_MAX = min(64, 128 // (min(Ws) + 1) + 2)
+
+    def elig_fn(feat, cand_full, posf):
+        wmax, wmin, v_left, v_right = (feat["wmax"], feat["wmin"],
+                                       feat["v_left"], feat["v_right"])
+        no_min = minp_k == 0.0
+
+        def elig(agc, vah, blind):
+            scale = vah / cm.PKWW_PEAKHEIGHT
+            rise = rise_k * scale / agc
+            rmin = minp_k * scale / agc
+            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
+                      (no_min | (wmax > rmin)))
+            is_bot = ((~is_top) & (wmin < v_left - rise) &
+                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
+            return (is_top | is_bot) & cand_full & (posf > blind), is_top
+        return elig
+
+    def row_admission(feat, cand_full, posf):
+        (wmax, wmin, l_top, prevmax, nextmax, l_bot, prevmin, nextmin) = (
+            feat["wmax"], feat["wmin"], feat["l_top"], feat["prevmax"],
+            feat["nextmax"], feat["l_bot"], feat["prevmin"], feat["nextmin"])
+        elig = elig_fn(feat, cand_full, posf)
+        use_exp = aal_k > 0.0
+        use_win = awin_k > 0
+
+        e0, _ = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+        wrow("elig", jnp.where(e0, 1.0, 0.0))
+        smem_ref[SM_AWORK] = jnp.sum(e0.astype(F32))
+
+        def slot_body(j, carry):
+            @pl.when(smem_ref[SM_AWORK] > 0.0)
+            def _():
+                agc = st_read("agc")
+                vah = st_read("vah")
+                e = srow("elig") > 0.5
+
+                li = jnp.min(jnp.where(e, lane, 9999), axis=1,
+                             keepdims=True)
+                li = jnp.broadcast_to(li, lane.shape)
+                adm = (li < 9999) & active
+                sel = (lane == li) & adm
+
+                def ext(x):
+                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                keepdims=True)
+                    return jnp.broadcast_to(v, lane.shape)
+
+                # topness at the selected position (same test as elig's)
+                scale = vah / cm.PKWW_PEAKHEIGHT
+                rise = rise_k * scale / agc
+                rmin = minp_k * scale / agc
+                no_min = minp_k == 0.0
+                top_row = ((wmax > feat["v_left"] + rise) &
+                           (wmax > feat["v_right"] + rise) &
+                           (no_min | (wmax > rmin)))
+                is_top = ext(jnp.where(top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(jnp.where(top_row, l_top, l_bot))
+                val = ext(jnp.where(top_row, wmax, wmin))
+                prev = ext(jnp.where(top_row, prevmax, prevmin))
+                nxt = ext(jnp.where(top_row, nextmax, nextmin))
+                s_f = ext(posf)
+
+                thr = cm.PEAK_THRESHOLD / agc
+                ref = jnp.where(is_top, val - thr, val + thr)
+                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
+                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+                adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                                jnp.where(n_close & ~p_close, F32(0.5),
+                                          F32(0.0)))
+                t_peak = s_f - ((W_f - L) - adj)
+
+                n_adm = st_read("n_adm")
+                v_top2 = jnp.where(is_top, val, st_read("v_top"))
+                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+                first = adm & (n_adm == 0.0)
+                max_agc2 = jnp.where(first, agc, st_read("max_agc"))
+
+                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
+                height = v_top2 - v_bot2
+                in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
+                           (pc <= cm.AGC_ENDBASE))
+                past = pc > cm.AGC_ENDBASE
+                vah_cnt = st_read("vah_cnt")
+                do_fin = is_top & past & (vah_cnt > 0.0)
+                do_agc = adm & past & (vah_cnt == 0.0)
+
+                vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
+                                     st_read("vah_sum"))
+                vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
+                hndx = st_read("hndx")
+                hndx_acc = jnp.where(hndx + 1.0 >= awin_k.astype(F32),
+                                     F32(0.0), hndx + 1.0)
+                hndx2 = jnp.where(in_base, hndx_acc, hndx)
+                ring_rows = [st_read(k) for k in range(agc_ring)]
+                ring2 = [jnp.where(in_base & (hndx == k), height,
+                                   ring_rows[k]) for k in range(agc_ring)]
+
+                vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
+                vah2 = jnp.where(do_fin, vah_fin, vah)
+                vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
+
+                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+                hgt_ok = lastheight > 0.0
+                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
+                g_exp = jnp.minimum(aal_k * g_exp + (1 - aal_k) * agc,
+                                    cm.AGC_MAX_VALUE)
+                ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
+                                   lastheight, ring2[k])
+                         for k in range(agc_ring)]
+                minh = zf + cm.FLT_MAX
+                for k in range(agc_ring):
+                    minh = jnp.minimum(
+                        minh, jnp.where(k < awin_k, ring3[k], cm.FLT_MAX))
+                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
+                                    cm.AGC_MAX_VALUE)
+                agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
+                agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
+                hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc,
+                                  hndx2)
+                changed = do_agc & (use_exp | use_win) & hgt_ok
+                max_agc2 = jnp.where(changed & (agc2 > max_agc2), agc2,
+                                     max_agc2)
+                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                     agc2, st_read("min_agc"))
+
+                # ---- transition-ring append (s_f, t_peak, agc2) ----
+                ridx = _mod(n_adm, float(RING))
+                rcol = _mod(ridx, 128.0)
+                in_b0 = ridx < 128.0
+                m0 = adm & in_b0 & (lanef == rcol)
+                m1 = adm & (~in_b0) & (lanef == rcol)
+                wrow("rs0", jnp.where(m0, s_f, srow("rs0")))
+                wrow("rs1", jnp.where(m1, s_f, srow("rs1")))
+                wrow("rt0", jnp.where(m0, t_peak, srow("rt0")))
+                wrow("rt1", jnp.where(m1, t_peak, srow("rt1")))
+                if do_correct:
+                    wrow("ra0", jnp.where(m0, agc2, srow("ra0")))
+                    wrow("ra1", jnp.where(m1, agc2, srow("ra1")))
+                # ring-overwrite bail: an unconsumed entry would be lost
+                not_done = smem_ref[SM_DONE] < 0.5
+                pressure = jnp.max(jnp.where(
+                    adm, n_adm - srow("kv"), -1.0)) >= float(RING)
+                smem_ref[SM_BAIL] = jnp.where(
+                    not_done & pressure, 1.0, smem_ref[SM_BAIL])
+
+                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+                st_write("blind", blind2)
+                st_write("v_top", v_top2)
+                st_write("v_bot", v_bot2)
+                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
+                st_write("agc", agc2)
+                st_write("vah", vah2)
+                st_write("vah_sum", vah_sum2)
+                st_write("vah_cnt", vah_cnt2)
+                st_write("hndx", hndx2)
+                st_write("max_agc", max_agc2)
+                st_write("min_agc", min_agc2)
+                st_write("v_lasttop", jnp.where(is_top, val,
+                                                st_read("v_lasttop")))
+                st_write("v_lastbot", jnp.where(is_bot, val,
+                                                st_read("v_lastbot")))
+                st_write("peakcount", pc)
+                for k in range(agc_ring):
+                    st_write(k, ring3[k])
+
+                e2, _ = elig(agc2, vah2, blind2)
+                wrow("elig", jnp.where(e2, 1.0, 0.0))
+                smem_ref[SM_AWORK] = jnp.sum(e2.astype(F32))
+            return carry
+
+        jax.lax.fori_loop(0, A_MAX, slot_body, 0)
+        # eligibility left after A_MAX commits: admission overflow (the
+        # XLA path's `incomplete`; consumers only use any())
+        st_write("overflow", jnp.where(smem_ref[SM_AWORK] > 0.0,
+                                       zf + 1.0, st_read("overflow")))
+
+    # ---- sweep this step's RB rows: features -> admission ----
+    vblk = v_ref[0, :, :]                            # [16, RB*128]
+    vnxt0 = vnxt_ref[0, :, 0:1]                      # first col of next blk
+    for rr in range(RB):
+        vcur = vblk[:, rr * 128:(rr + 1) * 128]
+        if rr == 0:
+            vprev = srow("vmarg")
+        else:
+            vprev = vblk[:, (rr - 1) * 128:rr * 128]
+        nxt0 = (vblk[:, (rr + 1) * 128:(rr + 1) * 128 + 1]
+                if rr < RB - 1 else vnxt0)
+        base = rblk * (RB * 128) + rr * 128
+        first_row = (rblk == 0) & (rr == 0)
+
+        @pl.when(first_row)
+        def _(vcur=vcur):
+            wrow("col0v", jnp.broadcast_to(vcur[:, 0:1], (16, 128)))
+
+        posf = lanef + base.astype(F32)
+        seg_end_col = posf == np.float32(S - 1)
+        col0v = srow("col0v")[:, 0:1]
+
+        feats = []
+        for Wd in wset:
+            f = _row_features(vprev, vcur, nxt0, Wd, first_row=first_row,
+                              seg_end_col=seg_end_col, col0_v=col0v)
+            # row-local l/k outputs -> absolute-independent; posf absolute
+            feats.append(f)
+        if G == 1:
+            feat = feats[0]
+        else:
+            feat = {k: feats[0][k] for k in feats[0]}
+            for g in range(1, G):
+                feat = {k: jnp.where(grp_k == g, feats[g][k], feat[k])
+                        for k in feat}
+
+        # loose candidacy (stage1.candidate_mask) + segment span mask
+        wmax, wmin, v_left = feat["wmax"], feat["wmin"], feat["v_left"]
+        no_mf = mf_col <= 0.0
+        topc = ((wmax > v_left + rf_col) & (wmax > vcur + rf_col) &
+                (no_mf | (wmax > mf_col)))
+        botc = ((wmin < v_left - rf_col) & (wmin < vcur - rf_col) &
+                (no_mf | (wmin < -mf_col)))
+        cand_full = ((topc | botc) & active &
+                     (posf >= lead_len) & (posf < seg_len))
+        row_admission(feat, cand_full, posf)
+        if rr == RB - 1:
+            wrow("vmarg", vcur)
+
+    # ======================================================================
+    # 2. slot machine: start once the first transition exists, then run
+    #    every slot whose consume boundary lies inside the swept samples
+    # ======================================================================
+    cnt_col = st_read("n_adm")                       # live per-track counts
+
+    @pl.when((smem_ref[SM_STARTED] < 0.5) &
+             (jnp.sum(jnp.where(active & (lane == 0), cnt_col, 0.0)) > 0.0))
+    def _():
+        # earliest first transition, low track wins (ring entry 0 is each
+        # track's first admission; later row blocks only append later s)
+        rs0 = srow("rs0")
+        rt0 = srow("rt0")
+        key = jnp.where(active & (lane == 0) & (cnt_col > 0.0),
+                        rs0 * 16.0 + sub.astype(F32), BIG_S * 16.0)
+        kmin = jnp.min(key)
+        t_first = jnp.sum(jnp.where(key == kmin, rt0, 0.0))
+        t_lc0 = t_first - spb
+        wrow("firstk", jnp.broadcast_to(
+            jnp.sum(jnp.where(key == kmin, 1.0, 0.0), axis=1,
+                    keepdims=True), (16, 128)))
+        smem_ref[SM_TLC] = t_lc0
+        smem_ref[SM_TLM] = t_lc0 + midbit * spb
+        smem_ref[SM_STARTED] = 1.0
+
+    boundary = jnp.where(last_blk, jnp.float32(2 ** 30),
+                         ((rblk + 1) * (RB * 128)).astype(F32))
+    SLMAX = int(RB * 128 / spb * 1.5) + 8
+
+    def consume(s_z_f, t_lc_in, b_in, post0):
+        """One consume round for all tracks (ring edition of the v3
+        kernel's consume): candidates are ring entries kv..kv+3 with
+        s_det < s_z. Returns per-track columns + realigned clock."""
+        rs0, rs1 = srow("rs0"), srow("rs1")
+        rt0, rt1 = srow("rt0"), srow("rt1")
+        kv = srow("kv")
+        kvm = _mod(kv, float(RING))
+        relA = _mod(lanef - kvm, float(RING))              # block 0 ranks
+        relB = _mod(lanef + 128.0 - kvm, float(RING))      # block 1 ranks
+        c0 = (active & (relA < 4.0) & (kv + relA < cnt_col) & (rs0 < s_z_f))
+        c1 = (active & (relB < 4.0) & (kv + relB < cnt_col) & (rs1 < s_z_f))
+
+        def rsum(m, v):
+            return jnp.sum(jnp.where(m, v, 0.0), axis=1, keepdims=True)
+
+        one = zf + 1.0
+        n_seen = rsum(c0, one) + rsum(c1, one)             # [16, 1]
+        ovf = (jnp.sum(jnp.where(c0 & (relA == 3.0), 1.0, 0.0)) +
+               jnp.sum(jnp.where(c1 & (relB == 3.0), 1.0, 0.0))) > 0.0
+        tj = [rsum(c0 & (relA == j), rt0) + rsum(c1 & (relB == j), rt1)
+              for j in (0.0, 1.0, 2.0)]
+        newest = (rsum(c0 & (relA == n_seen - 1.0), rt0) +
+                  rsum(c1 & (relB == n_seen - 1.0), rt1))
+        second = (rsum(c0 & (relA == n_seen - 2.0), rt0) +
+                  rsum(c1 & (relB == n_seen - 2.0), rt1))
+        w0 = c0 & (relA < 3.0)
+        w1 = c1 & (relB < 3.0)
+        t_max = jnp.maximum(jnp.max(jnp.where(w0, rt0, NEG)),
+                            jnp.max(jnp.where(w1, rt1, NEG)))
+        wrow("kv", kv + jnp.broadcast_to(n_seen, (16, 128)))
+        realign = ((post0 > 0.0) & (t_max > NEG / 2) &
+                   (t_lc_in < t_max - (2.0 - midbit) * b_in))
+        t_lc_out = jnp.where(realign, t_max - 2.0 * b_in, t_lc_in)
+        return dict(n=jnp.broadcast_to(n_seen, (16, 128)), tj=tj,
+                    newest=newest, second=second, ovf=ovf, t_lc=t_lc_out)
+
+    def lp_pv_update(r):
+        lp = srow("lp")
+        pv = srow("pv")
+        had = r["n"] >= 1.0
+        nb = jnp.broadcast_to
+        pv = jnp.where(r["n"] >= 2.0, nb(r["second"], (16, 128)),
+                       jnp.where(had, lp, pv))
+        lp = jnp.where(had, nb(r["newest"], (16, 128)), lp)
+        wrow("lp", lp)
+        wrow("pv", pv)
+
+    def bits_write(idx_col, val, mask):
+        """bits[track, idx] = val where mask; idx_col a [16, 128]
+        lane-replicated f32 column, window-relative handling inside."""
+        base = smem_ref[SM_BITBASE]
+        rel = idx_col - base
+        m0 = mask & (rel >= 0.0) & (rel < 128.0) & (lanef == rel)
+        m1 = mask & (rel >= 128.0) & (rel < 256.0) & (lanef == rel - 128.0)
+        wrow("bw0", jnp.where(m0, val, srow("bw0")))
+        wrow("bw1", jnp.where(m1, val, srow("bw1")))
+        if do_correct:
+            z = mask & (idx_col == 0.0)
+            wrow("bits0", jnp.where(z, val, srow("bits0")))
+
+    def hist_add(tj, has, t_lc_used, kv_rs, j):
+        """Peak-stat recording for consume rank j (record_peakstat)."""
+        post0 = smem_ref[SM_POST]
+        skip = (srow("firstk") > 0.5) & (kv_rs + float(j) == 0.0)
+        stat_ok = has & (post0 == 0.0) & jnp.logical_not(skip) & active
+        val = tj - t_lc_used
+        bkt = ((val - stat_lb) / stat_bw).astype(I32)
+        code = jnp.where(bkt < 0, 0, jnp.where(bkt > 49, 49, bkt))
+        hist_ref[0, :, :] = hist_ref[0, :, :] + jnp.where(
+            stat_ok & (lane == code), 1.0, 0.0)
+        in_rng = stat_ok & (bkt >= 0) & (bkt <= 49)
+        wrow("trksum", srow("trksum") +
+             jnp.where(in_rng & (lane == 0), 1.0, 0.0))
+        # midbit warning (consume():193-194)
+        t_lm0 = smem_ref[SM_TLM]
+        miss = has & (tj < t_lm0) & (post0 == 0.0) & active
+        smem_ref[SM_MISSMID] = smem_ref[SM_MISSMID] + \
+            jnp.sum(jnp.where(miss & (lane == 0), 1.0, 0.0))
+
+    def consume_writes(r, kv_rs, t_lc_used):
+        """Bit-buffer writes + stats for one consume round (j < 3)."""
+        dc = srow("dc")
+        n = r["n"]
+        for j in range(3):
+            tjb = jnp.broadcast_to(r["tj"][j], (16, 128))
+            has = (n > float(j)) & active
+            idx = jnp.minimum(dc + float(j), float(maxb - 1))
+            bits_write(idx, 1.0, has)
+            was_first = has & (dc + float(j) == 0.0)
+            wrow("tfirst", jnp.where(was_first, tjb, srow("tfirst")))
+            wrow("tlast", jnp.where(has, tjb, srow("tlast")))
+            hist_add(tjb, has, t_lc_used, kv_rs, j)
+        wrow("dc", jnp.minimum(dc + n, float(maxb)))
+
+    def slot_iteration(it, carry):
+        started = smem_ref[SM_STARTED] > 0.5
+        not_done = smem_ref[SM_DONE] < 0.5
+        t_lc0 = smem_ref[SM_TLC]
+        b0 = smem_ref[SM_AVG]
+        s_z0 = jnp.floor(t_lc0 + 2.0 * b0) + 1.0
+        can_run = (started & not_done & (s_z0 <= boundary) &
+                   (smem_ref[SM_NSLOT] < float(max_slots)))
+
+        @pl.when(can_run)
+        def _():
+            post0 = smem_ref[SM_POST]
+            t_lm0 = smem_ref[SM_TLM]
+            kv_before1 = srow("kv")
+            r1 = consume(jnp.minimum(s_z0, jnp.float32(S)), t_lc0, b0,
+                         post0)
+            lp_pv_update(r1)
+            consume_writes(r1, kv_before1, t_lc0)
+
+            s_z1 = jnp.floor(r1["t_lc"] + 2.0 * b0) + 1.0
+            need2 = (s_z1 > s_z0) | r1["ovf"]
+
+            @pl.when(need2)
+            def _():
+                kv_before2 = srow("kv")
+                r2 = consume(jnp.minimum(s_z1, jnp.float32(S)),
+                             r1["t_lc"], b0, post0)
+                lp_pv_update(r2)
+                consume_writes(r2, kv_before2, r1["t_lc"])
+                wrow("misc", jnp.where(
+                    lane1 == 0, r2["t_lc"],
+                    jnp.where(lane1 == 1,
+                              jnp.where(r2["ovf"], 1.0, 0.0), zf1)))
+
+            @pl.when(jnp.logical_not(need2))
+            def _():
+                wrow("misc", jnp.where(lane1 == 0, r1["t_lc"], zf1))
+
+            misc = srow("misc")
+            t_lc2 = jnp.sum(jnp.where(lane1 == 0, misc, 0.0))
+            ovf2 = jnp.sum(jnp.where(lane1 == 1, misc, 0.0)) > 0.5
+            lp = srow("lp")
+            pv = srow("pv")
+            past_end = s_z1 >= jnp.float32(S)
+
+            # ---- zerocheck (decode_nrzi.c:232-314) ----
+            right = t_lc2 + (1.0 + midbit) * b0
+            last_in = active & (lp > t_lm0) & (lp < right)
+            prev_in = active & (pv > t_lm0) & (pv < right)
+            dup = last_in & prev_in
+            b2f = (~last_in) & prev_in
+            later = active & (~last_in) & (~prev_in) & (lp > right)
+            zero = active & (~last_in) & (~prev_in) & (~later)
+
+            col0 = lane == 0
+            numbits = jnp.sum(jnp.where(col0 & (last_in | b2f), 1.0, 0.0))
+            numlater = jnp.sum(jnp.where(col0 & later, 1.0, 0.0))
+            avg_pos = jnp.sum(jnp.where(
+                col0, jnp.where(last_in, lp,
+                                jnp.where(b2f, pv, 0.0)), 0.0))
+            have = numbits > 0.0
+
+            # ---- bit-buffer updates (dup delete / later insert / zero) ----
+            dc0 = srow("dc")
+            dc1 = jnp.where(dup, dc0 - 1.0, dc0)
+            i0 = jnp.maximum(dc1 - 1.0, 0.0)
+            bits_write(i0, 0.0, later)
+            i1 = jnp.minimum(dc1, float(maxb - 1))
+            bits_write(i1, 1.0, later)
+            dc2 = jnp.where(later, jnp.minimum(dc1 + 1.0, float(maxb)), dc1)
+            i2 = jnp.minimum(dc2, float(maxb - 1))
+            bits_write(i2, 0.0, zero)
+            dc3 = jnp.where(zero, jnp.minimum(dc2 + 1.0, float(maxb)), dc2)
+            wrow("dc", dc3)
+
+            tz = t_lc2 + b0
+            zlike = later | zero
+            wrow("tfirst", jnp.where(
+                zlike & (dc0 == 0.0) & (dc3 > dc0), tz, srow("tfirst")))
+            wrow("tlast", jnp.where(later, lp,
+                                    jnp.where(zero, tz, srow("tlast"))))
+
+            # ---- clock update / post counter (nrzi_zerocheck tail) ----
+            post_h = jnp.where(post0 == 1.0, 0.0, post0)
+            avg = avg_pos / jnp.maximum(numbits, 1.0)
+            expected = t_lc2 + b0
+            adjusted = jnp.where(post_h > 0.0, avg,
+                                 expected + pulse_adj * (avg - expected))
+            delta = adjusted - t_lc2
+
+            bitndx = smem_ref[SM_BITNDX]
+            ndx_i = bitndx.astype(I32)
+            ring_row = srow("clkring")
+            old = jnp.sum(jnp.where(lane1 == ndx_i, ring_row, 0.0))
+            avg_w = b0 + (delta - old) / jnp.maximum(clk_window, 1.0)
+            avg_e = clk_alpha * delta + (1.0 - clk_alpha) * b0
+            use_w = clk_window > 0.0
+            use_e = (~use_w) & (clk_alpha > 0.0)
+            avg_new = jnp.where(use_w, avg_w,
+                                jnp.where(use_e, avg_e, jnp.float32(spb)))
+            do_clk = have & (post_h == 0.0)
+
+            @pl.when(do_clk & use_w)
+            def _():
+                wrow("clkring", jnp.where(lane1 == ndx_i, delta,
+                                          srow("clkring")))
+                smem_ref[SM_BITNDX] = jnp.where(
+                    bitndx + 1.0 >= clk_window, 0.0, bitndx + 1.0)
+
+            smem_ref[SM_AVG] = jnp.where(do_clk, avg_new, b0)
+            post_h2 = jnp.where(post_h > 0.0, post_h + 1.0, post_h)
+            post_n = jnp.where((numlater == 0.0) & (post0 == 0.0), 1.0,
+                               jnp.where(post0 > 0.0, post0 + 1.0, post0))
+            post2 = jnp.where(have, post_h2, post_n)
+            t_lc3 = jnp.where(have, adjusted, t_lc2 + b0)
+            smem_ref[SM_TLC] = t_lc3
+            smem_ref[SM_TLM] = right
+            smem_ref[SM_POST] = post2
+
+            # ---- -correct: release-binary AGC-keyed flip of column 0 ----
+            if do_correct:
+                bits0 = srow("bits0")
+                par = _mod(jnp.sum(jnp.where(active & col0, bits0, 0.0)),
+                           2.0)
+                par_bad = par != exp_par
+                kvn = srow("kv")
+                am = _mod(kvn - 1.0, float(RING))
+                a0 = jnp.sum(jnp.where((lanef == am) & (am < 128.0),
+                                       srow("ra0"), 0.0),
+                             axis=1, keepdims=True)
+                a1 = jnp.sum(jnp.where((lanef == am - 128.0) &
+                                       (am >= 128.0), srow("ra1"), 0.0),
+                             axis=1, keepdims=True)
+                agc_now = jnp.broadcast_to(
+                    jnp.where(jnp.sum(jnp.where(col0, kvn, 0.0), axis=1,
+                                      keepdims=True) >= 1.0, a0 + a1, 1.0),
+                    (16, 128))
+                agc_now = jnp.where(active, agc_now, -1.0)
+                hi = jnp.max(jnp.where(col0, agc_now, -1.0))
+                is_hi = active & (agc_now == hi)
+                badtrk = jnp.min(jnp.where(is_hi & col0, sub, 99))
+                next_hi = jnp.max(jnp.where(col0 & active & (sub != badtrk),
+                                            agc_now, -1.0))
+                do_fix = (have & par_bad &
+                          (hi >= cm.NRZI_BADTRK_FACTOR * next_hi))
+                fixm = do_fix & (sub == badtrk)
+                newv = jnp.where(bits0 > 0.5, 0.0, 1.0)
+                wrow("bits0", jnp.where(fixm, newv, bits0))
+                wrow("faked", jnp.where(fixm, 1.0, srow("faked")))
+                smem_ref[SM_CORR] = smem_ref[SM_CORR] + \
+                    jnp.where(do_fix, 1.0, 0.0)
+
+            ended = post2 >= 8.0
+            smem_ref[SM_ENDS] = jnp.where(
+                ended & (smem_ref[SM_ENDED] < 0.5),
+                jnp.minimum(s_z1, jnp.float32(S)), smem_ref[SM_ENDS])
+            smem_ref[SM_ENDED] = jnp.where(ended, 1.0,
+                                           smem_ref[SM_ENDED])
+            smem_ref[SM_OVF] = jnp.where(r1["ovf"] | ovf2, 1.0,
+                                         smem_ref[SM_OVF])
+            smem_ref[SM_DONE] = jnp.where(ended | past_end, 1.0, 0.0)
+            smem_ref[SM_NSLOT] = smem_ref[SM_NSLOT] + 1.0
+
+            # ---- rolling bit-window flush (max dc crossed 224) ----
+            mx = jnp.max(jnp.where(active & col0, srow("dc"), 0.0))
+            bb = smem_ref[SM_BITBASE]
+
+            @pl.when((mx - bb >= 224.0) & (bb + 128.0 < float(MBP)))
+            def _():
+                bi = (bb / 128.0).astype(I32)
+                bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+                wrow("bw0", srow("bw1"))
+                wrow("bw1", zf)
+                smem_ref[SM_BITBASE] = bb + 128.0
+        return carry
+
+    jax.lax.fori_loop(0, SLMAX, slot_iteration, 0)
+
+    # tail: after the last row block the boundary is gone -- run the slot
+    # machine to completion (postamble end / past-segment / slot cap)
+    @pl.when(last_blk)
+    def _():
+        jax.lax.fori_loop(0, max_slots, slot_iteration, 0)
+
+    # ======================================================================
+    # 3. finalization at the segment's last grid step
+    # ======================================================================
+    @pl.when(last_blk)
+    def _():
+        # flush the bit window remnants
+        bb = smem_ref[SM_BITBASE]
+        bi = (bb / 128.0).astype(I32)
+
+        @pl.when(bb < float(MBP))
+        def _():
+            bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+
+        @pl.when(bb + 128.0 < float(MBP))
+        def _():
+            bits_ref[0, :, pl.ds(bi * 128 + 128, 128)] = srow("bw1")
+        if do_correct:
+            b0r = jnp.broadcast_to(srow("bits0")[:, 0:1], (16, 128))
+            bits_ref[0, :, 0:128] = jnp.where(
+                lane == 0, b0r, bits_ref[0, :, 0:128])
+
+        vals = zf
+        for ln, col in (
+                (L_NADM, st_read("n_adm")),
+                (L_MAXAGC, st_read("max_agc")),
+                (L_MINAGC, st_read("min_agc")),
+                (L_INCOMP, st_read("overflow")),
+                (L_KVIS, srow("kv")),
+                (L_DC, srow("dc")),
+                (L_TFIRST, srow("tfirst")),
+                (L_TLAST, srow("tlast")),
+                (L_TRKSUM, jnp.broadcast_to(
+                    jnp.sum(jnp.where(lane == 0, srow("trksum"), 0.0),
+                            axis=1, keepdims=True), (16, 128))),
+                (L_FAKED, srow("faked"))):
+            vals = jnp.where(lane == ln, col, vals)
+        for ln, sm in ((L_ENDED, SM_ENDED), (L_CONSOVF, SM_OVF),
+                       (L_ENDS, SM_ENDS), (L_MISSMID, SM_MISSMID),
+                       (L_NSLOT, SM_NSLOT), (L_CORR, SM_CORR),
+                       (L_BAIL, SM_BAIL)):
+            vals = jnp.where(lane == ln, smem_ref[sm], vals)
+        scal_ref[0, :, :] = vals
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "T", "P", "maxb", "max_slots", "Ws", "rises", "minps", "aalphas",
+    "awindows", "clk_windows", "clk_alphas", "pulse_adjs", "midbits",
+    "spb", "do_correct", "agc_ring", "interpret"))
+def nrzi_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
+                    max_slots: int, Ws, rises, minps, aalphas, awindows,
+                    clk_windows, clk_alphas, pulse_adjs, midbits,
+                    spb: float, do_correct: bool, agc_ring: int,
+                    interpret: bool = False):
+    """volts: [B, 16, S] f32 (padded tracks zero); meta: [B, 16, 128] f32
+    (lanes M_*). Returns (bits [B, P, 16, MBP], hist [B, P, 16, 128],
+    scal [B, P, 16, 128]) -- everything nrzi_finish needs, no
+    reconstruction pass."""
+    B = volts.shape[0]
+    assert volts.shape[1] == 16 and volts.shape[2] == S
+    assert S % (RB * 128) == 0 and T <= 16
+    n_rblks = S // (RB * 128)
+    R = S // 128
+    MBP = -(-maxb // 128) * 128
+
+    kern = functools.partial(
+        _kernel, P=P, T=T, S=S, maxb=maxb, max_slots=max_slots, MBP=MBP,
+        Ws=Ws, rises=rises, minps=minps, aalphas=aalphas,
+        awindows=awindows, clk_windows=clk_windows, clk_alphas=clk_alphas,
+        pulse_adjs=pulse_adjs, midbits=midbits, spb=spb,
+        do_correct=do_correct, agc_ring=agc_ring)
+    _, n_rows = _fused_layout(agc_ring)
+
+    bits, hist, scal = pl.pallas_call(
+        kern,
+        grid=(B * P, n_rblks),
+        in_specs=[
+            pl.BlockSpec((1, 16, 128), lambda i, r, P=P: (i // P, 0, 0)),
+            pl.BlockSpec((1, 16, RB * 128),
+                         lambda i, r, P=P: (i // P, 0, r)),
+            pl.BlockSpec((1, 16, 128),
+                         lambda i, r, P=P, R=R:
+                         (i // P, 0, jnp.minimum(r * RB + RB, R - 1))),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 16, MBP), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * P, 16, MBP), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 16, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, 128), jnp.float32),
+            pltpu.SMEM((N_SM,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, volts, volts)
+    return (bits.reshape(B, P, 16, MBP), hist.reshape(B, P, 16, 128),
+            scal.reshape(B, P, 16, 128))
+
+
+def fused_state(bits, hist, scal, *, T: int, maxb: int):
+    """Convert one (segment, parmset) lane's kernel outputs into the state
+    dict nrzi_finish expects (the contract slot_stream_reconstruct used to
+    produce). bits: [16, MBP]; hist/scal: [16, 128]."""
+    trk = jnp.arange(T)
+    col = lambda ln: scal[:T, ln]
+    faked_bits = (col(L_FAKED) > 0.5).astype(I32) << (T - 1 - trk)
+    return dict(
+        dc=col(L_DC).astype(I32),
+        kvis=col(L_KVIS).astype(I32),
+        bits=bits[:T, :maxb].astype(jnp.int8),
+        t_firstbit=col(L_TFIRST),
+        t_lastbit=col(L_TLAST),
+        missed_midbits=scal[0, L_MISSMID].astype(I32),
+        corrected_bits=scal[0, L_CORR].astype(I32),
+        faked_tracks=jnp.sum(faked_bits),
+        hist=hist[:T, :50].astype(I32),
+        trksums=col(L_TRKSUM).astype(I32),
+        consume_overflow=scal[0, L_CONSOVF] > 0.5,
+        end_s=scal[0, L_ENDS].astype(I32),
+        n_admitted=col(L_NADM).astype(I32),
+        max_agc_gain=col(L_MAXAGC),
+        min_agc_gain=col(L_MINAGC),
+        incomplete=col(L_INCOMP) > 0.5,
+        bail=scal[0, L_BAIL] > 0.5,
+    )

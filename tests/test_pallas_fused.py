@@ -1,0 +1,189 @@
+"""The fused NRZI kernel (features + admission + slot scan + bit
+accumulation in one sweep) must reproduce the XLA reference pipeline's
+pre-finish state EXACTLY: bits, dc, kvis, n_admitted, AGC extrema, peak
+histogram, trksums, midbit warnings, first/last bit times, end position —
+across parmsets, track counts, multi-block segments, and -correct."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from readtape_tpu.decode import common as cm
+from readtape_tpu.decode import nrzi as nrzi_mod
+from readtape_tpu.decode import trackscan as ts
+from readtape_tpu.decode import pallas_fused as pf
+from readtape_tpu.decode.common import F32, I32
+from readtape_tpu.decode.pipeline import _mask_jump_table, _union_jump_table
+from readtape_tpu.formats import tbin as tb
+from readtape_tpu.formats.parms import builtin_parmsets
+from readtape_tpu.synth import default_spec, synthesize_tape
+
+
+def _make_volts(S, seed=13, nblocks=1, ibg=0.002, ntrks=9, noise=0.0):
+    rng = np.random.default_rng(seed)
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=ibg, start_gap_secs=0.001,
+                        ntrks=ntrks)
+    items = []
+    hi = 256 if ntrks == 9 else 64
+    for _ in range(nblocks):
+        items.append(("block",
+                      bytes(rng.integers(0, hi, 100, dtype=np.uint8))))
+    hdr, samples = synthesize_tape(spec, items)
+    v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
+    if noise:
+        v = v + rng.normal(0.0, noise, v.shape).astype(np.float32)
+    v = v[:, :S]
+    if v.shape[1] < S:
+        v = np.pad(v, ((0, 0), (0, S - v.shape[1])))
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (800 * 50 * deltat)
+    return jnp.asarray(v), spb
+
+
+def _xla_reference(v, spb, sets, S, T, K, maxb, max_slots, lb, bw,
+                   seg_len, lead, rise_floor, min_floor, do_correct=False,
+                   expected_parity=1):
+    """The production XLA path: union jump table -> per-parmset track
+    scans -> slot scans; returns the list of per-parmset st dicts plus
+    track-scan finals."""
+    deltat_Ws = [cm.pkww_width_for(p.pkww_bitfrac, 800, 50,
+                                   1.0 / (800 * 50 * spb)) for p in sets]
+    Ws = tuple(deltat_Ws)
+    nxt = _mask_jump_table(_union_jump_table(v, Ws, rise_floor, min_floor),
+                           seg_len, lead, S)
+    refs = []
+    finals_l = []
+    for p, W in zip(sets, Ws):
+        feat = ts.precompute_window_features(v, W, nxt)
+        lane = jax.vmap(lambda f, nx, W=W, p=p: ts.nrzi_track_scan_pre(
+            f, nx, W, S, S, K, jnp.float32(p.pkww_rise),
+            jnp.float32(p.min_peak), jnp.float32(p.agc_alpha),
+            jnp.int32(p.agc_window)))
+        fin = lane(feat, nxt)
+        keep = jnp.arange(K) < fin["n_admitted"][:, None]
+        tr_s = jnp.where(keep, fin["tr_s"], nrzi_mod.BIG_S)
+        tr_t = jnp.where(keep, fin["tr_t"], 0.0)
+        tr_agc = jnp.where(keep, fin["tr_agc"], 1.0)
+        st = nrzi_mod.nrzi_slot_scan(
+            tr_s, tr_t, tr_agc, fin["n_admitted"], S,
+            jnp.float32(spb), jnp.int32(p.clk_window),
+            jnp.float32(p.clk_alpha), jnp.float32(p.pulse_adj),
+            jnp.float32(p.midbit), jnp.int32(expected_parity), do_correct,
+            maxb, max_slots, jnp.float32(lb), jnp.float32(bw))
+        refs.append(jax.tree.map(np.asarray, st))
+        finals_l.append(jax.tree.map(np.asarray, fin))
+    return refs, finals_l
+
+
+def _run_fused(v, spb, sets, S, T, maxb, max_slots, lb, bw, seg_len, lead,
+               rise_floor, min_floor, do_correct=False, expected_parity=1):
+    Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, 800, 50,
+                                 1.0 / (800 * 50 * spb)) for p in sets)
+    volts = jnp.pad(v, ((0, 16 - T), (0, 0)))[None]       # [1, 16, S]
+    meta = np.zeros((1, 16, 128), np.float32)
+    meta[0, :, pf.M_SEGLEN] = seg_len
+    meta[0, :, pf.M_LEAD] = lead
+    meta[0, :, pf.M_STATLB] = lb
+    meta[0, :, pf.M_STATBW] = bw
+    meta[0, :, pf.M_EXPPAR] = expected_parity
+    meta[0, :T, pf.M_RISEF] = np.asarray(rise_floor)
+    meta[0, :T, pf.M_MINF] = np.asarray(min_floor)
+    agc_ring = max(max(p.agc_window for p in sets), 1)
+    bits, hist, scal = pf.nrzi_fused_scan(
+        volts, jnp.asarray(meta), S=S, T=T, P=len(sets), maxb=maxb,
+        max_slots=max_slots,
+        Ws=Ws,
+        rises=tuple(float(p.pkww_rise) for p in sets),
+        minps=tuple(float(p.min_peak) for p in sets),
+        aalphas=tuple(float(p.agc_alpha) for p in sets),
+        awindows=tuple(int(p.agc_window) for p in sets),
+        clk_windows=tuple(int(p.clk_window) for p in sets),
+        clk_alphas=tuple(float(p.clk_alpha) for p in sets),
+        pulse_adjs=tuple(float(p.pulse_adj) for p in sets),
+        midbits=tuple(float(p.midbit) for p in sets),
+        spb=float(spb), do_correct=do_correct, agc_ring=agc_ring,
+        interpret=True)
+    outs = []
+    for pi in range(len(sets)):
+        st = pf.fused_state(bits[0, pi], hist[0, pi], scal[0, pi],
+                            T=T, maxb=maxb)
+        outs.append({k: np.asarray(x) for k, x in st.items()})
+    return outs
+
+
+@pytest.mark.parametrize("nblocks,ibg,ntrks,noise",
+                         [(1, 0.002, 9, 0.0),
+                          (3, 0.0008, 9, 0.0),
+                          (1, 0.002, 7, 0.0),
+                          (2, 0.0012, 9, 0.02)])
+def test_fused_matches_xla(nblocks, ibg, ntrks, noise):
+    S = 8192 if nblocks == 1 else 16384
+    P = 3
+    T = ntrks
+    v, spb = _make_volts(S, nblocks=nblocks, ibg=ibg, ntrks=ntrks,
+                         noise=noise)
+    sets = builtin_parmsets(tb.MODE_NRZI).sets[:P]
+    K = int(S / spb * 2.5) + 64
+    maxb = int(S / spb * 1.3) + 64
+    max_slots = int(S / spb * 1.25) + 48
+    lb, bw = 0.0, 1.0
+    rise_floor = np.full(T, 0.02, np.float32)
+    min_floor = np.zeros(T, np.float32)
+
+    refs, finals = _xla_reference(v, spb, sets, S, T, K, maxb, max_slots,
+                                  lb, bw, S, 0, jnp.asarray(rise_floor),
+                                  jnp.asarray(min_floor))
+    outs = _run_fused(v, spb, sets, S, T, maxb, max_slots, lb, bw, S, 0,
+                      rise_floor, min_floor)
+
+    for pi, (r, fin, got) in enumerate(zip(refs, finals, outs)):
+        msg = f"parmset {pi}"
+        np.testing.assert_array_equal(got["n_admitted"],
+                                      fin["n_admitted"], err_msg=msg)
+        np.testing.assert_array_equal(got["kvis"], r["kvis"], err_msg=msg)
+        np.testing.assert_array_equal(got["dc"], r["dc"], err_msg=msg)
+        np.testing.assert_array_equal(got["bits"], r["bits"], err_msg=msg)
+        np.testing.assert_array_equal(got["hist"], r["hist"], err_msg=msg)
+        np.testing.assert_array_equal(got["trksums"], r["trksums"],
+                                      err_msg=msg)
+        assert int(got["missed_midbits"]) == int(r["missed_midbits"]), msg
+        np.testing.assert_allclose(got["t_firstbit"], r["t_firstbit"],
+                                   rtol=0, atol=0, err_msg=msg)
+        np.testing.assert_allclose(got["t_lastbit"], r["t_lastbit"],
+                                   rtol=0, atol=0, err_msg=msg)
+        np.testing.assert_allclose(got["max_agc_gain"],
+                                   fin["max_agc_gain"], rtol=0, atol=0,
+                                   err_msg=msg)
+        np.testing.assert_allclose(got["min_agc_gain"],
+                                   fin["min_agc_gain"], rtol=0, atol=0,
+                                   err_msg=msg)
+        assert bool(got["consume_overflow"]) == \
+            bool(r["consume_overflow"]), msg
+        assert int(got["end_s"]) == int(r["end_s"]), msg
+        assert not bool(got["bail"]), msg
+        assert r["dc"].max() > 50, "segment decoded too little"
+
+
+def test_fused_correct_matches_xla():
+    """-correct (AGC-keyed column-0 flip) on the fused path."""
+    S, P, T = 8192, 2, 9
+    v, spb = _make_volts(S, seed=99, noise=0.05)
+    sets = builtin_parmsets(tb.MODE_NRZI).sets[:P]
+    K = int(S / spb * 2.5) + 64
+    maxb = int(S / spb * 1.3) + 64
+    max_slots = int(S / spb * 1.25) + 48
+    rise_floor = np.full(T, 0.02, np.float32)
+    min_floor = np.zeros(T, np.float32)
+
+    refs, finals = _xla_reference(
+        v, spb, sets, S, T, K, maxb, max_slots, 0.0, 1.0, S, 0,
+        jnp.asarray(rise_floor), jnp.asarray(min_floor), do_correct=True)
+    outs = _run_fused(v, spb, sets, S, T, maxb, max_slots, 0.0, 1.0, S, 0,
+                      rise_floor, min_floor, do_correct=True)
+    for pi, (r, got) in enumerate(zip(refs, outs)):
+        msg = f"parmset {pi}"
+        np.testing.assert_array_equal(got["bits"], r["bits"], err_msg=msg)
+        np.testing.assert_array_equal(got["dc"], r["dc"], err_msg=msg)
+        assert int(got["corrected_bits"]) == int(r["corrected_bits"]), msg
+        assert int(got["faked_tracks"]) == int(r["faked_tracks"]), msg
