@@ -42,11 +42,15 @@ enable_compilation_cache()
 BASELINE_MSPS = 1.49
 
 KERNEL_PATHS = (
-    (None, "pallas-v3"),
-    ({"READTAPE_SLOT_PALLAS": "0"}, "pallas-admission+xla-slot"),
-    ({"READTAPE_PALLAS": "0"}, "xla"),
-    ({"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "4"}, "xla-b4"),
-    ({"READTAPE_PALLAS": "0", "READTAPE_MAX_BATCH": "1"}, "xla-b1"),
+    (None, "fused"),
+    ({"READTAPE_FUSED": "0"}, "pallas-v3"),
+    ({"READTAPE_FUSED": "0", "READTAPE_SLOT_PALLAS": "0"},
+     "pallas-admission+xla-slot"),
+    ({"READTAPE_FUSED": "0", "READTAPE_PALLAS": "0"}, "xla"),
+    ({"READTAPE_FUSED": "0", "READTAPE_PALLAS": "0",
+      "READTAPE_MAX_BATCH": "4"}, "xla-b4"),
+    ({"READTAPE_FUSED": "0", "READTAPE_PALLAS": "0",
+      "READTAPE_MAX_BATCH": "1"}, "xla-b1"),
 )
 
 

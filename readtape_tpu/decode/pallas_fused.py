@@ -119,77 +119,83 @@ def _fused_layout(agc_ring: int):
 # in-kernel window features (replaces trackscan.precompute_window_features)
 # ---------------------------------------------------------------------------
 
-def _row_features(vprev, vcur, vnext0, W: int, *, first_row, seg_end_col,
-                  col0_v):
+def _row_features(vprev, vcur, vnext0_row, W: int, *, first_row,
+                  seg_end_col, col0_row, lane, lanef):
     """Features for the 128 positions of vcur given the previous row.
 
-    vprev/vcur: [16, 128]; vnext0: [16, 1] (first sample of the next row,
-    for the nextmax/nextmin neighbor of a window extremum at the current
-    sample). first_row: python bool-ish traced scalar -- at the segment's
-    first row the trailing window is PARTIAL (fills: -inf/+inf values,
-    0.0 neighbors, like stage1.window_minmax / precompute's shifts).
-    seg_end_col: [16, 128] bool, col == S-1 (vnext fill 0.0 there).
-    col0_v: [16, 1] the segment's first sample (v_left clamp for s < W-1).
+    All arrays are [16, 128] blocks (Mosaic's layout pass rejects wider
+    vectors and strided extracts); the logical 256-wide (prev row, cur
+    row) concatenation is carried as BLOCK PAIRS, with cross-block shifts
+    done as two rolls + a lane select. Prev-half lanes below the
+    cumulative shift hold roll-wrap garbage, which is provably never read:
+    a cur-half output at lane i only pulls cat positions >= i+128-(W-1)
+    >= 129-W >= 1 for W <= 128.
 
-    Returns the 10 feature blocks of pallas_scan's contract, [16, 128]
-    each, plus (wmax, wmin, v_left) for the loose candidacy test."""
-    cat_v = jnp.concatenate([vprev, vcur], axis=1)          # [16, 256]
-    colc = jax.lax.broadcasted_iota(I32, (16, 256), 1)
+    vnext0_row: [16, 128] lane-replicated first sample of the NEXT row
+    (the nextmax/nextmin neighbor of an extremum at the current sample).
+    first_row: traced bool -- at the segment's first row the prev half
+    acts as fills (-inf/+inf values, 0.0 neighbors), reproducing the
+    partial filling window of stage1.window_minmax / precompute's shifts.
+    seg_end_col: [16, 128] bool, position == S-1 (vnext fill 0.0 there).
+    col0_row: [16, 128] lane-replicated segment-first sample (v_left
+    clamp while the window is filling)."""
+    def pair_shift(prev, cur, d):
+        rp = pltpu.roll(prev, d, 1)
+        rc = pltpu.roll(cur, d, 1)
+        return rp, jnp.where(lane < d, rp, rc)
 
-    # neighbor-value base arrays (precompute: vprev/vnext shifts, 0.0 fill)
-    vm1 = pltpu.roll(cat_v, 1, 1)
-    vm1 = jnp.where(colc == 0, 0.0, vm1)          # unused for outputs
-    vp1 = pltpu.roll(cat_v, 255, 1)
-    vp1 = jnp.where(colc == 255, jnp.broadcast_to(vnext0, (16, 256)), vp1)
-    vp1 = jnp.where(jnp.concatenate(
-        [jnp.zeros_like(seg_end_col), seg_end_col], axis=1), 0.0, vp1)
+    def pick(a, b):
+        return jnp.where(first_row, a, b)
 
-    fmask = colc < 128                     # prev-row half
-    # at the segment's first row the prev half must act as fills
-    def fill(x, f):
-        return jnp.where(first_row & fmask, f, x)
+    # base arrays: (prev, cur) pairs for value / index / both neighbors
+    vm1p, vm1c = pair_shift(vprev, vcur, 1)        # value at i-1
+    lcur = pltpu.roll(vcur, 127, 1)                # value at i+1 (mod)
+    lprev = pltpu.roll(vprev, 127, 1)
+    cur0 = jnp.broadcast_to(
+        jnp.sum(jnp.where(lane == 0, vcur, 0.0), axis=1, keepdims=True),
+        (16, 128))
+    vp1c = jnp.where(lane == 127, vnext0_row, lcur)
+    vp1c = jnp.where(seg_end_col, 0.0, vp1c)
+    vp1p = jnp.where(lane == 127, cur0, lprev)
 
-    # global position index rides as f32 (exact below 2^24; S <= 2^20)
-    # NOTE: positions here are ROW-LOCAL (-128..127 relative to cur row
-    # start); converted to absolute by the caller. Row-local keeps the
-    # values tiny and exact.
-    pos = (colc - 128).astype(F32)
+    zf = jnp.zeros((16, 128), F32)
+    posc = lanef                                    # row-local position
+    posp = lanef - 128.0
 
-    def combine(acc_mx, acc_mn, d):
-        def half(cur, fills, better):
-            sh = [pltpu.roll(a, d, 1) for a in cur]
-            sh = [jnp.where(colc < d, f, s) for s, f in zip(sh, fills)]
-            take = better(sh[0], cur[0])
-            return [jnp.where(take, s, c) for s, c in zip(sh, cur)]
-        mx = half(acc_mx, [NEGF, 0.0, 0.0, 0.0], lambda a, b: a >= b)
-        mn = half(acc_mn, [POSF, 0.0, 0.0, 0.0], lambda a, b: a <= b)
-        return mx, mn
+    def chain(fillv, better):
+        acc = [(pick(zf + fillv, vprev), vcur),
+               (posp, posc),
+               (pick(zf, vm1p), vm1c),
+               (pick(zf, vp1p), vp1c)]
 
-    base_mx = [fill(cat_v, NEGF), pos, fill(vm1, 0.0), fill(vp1, 0.0)]
-    base_mn = [fill(cat_v, POSF), pos, fill(vm1, 0.0), fill(vp1, 0.0)]
-    mx, mn = base_mx, base_mn
-    p = 1
-    while 2 * p <= W:
-        mx, mn = combine(mx, mn, p)
-        p *= 2
-    if p < W:
-        mx, mn = combine(mx, mn, W - p)
+        def combine(acc, d):
+            out = []
+            shs = [pair_shift(p, c, d) for p, c in acc]
+            take_p = better(shs[0][0], acc[0][0])
+            take_c = better(shs[0][1], acc[0][1])
+            for (p, c), (sp, sc) in zip(acc, shs):
+                out.append((jnp.where(take_p, sp, p),
+                            jnp.where(take_c, sc, c)))
+            return out
 
-    out_half = colc >= 128
+        p = 1
+        while 2 * p <= W:
+            acc = combine(acc, p)
+            p *= 2
+        if p < W:
+            acc = combine(acc, W - p)
+        return [c for _, c in acc]
 
-    def cut(x):
-        return x[:, 128:]
+    wmax, k_top, prevmax, nextmax = chain(NEGF, lambda a, b: a >= b)
+    wmin, k_bot, prevmin, nextmin = chain(POSF, lambda a, b: a <= b)
 
-    wmax, k_top, prevmax, nextmax = (cut(a) for a in mx)
-    wmin, k_bot, prevmin, nextmin = (cut(a) for a in mn)
-    posr = cut(pos)
-    left_pos = posr - (W - 1)
+    left_pos = posc - float(W - 1)
     # v_left: the sample at the window's left edge; while the window is
-    # filling (s < W-1, first row block only) it clamps to the segment's
-    # first sample (precompute_window_features' iota < W-1 patch)
-    v_left = pltpu.roll(cat_v, W - 1, 1)[:, 128:]
-    filling = first_row & (posr < np.float32(W - 1))
-    v_left = jnp.where(filling, jnp.broadcast_to(col0_v, (16, 128)), v_left)
+    # filling (s < W-1, first row only) it clamps to the segment's first
+    # sample (precompute_window_features' iota < W-1 patch)
+    _, v_left = pair_shift(vprev, vcur, W - 1)
+    filling = first_row & (posc < np.float32(W - 1))
+    v_left = jnp.where(filling, col0_row, v_left)
     left_eff = jnp.where(filling, 0.0, left_pos)
     l_top = k_top - left_eff + 1.0
     l_bot = k_bot - left_eff + 1.0
@@ -512,31 +518,37 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                                        zf + 1.0, st_read("overflow")))
 
     # ---- sweep this step's RB rows: features -> admission ----
-    vblk = v_ref[0, :, :]                            # [16, RB*128]
-    vnxt0 = vnxt_ref[0, :, 0:1]                      # first col of next blk
+    def col0_bcast(blk):
+        return jnp.broadcast_to(
+            jnp.sum(jnp.where(lane == 0, blk, 0.0), axis=1, keepdims=True),
+            (16, 128))
+
     for rr in range(RB):
-        vcur = vblk[:, rr * 128:(rr + 1) * 128]
+        vcur = v_ref[0, :, rr * 128:(rr + 1) * 128]
         if rr == 0:
             vprev = srow("vmarg")
         else:
-            vprev = vblk[:, (rr - 1) * 128:rr * 128]
-        nxt0 = (vblk[:, (rr + 1) * 128:(rr + 1) * 128 + 1]
-                if rr < RB - 1 else vnxt0)
+            vprev = v_ref[0, :, (rr - 1) * 128:rr * 128]
+        nxt_blk = (v_ref[0, :, (rr + 1) * 128:(rr + 2) * 128]
+                   if rr < RB - 1 else vnxt_ref[0, :, :])
+        nxt0_row = col0_bcast(nxt_blk)
         base = rblk * (RB * 128) + rr * 128
         first_row = (rblk == 0) & (rr == 0)
 
         @pl.when(first_row)
         def _(vcur=vcur):
-            wrow("col0v", jnp.broadcast_to(vcur[:, 0:1], (16, 128)))
+            wrow("col0v", col0_bcast(vcur))
 
         posf = lanef + base.astype(F32)
         seg_end_col = posf == np.float32(S - 1)
-        col0v = srow("col0v")[:, 0:1]
 
         feats = []
         for Wd in wset:
-            f = _row_features(vprev, vcur, nxt0, Wd, first_row=first_row,
-                              seg_end_col=seg_end_col, col0_v=col0v)
+            f = _row_features(vprev, vcur, nxt0_row, Wd,
+                              first_row=first_row,
+                              seg_end_col=seg_end_col,
+                              col0_row=srow("col0v"),
+                              lane=lane, lanef=lanef)
             # row-local l/k outputs -> absolute-independent; posf absolute
             feats.append(f)
         if G == 1:
@@ -885,9 +897,9 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
         def _():
             bits_ref[0, :, pl.ds(bi * 128 + 128, 128)] = srow("bw1")
         if do_correct:
-            b0r = jnp.broadcast_to(srow("bits0")[:, 0:1], (16, 128))
+            # bits0 is lane-replicated: paste its value into column 0
             bits_ref[0, :, 0:128] = jnp.where(
-                lane == 0, b0r, bits_ref[0, :, 0:128])
+                lane == 0, srow("bits0"), bits_ref[0, :, 0:128])
 
         vals = zf
         for ln, col in (
@@ -920,11 +932,15 @@ def nrzi_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
                     max_slots: int, Ws, rises, minps, aalphas, awindows,
                     clk_windows, clk_alphas, pulse_adjs, midbits,
                     spb: float, do_correct: bool, agc_ring: int,
-                    interpret: bool = False):
+                    interpret: bool = None):
     """volts: [B, 16, S] f32 (padded tracks zero); meta: [B, 16, 128] f32
     (lanes M_*). Returns (bits [B, P, 16, MBP], hist [B, P, 16, 128],
     scal [B, P, 16, 128]) -- everything nrzi_finish needs, no
     reconstruction pass."""
+    if interpret is None:
+        # production gating keeps this kernel off CPU; tests that force it
+        # on (READTAPE_PALLAS=1) get interpret mode there automatically
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
     B = volts.shape[0]
     assert volts.shape[1] == 16 and volts.shape[2] == S
     assert S % (RB * 128) == 0 and T <= 16

@@ -440,6 +440,69 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
     return res
 
 
+def _nrzi_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
+                      skew_delay, pa: ParmArrays, spb, expected_parity,
+                      revparity, rise_floor, min_floor,
+                      stat_leftbin, stat_binwidth, *,
+                      S, T, P, maxb, max_slots, Ws, knobs, do_correct,
+                      differentiate, spb_int, agc_ring):
+    """One NRZI segment-batch group through the FUSED Mosaic kernel
+    (pallas_fused): features + admission + slot scan + bit accumulation in
+    one sweep; the only XLA work left is volts prep and nrzi_finish."""
+    from . import pallas_fused as pfu
+
+    _, track_knobs, slot_knobs = knobs
+    rises, minps, aalphas, awindows = zip(*track_knobs)
+    spb_f, clk_ws, clk_as, padjs, mbs = slot_knobs
+
+    def prep(o):
+        v_i16 = jax.lax.dynamic_slice(tape, (0, o), (T, S))
+        v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, S=S, T=T,
+                        differentiate=differentiate, spb_int=spb_int)
+        return jnp.pad(v, ((0, 16 - T), (0, 0)))
+
+    volts = jax.vmap(prep)(off)                        # [B, 16, S]
+
+    lanei = jnp.arange(128)
+
+    def meta1(ln, ld):
+        row = jnp.zeros(128, F32)
+        row = row.at[pfu.M_SEGLEN].set(ln.astype(F32))
+        row = row.at[pfu.M_LEAD].set(ld.astype(F32))
+        row = row.at[pfu.M_STATLB].set(stat_leftbin)
+        row = row.at[pfu.M_STATBW].set(stat_binwidth)
+        row = row.at[pfu.M_EXPPAR].set(expected_parity.astype(F32))
+        m = jnp.broadcast_to(row, (16, 128))
+        rf = jnp.pad(rise_floor, (0, 16 - T))
+        mf = jnp.pad(min_floor, (0, 16 - T))
+        m = jnp.where(lanei[None, :] == pfu.M_RISEF, rf[:, None], m)
+        m = jnp.where(lanei[None, :] == pfu.M_MINF, mf[:, None], m)
+        return m
+
+    meta = jax.vmap(meta1)(seg_lens, leads)
+
+    bits, hist, scal = pfu.nrzi_fused_scan(
+        volts, meta, S=S, T=T, P=P, maxb=maxb, max_slots=max_slots,
+        Ws=Ws, rises=rises, minps=minps, aalphas=aalphas,
+        awindows=awindows, clk_windows=clk_ws, clk_alphas=clk_as,
+        pulse_adjs=padjs, midbits=mbs, spb=spb_f, do_correct=do_correct,
+        agc_ring=max(max(awindows), 1))
+
+    def lane(bb, hh, ss):
+        st = pfu.fused_state(bb, hh, ss, T=T, maxb=maxb)
+        r = nrzi_mod.nrzi_finish(st, T, expected_parity, revparity, maxb)
+        r["end_s"] = st["end_s"]
+        r["unconsumed"] = jnp.sum(
+            jnp.maximum(st["n_admitted"] - st["kvis"], 0))
+        r["alltrk_max_agc"] = jnp.max(st["max_agc_gain"])
+        r["alltrk_min_agc"] = jnp.min(st["min_agc_gain"])
+        r["event_overflow"] = jnp.any(st["incomplete"])
+        r["fused_bail"] = st["bail"]
+        return r
+
+    return jax.vmap(jax.vmap(lane))(bits, hist, scal)
+
+
 def _nrzi_segment_pallas_finals(v, nxt, *, Ws):
     """Per-segment front end for the Pallas admission kernel: stack the
     per-distinct-width feature packs. Returns [G, T, 12, S]."""
@@ -598,12 +661,21 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
         return ikeys, fkeys, bkeys
 
     if mode == tb.MODE_NRZI and pallas_knobs is not None:
-        _group = partial(_nrzi_group_pallas,
-                         S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
-                         max_slots=max_slots, Ws=Ws, knobs=pallas_knobs,
-                         do_correct=do_correct, differentiate=differentiate,
-                         spb_int=spb_int, clk_ring=clk_ring,
-                         agc_ring=agc_ring)
+        if pallas_knobs[0] == "fused":
+            _group = partial(_nrzi_group_fused,
+                             S=S, T=T, P=P, maxb=maxb,
+                             max_slots=max_slots, Ws=Ws, knobs=pallas_knobs,
+                             do_correct=do_correct,
+                             differentiate=differentiate,
+                             spb_int=spb_int, agc_ring=agc_ring)
+        else:
+            _group = partial(_nrzi_group_pallas,
+                             S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
+                             max_slots=max_slots, Ws=Ws, knobs=pallas_knobs,
+                             do_correct=do_correct,
+                             differentiate=differentiate,
+                             spb_int=spb_int, clk_ring=clk_ring,
+                             agc_ring=agc_ring)
     else:
         def _group(tape, off, lens, leads, *args):
             v = jax.vmap(lambda o: jax.lax.dynamic_slice(
@@ -998,7 +1070,8 @@ class TapeDecoder:
 
     def decode_segment_batch(self, spans, fetch=True, bucket=None,
                              nparms=None, window=None, parm_sel=None,
-                             adj_init=None, correctdbg=False):
+                             adj_init=None, correctdbg=False,
+                             force_xla=False):
         """Decode a batch of same-bucket segments at once: the whole
         multi-stage pipeline is vmapped over the segment axis, so scan
         iterations amortize across every block on the tape (the third
@@ -1096,9 +1169,28 @@ class TapeDecoder:
         # scans run as a second Mosaic kernel except under -correct
         # (whose AGC-keyed bit flip needs the full XLA slot scan).
         pallas_knobs = None
-        if (opts.mode == tb.MODE_NRZI and _pallas_enabled()
+        fused_ok = (opts.mode == tb.MODE_NRZI and _pallas_enabled()
+                    and os.environ.get("READTAPE_FUSED", "1") == "1"
+                    and not opts.find_zeros and adj_init is None
+                    and not correctdbg and not force_xla
+                    and S % 1024 == 0 and S <= 1 << 20 and nparms <= 16
+                    and opts.ntrks <= 16 and max(Ws) <= 128)
+        if fused_ok:
+            # the FUSED kernel: one sweep, -correct included (the
+            # AGC-keyed flip runs in-kernel); READTAPE_FUSED=0 reverts
+            # to the two-kernel v3 path below
+            track_knobs = tuple(
+                (float(p.pkww_rise), float(p.min_peak),
+                 float(p.agc_alpha), int(p.agc_window)) for p in active)
+            slot_knobs = (float(spb),
+                          tuple(int(p.clk_window) for p in active),
+                          tuple(float(p.clk_alpha) for p in active),
+                          tuple(float(p.pulse_adj) for p in active),
+                          tuple(float(p.midbit) for p in active))
+            pallas_knobs = ("fused", track_knobs, slot_knobs)
+        elif (opts.mode == tb.MODE_NRZI and _pallas_enabled()
                 and not opts.find_zeros and adj_init is None
-                and not correctdbg
+                and not correctdbg and not force_xla
                 and S % 1024 == 0 and nparms <= 16
                 and 128 // (min(Ws) + 1) + 1 <= 32):
             track_knobs = tuple(
@@ -1939,18 +2031,34 @@ def _decode_tape_nrzi_like(samples, opts, log, decoder=None):
             int(res["blktype"][0]), int(res["errcount"][0]),
             int(res["warncount"][0]), int(res["minbits"][0]), opts.mode)
 
+    def rescue_bailed(idxs):
+        """Fused-kernel ring-pressure bail (pathological segments only):
+        re-decode those segments through the exact XLA path."""
+        bailed = [i for i in idxs
+                  if results[i] is not None
+                  and "fused_bail" in results[i]
+                  and np.any(results[i]["fused_bail"])]
+        for i in bailed:
+            res = dec.decode_segment_batch([(segs[i])], bucket=buckets[i],
+                                           force_xla=True)
+            results[i] = jax.tree.map(lambda x: x[0][0], res)
+        if bailed:
+            _tlog(f"fused bail fallback: {len(bailed)} segs")
+
     def decode_indices(idxs):
         import time as _time
         t0 = _time.perf_counter()
         pend = dispatch(idxs, 1)
         t1 = _time.perf_counter()
         collect(pend, results)
+        rescue_bailed(idxs)
         t2 = _time.perf_counter()
         _tlog(f"phase1({len(idxs)} segs) dispatch {t1-t0:.2f}s "
               f"collect {t2-t1:.2f}s")
         if opts.multiple_tries and dec.P > 1:
             retry = [i for i in idxs if not stopper(results[i])]
             collect(dispatch(retry, dec.P), results)
+            rescue_bailed(retry)
             _tlog(f"retry({len(retry)} segs) {_time.perf_counter()-t2:.2f}s")
 
     order = list(range(len(segs)))

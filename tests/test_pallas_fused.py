@@ -187,3 +187,30 @@ def test_fused_correct_matches_xla():
         np.testing.assert_array_equal(got["dc"], r["dc"], err_msg=msg)
         assert int(got["corrected_bits"]) == int(r["corrected_bits"]), msg
         assert int(got["faked_tracks"]) == int(r["faked_tracks"]), msg
+
+
+def test_fused_production_wiring(monkeypatch):
+    """End-to-end decode_tape through the fused group function (forced on
+    for CPU via READTAPE_PALLAS=1; the kernel runs in interpret mode):
+    decoded blocks must match the XLA path byte for byte."""
+    from readtape_tpu.decode import pipeline as pl
+    rng = np.random.default_rng(7)
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=0.004, start_gap_secs=0.004)
+    blocks = [bytes(rng.integers(0, 256, 200, dtype=np.uint8))
+              for _ in range(3)]
+    items = [("block", b) for b in blocks] + [("tapemark",)]
+    hdr, samples = synthesize_tape(spec, items)
+    opts = pl.DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,
+                            deltat=hdr.tdelta_ns * 1e-9,
+                            maxvolts=hdr.maxvolts)
+    monkeypatch.setenv("READTAPE_PALLAS", "0")
+    out_ref, stats_ref = pl.decode_tape(samples, opts)
+    monkeypatch.setenv("READTAPE_PALLAS", "1")
+    monkeypatch.setenv("READTAPE_FUSED", "1")
+    out_f, stats_f = pl.decode_tape(samples, opts)
+    assert [b.data for b in out_f] == [b.data for b in out_ref]
+    assert [b.kind for b in out_f] == [b.kind for b in out_ref]
+    assert stats_f["nblocks"] == 3 and stats_f["ntapemarks"] == 1
+    assert stats_f["nerrblocks"] == stats_ref["nerrblocks"]
+    np.testing.assert_array_equal(stats_f["peak_hist"],
+                                  stats_ref["peak_hist"])
