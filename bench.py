@@ -134,6 +134,10 @@ def main():
     nblocks = int(os.environ.get("BENCH_BLOCKS", "160"))
     blocksize = int(os.environ.get("BENCH_BLOCKSIZE", "1200"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # resident is the chip-capability number: median-of-5 with per-rep
+    # walls recorded, so a 2x ambient swing is distinguishable from a
+    # real regression (round-3 verdict: 5.95 vs 3.39 within one session)
+    reps_res = int(os.environ.get("BENCH_RES_REPS", "5"))
     spec = default_spec(tb.MODE_NRZI, ibg_secs=0.005, start_gap_secs=0.005)
 
     # one FRESH tape per timed rep (distinct data AND distinct waveform
@@ -151,7 +155,7 @@ def main():
         return blocks, hdr, samples
 
     t_synth = time.perf_counter()
-    tapes = [make_tape(2026 + i) for i in range(1 + reps)]
+    tapes = [make_tape(2026 + i) for i in range(1 + max(reps, reps_res))]
     blocks, hdr, samples = tapes[0]
     nsamples = samples.shape[0]
     print(f"# synthesized {1 + reps} tapes of {nsamples:,} samples in "
@@ -207,28 +211,42 @@ def main():
         return dt
 
     try:
+        import jax
+
+        # link-throughput probe: fresh random data so the relay's content
+        # dedup can't serve it from cache; gives the environment context
+        # that separates link regressions from chip regressions
+        probe = np.random.default_rng(int(time.time())).integers(
+            -2 ** 15, 2 ** 15, (8_000_000,), dtype=np.int16)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(probe))
+        link_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+
         # end-to-end: host samples in -> decoded+checked blocks out
-        best = None
+        e2e_walls = []
         for i in range(reps):
             blocks_i, _, samples_i = tapes[1 + i]
-            dt = run_checked(samples_i, blocks_i, f"end-to-end rep {i}")
-            best = dt if best is None else min(best, dt)
+            e2e_walls.append(run_checked(samples_i, blocks_i,
+                                         f"end-to-end rep {i}"))
+        best = min(e2e_walls)
 
         # HBM-resident: upload each rep tape fully (one-shot path), then
         # time the decode alone. Distinct tapes per rep so relay-side
         # program/data caches can't flatter the number.
-        import jax
         saved_granules = os.environ.get("READTAPE_GRANULES")
         os.environ["READTAPE_GRANULES"] = "0"   # one-shot resident upload
         try:
-            best_res = None
-            for i in range(reps):
-                blocks_i, _, samples_i = tapes[1 + i]
+            res_walls, upload_walls = [], []
+            for i in range(reps_res):
+                blocks_i, _, samples_i = tapes[1 + (i % max(reps, reps_res))]
+                t0 = time.perf_counter()
                 dec = TapeDecoder(samples_i, opts)
                 jax.block_until_ready(dec.v_i16)
-                dt = run_checked(samples_i, blocks_i, f"resident rep {i}",
-                                 decoder=dec)
-                best_res = dt if best_res is None else min(best_res, dt)
+                upload_walls.append(time.perf_counter() - t0)
+                res_walls.append(run_checked(samples_i, blocks_i,
+                                             f"resident rep {i}",
+                                             decoder=dec))
+            med_res = sorted(res_walls)[len(res_walls) // 2]
         finally:
             if saved_granules is None:
                 os.environ.pop("READTAPE_GRANULES", None)
@@ -249,7 +267,12 @@ def main():
         "value": round(msps, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
-        "resident_msps": round(nsamples / best_res / 1e6, 3),
+        "resident_msps": round(nsamples / med_res / 1e6, 3),
+        "resident_best_msps": round(nsamples / min(res_walls) / 1e6, 3),
+        "e2e_walls_s": [round(x, 3) for x in e2e_walls],
+        "resident_walls_s": [round(x, 3) for x in res_walls],
+        "upload_walls_s": [round(x, 3) for x in upload_walls],
+        "link_mbps": round(link_mbps, 1),
         "kernel_path": kernel_path,
         "fallback": fallback,
         "oracle_tap": oracle_tap,

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import common as cm
 from .common import F32, I32
 
-RB = 8                       # 128-sample rows per grid step
+RB = 16                      # 128-sample rows per grid step
 NEG = np.float32(-1e30)
 NEGF = np.float32(-3.0e38)   # stage1.NEG (loose-candidate fill)
 POSF = np.float32(3.0e38)
@@ -338,7 +338,12 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
     # ======================================================================
     # 1. admission for this step's RB rows
     # ======================================================================
-    A_MAX = min(64, 128 // (min(Ws) + 1) + 2)
+    # worst-case admissions per 128-sample row: the blind window only
+    # guarantees successive admission POSITIONS 2 apart (peak at the
+    # window's left edge), so cover 64+2; the commit loop is
+    # hierarchically guarded (work count is monotone within a row), so
+    # dead iterations cost ~one branch per 8
+    A_MAX = 66
 
     def elig_fn(feat, cand_full, posf):
         wmax, wmin, v_left, v_right = (feat["wmax"], feat["wmin"],
@@ -511,7 +516,13 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                 smem_ref[SM_AWORK] = jnp.sum(e2.astype(F32))
             return carry
 
-        jax.lax.fori_loop(0, A_MAX, slot_body, 0)
+        def commit_block(o, carry):
+            @pl.when(smem_ref[SM_AWORK] > 0.0)
+            def _():
+                jax.lax.fori_loop(0, 8, slot_body, 0)
+            return carry
+
+        jax.lax.fori_loop(0, -(-A_MAX // 8), commit_block, 0)
         # eligibility left after A_MAX commits: admission overflow (the
         # XLA path's `incomplete`; consumers only use any())
         st_write("overflow", jnp.where(smem_ref[SM_AWORK] > 0.0,
@@ -872,13 +883,34 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                 smem_ref[SM_BITBASE] = bb + 128.0
         return carry
 
-    jax.lax.fori_loop(0, SLMAX, slot_iteration, 0)
+    def slot_block(nouter, inner):
+        """Hierarchically guarded slot loop: the can_run condition is
+        monotone non-increasing within a grid step (s_z and nslot only
+        grow, done is sticky), so a whole inner block can be skipped on
+        one check -- dead tail iterations cost ~one branch per `inner`
+        slots instead of one each."""
+        def outer(o, carry):
+            t_lc0 = smem_ref[SM_TLC]
+            b0 = smem_ref[SM_AVG]
+            s_z0 = jnp.floor(t_lc0 + 2.0 * b0) + 1.0
+            alive = ((smem_ref[SM_STARTED] > 0.5) &
+                     (smem_ref[SM_DONE] < 0.5) & (s_z0 <= boundary) &
+                     (smem_ref[SM_NSLOT] < float(max_slots)))
+
+            @pl.when(alive)
+            def _():
+                jax.lax.fori_loop(0, inner, slot_iteration, 0)
+            return carry
+
+        jax.lax.fori_loop(0, nouter, outer, 0)
+
+    slot_block(-(-SLMAX // 8), 8)
 
     # tail: after the last row block the boundary is gone -- run the slot
     # machine to completion (postamble end / past-segment / slot cap)
     @pl.when(last_blk)
     def _():
-        jax.lax.fori_loop(0, max_slots, slot_iteration, 0)
+        slot_block(-(-max_slots // 16), 16)
 
     # ======================================================================
     # 3. finalization at the segment's last grid step
@@ -1013,3 +1045,628 @@ def fused_state(bits, hist, scal, *, T: int, maxb: int):
         incomplete=col(L_INCOMP) > 0.5,
         bail=scal[0, L_BAIL] > 0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# PE: per-track self-clocked machine (decode_pe.c) in the same fused
+# skeleton -- features + admission + bit emission, no global slot scan.
+# ---------------------------------------------------------------------------
+
+M_CLKFAC = 7                  # extra meta lane: clk_factor rides per parmset
+                              # via compile-time knobs instead; lane unused
+
+# scal output lanes (PE)
+(PL_DC, PL_TFIRST, PL_TLAST, PL_CORR, PL_MAXAGC, PL_MINAGC, PL_TRKSUM,
+ PL_INCOMP, PL_NRUNS, PL_DATABLK, PL_BAIL, PL_PEAKCNT) = range(12)
+
+# SMEM slots (PE)
+PSM_AWORK, PSM_BITBASE, PSM_BAIL = range(3)
+PN_SM = 3
+
+
+def _pe_layout(agc_ring: int, clk_ring: int):
+    off = {}
+    n = 0
+
+    def alloc(name, rows=16):
+        nonlocal n
+        off[name] = n
+        n += rows
+
+    for f in ("blind", "v_top", "v_bot", "peakcount", "agc", "vah",
+              "vah_sum", "vah_cnt", "hndx", "max_agc", "min_agc",
+              "v_lasttop", "v_lastbot", "overflow"):
+        alloc(f"adm_{f}")
+    for k in range(agc_ring):
+        alloc(f"admring_{k}")
+    for nm in ("elig", "idle", "datablock", "clknext", "bit1up",
+               "tclkw", "tpadj", "tlastbit", "tfirstbit", "tlastpeak",
+               "dc", "lastbit", "corr", "clkavg", "clkndx", "clkring",
+               "bw0", "bw1", "nruns", "rstart", "rlen", "rbit",
+               "trksum", "vmarg", "col0v"):
+        alloc(nm)
+    alloc("misc", 1)
+    return off, n
+
+
+def _pe_kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
+               runs_ref, st_ref, smem_ref, *, P, T, S, maxb, MBP,
+               Ws, rises, minps, aalphas, awindows, clk_windows,
+               clk_alphas, clk_factors, pulse_adjs,
+               spb, agc_ring, clk_ring):
+    n_rblks = pl.num_programs(1)
+    rblk = pl.program_id(1)
+    last_blk = rblk == n_rblks - 1
+    p_id = pl.program_id(0) % P
+    sub = jax.lax.broadcasted_iota(I32, (16, 128), 0)
+    lane = jax.lax.broadcasted_iota(I32, (16, 128), 1)
+    zf = jnp.zeros((16, 128), F32)
+    active = sub < T
+    lanef = lane.astype(F32)
+    OFF, _NR = _pe_layout(agc_ring, clk_ring)
+
+    def srow(name):
+        o = OFF[name]
+        nrow = 1 if name == "misc" else 16
+        return st_ref[o:o + nrow, :]
+
+    def wrow(name, val):
+        o = OFF[name]
+        nrow = 1 if name == "misc" else 16
+        st_ref[o:o + nrow, :] = val
+
+    def st_read(k):
+        return srow(f"adm_{k}") if isinstance(k, str) else srow(f"admring_{k}")
+
+    def st_write(k, val):
+        if isinstance(k, str):
+            wrow(f"adm_{k}", val)
+        else:
+            wrow(f"admring_{k}", val)
+
+    def kfv(vals):
+        out = zf + jnp.float32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, zf + jnp.float32(vals[p]), out)
+        return out
+
+    def kiv(vals):
+        out = sub * 0 + jnp.int32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, sub * 0 + jnp.int32(vals[p]), out)
+        return out
+
+    rise_k = kfv(rises)
+    minp_k = kfv(minps)
+    aal_k = kfv(aalphas)
+    awin_k = kiv(awindows)
+    clkw_k = kfv([float(x) for x in clk_windows])
+    clka_k = kfv(clk_alphas)
+    clkf_k = kfv(clk_factors)
+    padj_k = kfv(pulse_adjs)
+    wset = sorted(set(Ws))
+    G = len(wset)
+    grp_k = kiv([wset.index(w) for w in Ws])
+    W_f = kfv([float(w) for w in Ws])
+
+    meta = meta_ref[0, :, :]
+
+    def meta_scalar(lane_idx):
+        return jnp.sum(jnp.where((sub == 0) & (lane == lane_idx), meta, 0.0))
+
+    def meta_col(lane_idx):
+        c = jnp.sum(jnp.where(lane == lane_idx, meta, 0.0), axis=1,
+                    keepdims=True)
+        return jnp.broadcast_to(c, (16, 128))
+
+    seg_len = meta_scalar(M_SEGLEN)
+    lead_len = meta_scalar(M_LEAD)
+    stat_lb = meta_scalar(M_STATLB)
+    stat_bw = meta_scalar(M_STATBW)
+    rf_col = meta_col(M_RISEF)
+    mf_col = meta_col(M_MINF)
+
+    @pl.when(rblk == 0)
+    def _():
+        st_write("blind", zf - 1.0)
+        st_write("v_top", zf)
+        st_write("v_bot", zf)
+        st_write("peakcount", zf)
+        st_write("agc", zf + 1.0)
+        st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
+        st_write("vah_sum", zf)
+        st_write("vah_cnt", zf)
+        st_write("hndx", zf)
+        st_write("max_agc", zf)
+        st_write("min_agc", zf + cm.FLT_MAX)
+        st_write("v_lasttop", zf)
+        st_write("v_lastbot", zf)
+        st_write("overflow", zf)
+        for k in range(agc_ring):
+            st_write(k, zf)
+        for nm in ("elig", "datablock", "clknext", "tpadj", "tlastbit",
+                   "tfirstbit", "tlastpeak", "dc", "lastbit", "corr",
+                   "clkndx", "bw0", "bw1", "nruns", "rstart", "rlen",
+                   "rbit", "trksum", "vmarg", "col0v"):
+            wrow(nm, zf)
+        wrow("idle", zf + 1.0)
+        wrow("bit1up", zf + 1.0)
+        wrow("tclkw", zf + jnp.float32(spb) / 2.0 * clkf_k)
+        wrow("clkavg", zf + jnp.float32(spb))
+        wrow("clkring", zf + jnp.float32(spb))
+        for sm, val in ((PSM_AWORK, 0.0), (PSM_BITBASE, 0.0),
+                        (PSM_BAIL, 0.0)):
+            smem_ref[sm] = jnp.float32(val)
+        for k in range(MBP // 128):
+            bits_ref[0, :, k * 128:(k + 1) * 128] = zf
+        hist_ref[0, :, :] = zf
+
+    A_MAX = 66        # worst-case per-row admissions (see NRZI kernel)
+
+    def bits_write(idx_col, val, mask):
+        base = smem_ref[PSM_BITBASE]
+        rel = idx_col - base
+        oob = mask & ((rel < 0.0) | (rel >= 256.0))
+        smem_ref[PSM_BAIL] = jnp.where(jnp.sum(jnp.where(oob, 1.0, 0.0))
+                                       > 0.0, 1.0, smem_ref[PSM_BAIL])
+        m0 = mask & (rel >= 0.0) & (rel < 128.0) & (lanef == rel)
+        m1 = mask & (rel >= 128.0) & (rel < 256.0) & (lanef == rel - 128.0)
+        wrow("bw0", jnp.where(m0, val, srow("bw0")))
+        wrow("bw1", jnp.where(m1, val, srow("bw1")))
+
+    def elig_fn(feat, cand_full, posf):
+        wmax, wmin, v_left, v_right = (feat["wmax"], feat["wmin"],
+                                       feat["v_left"], feat["v_right"])
+        no_min = minp_k == 0.0
+
+        def elig(agc, vah, blind):
+            scale = vah / cm.PKWW_PEAKHEIGHT
+            rise = rise_k * scale / agc
+            rmin = minp_k * scale / agc
+            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
+                      (no_min | (wmax > rmin)))
+            is_bot = ((~is_top) & (wmin < v_left - rise) &
+                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
+            return (is_top | is_bot) & cand_full & (posf > blind), is_top
+        return elig
+
+    def row_admission(feat, cand_full, posf):
+        (wmax, wmin, l_top, prevmax, nextmax, l_bot, prevmin, nextmin) = (
+            feat["wmax"], feat["wmin"], feat["l_top"], feat["prevmax"],
+            feat["nextmax"], feat["l_bot"], feat["prevmin"], feat["nextmin"])
+        elig = elig_fn(feat, cand_full, posf)
+
+        e0, _ = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+        wrow("elig", jnp.where(e0, 1.0, 0.0))
+        smem_ref[PSM_AWORK] = jnp.sum(e0.astype(F32))
+
+        def commit(j, carry):
+            @pl.when(smem_ref[PSM_AWORK] > 0.0)
+            def _():
+                agc = st_read("agc")
+                vah = st_read("vah")
+                e = srow("elig") > 0.5
+
+                li = jnp.min(jnp.where(e, lane, 9999), axis=1,
+                             keepdims=True)
+                li = jnp.broadcast_to(li, lane.shape)
+                adm = (li < 9999) & active
+                sel = (lane == li) & adm
+
+                def ext(x):
+                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                keepdims=True)
+                    return jnp.broadcast_to(v, lane.shape)
+
+                scale = vah / cm.PKWW_PEAKHEIGHT
+                rise = rise_k * scale / agc
+                rmin = minp_k * scale / agc
+                no_min = minp_k == 0.0
+                top_row = ((wmax > feat["v_left"] + rise) &
+                           (wmax > feat["v_right"] + rise) &
+                           (no_min | (wmax > rmin)))
+                is_top = ext(jnp.where(top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(jnp.where(top_row, l_top, l_bot))
+                val = ext(jnp.where(top_row, wmax, wmin))
+                prev = ext(jnp.where(top_row, prevmax, prevmin))
+                nxt = ext(jnp.where(top_row, nextmax, nextmin))
+                s_f = ext(posf)
+
+                thr = cm.PEAK_THRESHOLD / agc
+                ref = jnp.where(is_top, val - thr, val + thr)
+                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
+                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+                adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                                jnp.where(n_close & ~p_close, F32(0.5),
+                                          F32(0.0)))
+                t_this = s_f - ((W_f - L) - adj)
+
+                # ---- pe_track_scan extra() as column ops ----
+                v_top2 = jnp.where(is_top, val, st_read("v_top"))
+                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+                b = srow("clkavg")
+                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
+
+                was_idle = (srow("idle") > 0.5) | (
+                    (s_f - 1.0 - srow("tlastpeak")) >
+                    b * cm.PE_IDLE_FACTOR)
+                dblk = srow("datablock") > 0.5
+                dc0 = srow("dc")
+                gen_fakes = adm & was_idle & dblk & (dc0 > 1.0)
+                numfake = jnp.floor((s_f - srow("tlastbit")) /
+                                    jnp.maximum(b, 1e-3))
+                numfake = jnp.where(gen_fakes, jnp.maximum(numfake, 0.0),
+                                    0.0)
+                run_valid = gen_fakes & (numfake > 0.0)
+                dc = jnp.minimum(dc0 + numfake, float(maxb))
+                t_lastbit = jnp.where(run_valid, 0.0, srow("tlastbit"))
+                lastbit = srow("lastbit")
+                clknext_f = jnp.where(gen_fakes,
+                                      jnp.where(lastbit > 0.5, 1.0, 0.0),
+                                      srow("clknext"))
+                wrow("idle", jnp.where(adm, 0.0, srow("idle")))
+
+                # record the fake run (cap RUN_CAP=128 like the XLA path;
+                # overflow overwrites the last slot)
+                nr = srow("nruns")
+                ncl = jnp.minimum(nr, 127.0)
+                rm = run_valid & (lanef == ncl)
+                wrow("rstart", jnp.where(rm, dc0, srow("rstart")))
+                wrow("rlen", jnp.where(rm, numfake, srow("rlen")))
+                wrow("rbit", jnp.where(rm, lastbit, srow("rbit")))
+                wrow("nruns", nr + jnp.where(run_valid, 1.0, 0.0))
+
+                # ---- preamble ----
+                in_pre = adm & (~dblk)
+                first_peak = in_pre & (pc == 1.0)
+                bit1_up = jnp.where(first_peak,
+                                    jnp.where(is_top, 0.0, 1.0),
+                                    srow("bit1up"))
+                b1u = bit1_up > 0.5
+                start_data = (in_pre & (pc > cm.PE_MIN_PREBITS) &
+                              (b1u == is_top) &
+                              ((t_this - srow("tlastpeak")) >
+                               srow("tclkw")))
+                clknext_pre = jnp.where(is_top != b1u, 1.0, 0.0)
+                vah_cnt = st_read("vah_cnt")
+                acc_ok = (in_pre & (~start_data) &
+                          (pc >= cm.AGC_STARTBASE) &
+                          (pc <= cm.AGC_ENDBASE) & (v_top2 > v_bot2))
+                height = v_top2 - v_bot2
+                hndx = st_read("hndx")
+                hndx_acc = jnp.where(hndx + 1.0 >= awin_k.astype(F32),
+                                     F32(0.0), hndx + 1.0)
+                vah_sum2 = jnp.where(acc_ok, st_read("vah_sum") + height,
+                                     st_read("vah_sum"))
+                vah_cnt2 = jnp.where(acc_ok, vah_cnt + 1.0, vah_cnt)
+                ring_rows = [st_read(k) for k in range(agc_ring)]
+                ring2 = [jnp.where(acc_ok & (hndx == k), height,
+                                   ring_rows[k]) for k in range(agc_ring)]
+                hndx2 = jnp.where(acc_ok, hndx_acc, hndx)
+                datablock2 = jnp.where(start_data, 1.0,
+                                       srow("datablock"))
+                vah2 = jnp.where(
+                    start_data,
+                    st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0), vah)
+
+                # ---- data classification ----
+                in_data = adm & dblk
+                stat_val = t_this - srow("tlastpeak")
+                stat_bkt = ((stat_val - stat_lb) / stat_bw).astype(I32)
+                code = jnp.where(stat_bkt < 0, 0,
+                                 jnp.where(stat_bkt > 49, 49, stat_bkt))
+                stat_ok = in_data
+                hist_ref[0, :, :] = hist_ref[0, :, :] + jnp.where(
+                    stat_ok & (lane == code), 1.0, 0.0)
+                wrow("trksum", srow("trksum") + jnp.where(
+                    stat_ok & (stat_bkt >= 0) & (stat_bkt <= 49) &
+                    (lane == 0), 1.0, 0.0))
+
+                missed = ((t_this + srow("tpadj")) - srow("tlastpeak")
+                          ) > srow("tclkw")
+                is_data = in_data & ((srow("clknext") < 0.5) | missed)
+                bitval = jnp.where(is_top, bit1_up, 1.0 - bit1_up)
+
+                t_lb_seed = jnp.where(t_lastbit == 0.0,
+                                      t_this - jnp.float32(spb), t_lastbit)
+                delta = t_this - t_lb_seed
+                # adjust_clock (window / exp / const)
+                ndx = srow("clkndx")
+                ring = srow("clkring")
+                old = jnp.sum(jnp.where(lanef == ndx, ring, 0.0), axis=1,
+                              keepdims=True)
+                old = jnp.broadcast_to(old, (16, 128))
+                use_w = clkw_k > 0.0
+                use_e = (~use_w) & (clka_k > 0.0)
+                avg_w = b + (delta - old) / jnp.maximum(clkw_k, 1.0)
+                avg_e = clka_k * delta + (1.0 - clka_k) * b
+                avg_new = jnp.where(use_w, avg_w,
+                                    jnp.where(use_e, avg_e,
+                                              jnp.float32(spb)))
+                upd = is_data
+                wrow("clkring", jnp.where(
+                    upd & use_w & (lanef == ndx), delta, ring))
+                ndx2 = jnp.where(ndx + 1.0 >= clkw_k, 0.0, ndx + 1.0)
+                wrow("clkndx", jnp.where(upd & use_w, ndx2, ndx))
+                clkavg2 = jnp.where(upd, avg_new, b)
+                wrow("clkavg", clkavg2)
+                wrow("tclkw", jnp.where(
+                    is_data, clkavg2 / 2.0 * clkf_k, srow("tclkw")))
+
+                widx = jnp.minimum(dc, float(maxb - 1))
+                bits_write(widx, bitval, is_data)
+                wrow("tfirstbit", jnp.where(is_data & (dc == 0.0), t_this,
+                                            srow("tfirstbit")))
+                dc2 = jnp.where(is_data,
+                                jnp.minimum(dc + 1.0, float(maxb)), dc)
+                wrow("dc", dc2)
+                t_lastbit = jnp.where(is_data, t_this, t_lastbit)
+                wrow("tlastbit", t_lastbit)
+                wrow("lastbit", jnp.where(is_data, bitval,
+                                          srow("lastbit")))
+                wrow("clknext", jnp.where(
+                    in_data, jnp.where(is_data, 1.0, 0.0),
+                    jnp.where(in_pre & (~start_data), clknext_pre,
+                              clknext_f)))
+                wrow("tpadj", jnp.where(
+                    in_data,
+                    ((t_this - srow("tlastpeak")) -
+                     clkavg2 / jnp.where(missed, 1.0, 2.0)) * padj_k,
+                    srow("tpadj")))
+                wrow("corr", srow("corr") +
+                     jnp.where(run_valid, numfake, 0.0))
+
+                # ---- AGC (adjust_agc on every data-block peak) ----
+                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+                hgt_ok = lastheight > 0.0
+                use_exp = aal_k > 0.0
+                use_win = awin_k > 0
+                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
+                g_exp = jnp.minimum(aal_k * g_exp + (1 - aal_k) * agc,
+                                    cm.AGC_MAX_VALUE)
+                ring3 = [jnp.where(in_data & use_win & hgt_ok &
+                                   (hndx2 == k), lastheight, ring2[k])
+                         for k in range(agc_ring)]
+                minh = zf + cm.FLT_MAX
+                for k in range(agc_ring):
+                    minh = jnp.minimum(
+                        minh, jnp.where(k < awin_k, ring3[k], cm.FLT_MAX))
+                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
+                                    cm.AGC_MAX_VALUE)
+                agc2 = jnp.where(in_data & use_exp & hgt_ok, g_exp, agc)
+                agc2 = jnp.where(in_data & use_win & hgt_ok, g_win, agc2)
+                hndx3 = jnp.where(in_data & use_win & hgt_ok, hndx_acc,
+                                  hndx2)
+                changed = in_data & (use_exp | use_win) & hgt_ok
+                max_agc2 = jnp.where(changed & (agc2 > st_read("max_agc")),
+                                     agc2, st_read("max_agc"))
+                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                     agc2, st_read("min_agc"))
+
+                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+                st_write("blind", blind2)
+                st_write("v_top", v_top2)
+                st_write("v_bot", v_bot2)
+                st_write("peakcount", pc)
+                st_write("agc", agc2)
+                st_write("vah", vah2)
+                st_write("vah_sum", vah_sum2)
+                st_write("vah_cnt", vah_cnt2)
+                st_write("hndx", hndx3)
+                st_write("max_agc", max_agc2)
+                st_write("min_agc", min_agc2)
+                st_write("v_lasttop", jnp.where(is_top, val,
+                                                st_read("v_lasttop")))
+                st_write("v_lastbot", jnp.where(is_bot, val,
+                                                st_read("v_lastbot")))
+                for k in range(agc_ring):
+                    st_write(k, ring3[k])
+                wrow("datablock", datablock2)
+                wrow("bit1up", bit1_up)
+                wrow("tlastpeak", jnp.where(adm, t_this,
+                                            srow("tlastpeak")))
+                st_write("vah", vah2)
+
+                # flush the rolling bit window on pressure or a run jump
+                mx = jnp.max(jnp.where(active & (lane == 0), dc2, 0.0))
+                bb = smem_ref[PSM_BITBASE]
+
+                @pl.when((mx - bb >= 224.0) & (bb + 128.0 < float(MBP)))
+                def _():
+                    bi = (bb / 128.0).astype(I32)
+                    bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+                    wrow("bw0", srow("bw1"))
+                    wrow("bw1", zf)
+                    smem_ref[PSM_BITBASE] = bb + 128.0
+
+                # run jump beyond the window: flush both blocks and skip
+                # base forward (skipped positions are run-filled in XLA).
+                # Tracks that never entered a datablock write no bits, so
+                # they don't hold the window back (a dead track otherwise
+                # pins dc=0 forever and every live write would bail).
+                bb2 = smem_ref[PSM_BITBASE]
+                mn = jnp.min(jnp.where(
+                    active & (lane == 0) & (srow("datablock") > 0.5),
+                    dc2, 1e9))
+
+                @pl.when((mn - bb2 >= 256.0) & (mn < 1e8))
+                def _():
+                    bi = (bb2 / 128.0).astype(I32)
+
+                    @pl.when(bb2 + 128.0 <= float(MBP))
+                    def _():
+                        bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+
+                    @pl.when(bb2 + 256.0 <= float(MBP))
+                    def _():
+                        bits_ref[0, :, pl.ds(bi * 128 + 128, 128)] = \
+                            srow("bw1")
+                    wrow("bw0", zf)
+                    wrow("bw1", zf)
+                    nb = jnp.minimum(jnp.floor(mn / 128.0) * 128.0,
+                                     float(MBP - 128))
+                    smem_ref[PSM_BITBASE] = nb
+
+                e2, _ = elig(agc2, vah2, blind2)
+                wrow("elig", jnp.where(e2, 1.0, 0.0))
+                smem_ref[PSM_AWORK] = jnp.sum(e2.astype(F32))
+            return carry
+
+        def commit_block(o, carry):
+            @pl.when(smem_ref[PSM_AWORK] > 0.0)
+            def _():
+                jax.lax.fori_loop(0, 8, commit, 0)
+            return carry
+
+        jax.lax.fori_loop(0, -(-A_MAX // 8), commit_block, 0)
+        st_write("overflow", jnp.where(smem_ref[PSM_AWORK] > 0.0,
+                                       zf + 1.0, st_read("overflow")))
+
+    # ---- sweep rows ----
+    def col0_bcast(blk):
+        return jnp.broadcast_to(
+            jnp.sum(jnp.where(lane == 0, blk, 0.0), axis=1, keepdims=True),
+            (16, 128))
+
+    for rr in range(RB):
+        vcur = v_ref[0, :, rr * 128:(rr + 1) * 128]
+        if rr == 0:
+            vprev = srow("vmarg")
+        else:
+            vprev = v_ref[0, :, (rr - 1) * 128:rr * 128]
+        nxt_blk = (v_ref[0, :, (rr + 1) * 128:(rr + 2) * 128]
+                   if rr < RB - 1 else vnxt_ref[0, :, :])
+        nxt0_row = col0_bcast(nxt_blk)
+        base = rblk * (RB * 128) + rr * 128
+        first_row = (rblk == 0) & (rr == 0)
+
+        @pl.when(first_row)
+        def _(vcur=vcur):
+            wrow("col0v", col0_bcast(vcur))
+
+        posf = lanef + base.astype(F32)
+        seg_end_col = posf == np.float32(S - 1)
+
+        feats = []
+        for Wd in wset:
+            feats.append(_row_features(
+                vprev, vcur, nxt0_row, Wd, first_row=first_row,
+                seg_end_col=seg_end_col, col0_row=srow("col0v"),
+                lane=lane, lanef=lanef))
+        if G == 1:
+            feat = feats[0]
+        else:
+            feat = {k: feats[0][k] for k in feats[0]}
+            for g in range(1, G):
+                feat = {k: jnp.where(grp_k == g, feats[g][k], feat[k])
+                        for k in feat}
+
+        wmax, wmin, v_left = feat["wmax"], feat["wmin"], feat["v_left"]
+        no_mf = mf_col <= 0.0
+        topc = ((wmax > v_left + rf_col) & (wmax > vcur + rf_col) &
+                (no_mf | (wmax > mf_col)))
+        botc = ((wmin < v_left - rf_col) & (wmin < vcur - rf_col) &
+                (no_mf | (wmin < -mf_col)))
+        cand_full = ((topc | botc) & active &
+                     (posf >= lead_len) & (posf < seg_len))
+        row_admission(feat, cand_full, posf)
+        if rr == RB - 1:
+            wrow("vmarg", vcur)
+
+    # ---- finalization ----
+    @pl.when(last_blk)
+    def _():
+        bb = smem_ref[PSM_BITBASE]
+        bi = (bb / 128.0).astype(I32)
+
+        @pl.when(bb < float(MBP))
+        def _():
+            bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+
+        @pl.when(bb + 128.0 < float(MBP))
+        def _():
+            bits_ref[0, :, pl.ds(bi * 128 + 128, 128)] = srow("bw1")
+
+        vals = zf
+        for ln, col in (
+                (PL_DC, srow("dc")),
+                (PL_TFIRST, srow("tfirstbit")),
+                (PL_TLAST, srow("tlastbit")),
+                (PL_CORR, srow("corr")),
+                (PL_MAXAGC, st_read("max_agc")),
+                (PL_MINAGC, st_read("min_agc")),
+                (PL_TRKSUM, jnp.broadcast_to(
+                    jnp.sum(jnp.where(lane == 0, srow("trksum"), 0.0),
+                            axis=1, keepdims=True), (16, 128))),
+                (PL_INCOMP, st_read("overflow")),
+                (PL_NRUNS, srow("nruns")),
+                (PL_DATABLK, srow("datablock")),
+                (PL_PEAKCNT, st_read("peakcount"))):
+            vals = jnp.where(lane == ln, col, vals)
+        vals = jnp.where(lane == PL_BAIL, zf + smem_ref[PSM_BAIL], vals)
+        scal_ref[0, :, :] = vals
+        runs_ref[0, 0, :, :] = srow("rstart")
+        runs_ref[0, 1, :, :] = srow("rlen")
+        runs_ref[0, 2, :, :] = srow("rbit")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "T", "P", "maxb", "Ws", "rises", "minps", "aalphas",
+    "awindows", "clk_windows", "clk_alphas", "clk_factors", "pulse_adjs",
+    "spb", "agc_ring", "clk_ring", "interpret"))
+def pe_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
+                  Ws, rises, minps, aalphas, awindows, clk_windows,
+                  clk_alphas, clk_factors, pulse_adjs, spb: float,
+                  agc_ring: int, clk_ring: int, interpret: bool = None):
+    """PE per-track fused scan. Returns (bits [B,P,16,MBP],
+    hist [B,P,16,128], scal [B,P,16,128], runs [B,P,3,16,128])."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    B = volts.shape[0]
+    assert volts.shape[1] == 16 and volts.shape[2] == S
+    assert S % (RB * 128) == 0 and T <= 16
+    n_rblks = S // (RB * 128)
+    R = S // 128
+    MBP = -(-maxb // 128) * 128
+
+    kern = functools.partial(
+        _pe_kernel, P=P, T=T, S=S, maxb=maxb, MBP=MBP, Ws=Ws, rises=rises,
+        minps=minps, aalphas=aalphas, awindows=awindows,
+        clk_windows=clk_windows, clk_alphas=clk_alphas,
+        clk_factors=clk_factors, pulse_adjs=pulse_adjs, spb=spb,
+        agc_ring=agc_ring, clk_ring=clk_ring)
+    _, n_rows = _pe_layout(agc_ring, clk_ring)
+
+    bits, hist, scal, runs = pl.pallas_call(
+        kern,
+        grid=(B * P, n_rblks),
+        in_specs=[
+            pl.BlockSpec((1, 16, 128), lambda i, r, P=P: (i // P, 0, 0)),
+            pl.BlockSpec((1, 16, RB * 128),
+                         lambda i, r, P=P: (i // P, 0, r)),
+            pl.BlockSpec((1, 16, 128),
+                         lambda i, r, P=P, R=R:
+                         (i // P, 0, jnp.minimum(r * RB + RB, R - 1))),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 16, MBP), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 3, 16, 128), lambda i, r: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * P, 16, MBP), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 3, 16, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, 128), jnp.float32),
+            pltpu.SMEM((PN_SM,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, volts, volts)
+    return (bits.reshape(B, P, 16, MBP), hist.reshape(B, P, 16, 128),
+            scal.reshape(B, P, 16, 128), runs.reshape(B, P, 3, 16, 128))

@@ -146,11 +146,16 @@ class BlockResult:
 # dispatched from decode_tape below.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("S", "T", "differentiate", "spb_int"))
+@partial(jax.jit, static_argnames=("S", "T", "differentiate", "spb_int",
+                                   "apply_skew"))
 def _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, *,
-                S, T, differentiate, spb_int):
+                S, T, differentiate, spb_int, apply_skew=True):
     """int16 -> float32 volts, optional differentiation (readtape.c:1383),
-    per-track deskew delay lines (decoder.c:819-830)."""
+    per-track deskew delay lines (decoder.c:819-830).
+
+    apply_skew=False skips the delay-line gather entirely (a [T, S]
+    take_along_axis costs ~10 ms per 16-segment batch on the v5e);
+    callers pass the host-side fact that every skew delay is zero."""
     v = v_i16.astype(F32) * (maxvolts / 32767.0) * invert_sign
     if differentiate:
         prev = jnp.concatenate([jnp.zeros((T, 1), F32), v[:, :-1]], axis=1)
@@ -158,6 +163,8 @@ def _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, *,
         d = jnp.where((d < DIFFERENTIATE_THRESHOLD) &
                       (d > -DIFFERENTIATE_THRESHOLD), 0.0, d)
         v = d * (DIFFERENTIATE_SCALE * spb_int)
+    if not apply_skew:
+        return v
     idx = jnp.maximum(jnp.arange(S)[None, :] - skew_delay[:, None], 0)
     return jnp.take_along_axis(v, idx, axis=1)
 
@@ -193,14 +200,16 @@ def _nrzi_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                          stat_leftbin, stat_binwidth, *adj_init,
                          S, T, P, nsteps, K, maxb, max_slots,
                          Ws, do_correct, find_zeros, differentiate, spb_int,
-                         clk_ring=50, agc_ring=10, stream_writes=False):
+                         clk_ring=50, agc_ring=10, stream_writes=False,
+                         skew_on=True):
     """v_i16: [T, S] int16 (S is the shared power-of-two bucket; only the
     first seg_len samples belong to this segment -- the rest is real tape
     past the block's idle point, which the reference never scans, so
     candidates there are masked out). Returns per-parmset results
     (stacked [P, ...])."""
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
-                    S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+                    S=S, T=T, differentiate=differentiate, spb_int=spb_int,
+                    apply_skew=skew_on)
 
     if find_zeros:
         # -zeros for NRZI: transitions come from the zero-crossing state
@@ -343,9 +352,11 @@ def _pe_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                        stat_leftbin=jnp.float32(0.0),
                        stat_binwidth=jnp.float32(1.0),
                        *, S, T, P, nsteps, maxb, Ws,
-                       differentiate, spb_int, clk_ring=50, agc_ring=10):
+                       differentiate, spb_int, clk_ring=50, agc_ring=10,
+                       skew_on=True):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
-                    S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+                    S=S, T=T, differentiate=differentiate, spb_int=spb_int,
+                    apply_skew=skew_on)
     spb_f = jnp.float32(spb)
     nxt = _mask_jump_table(
         _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
@@ -386,9 +397,10 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                         stat_binwidth=jnp.float32(1.0),
                         *, S, T, P, nsteps, maxb, Ws, do_correct,
                         do_correct2, find_zeros, differentiate, spb_int,
-                        clk_ring=50, agc_ring=10):
+                        clk_ring=50, agc_ring=10, skew_on=True):
     v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
-                    S=S, T=T, differentiate=differentiate, spb_int=spb_int)
+                    S=S, T=T, differentiate=differentiate, spb_int=spb_int,
+                    apply_skew=skew_on)
     spb_f = jnp.float32(spb)
 
     overflow = None
@@ -445,7 +457,7 @@ def _nrzi_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
                       revparity, rise_floor, min_floor,
                       stat_leftbin, stat_binwidth, *,
                       S, T, P, maxb, max_slots, Ws, knobs, do_correct,
-                      differentiate, spb_int, agc_ring):
+                      differentiate, spb_int, agc_ring, skew_on=True):
     """One NRZI segment-batch group through the FUSED Mosaic kernel
     (pallas_fused): features + admission + slot scan + bit accumulation in
     one sweep; the only XLA work left is volts prep and nrzi_finish."""
@@ -458,7 +470,8 @@ def _nrzi_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
     def prep(o):
         v_i16 = jax.lax.dynamic_slice(tape, (0, o), (T, S))
         v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, S=S, T=T,
-                        differentiate=differentiate, spb_int=spb_int)
+                        differentiate=differentiate, spb_int=spb_int,
+                        apply_skew=skew_on)
         return jnp.pad(v, ((0, 16 - T), (0, 0)))
 
     volts = jax.vmap(prep)(off)                        # [B, 16, S]
@@ -503,6 +516,92 @@ def _nrzi_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
     return jax.vmap(jax.vmap(lane))(bits, hist, scal)
 
 
+def _pe_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
+                    skew_delay, pa: ParmArrays, spb, expected_parity,
+                    revparity, rise_floor, min_floor,
+                    stat_leftbin, stat_binwidth, *,
+                    S, T, P, maxb, Ws, knobs, differentiate, spb_int,
+                    agc_ring, clk_ring, skew_on=True):
+    """One PE segment-batch group through the fused per-track kernel."""
+    from . import pallas_fused as pfu
+
+    def prep(o):
+        v_i16 = jax.lax.dynamic_slice(tape, (0, o), (T, S))
+        v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, S=S, T=T,
+                        differentiate=differentiate, spb_int=spb_int,
+                        apply_skew=skew_on)
+        return jnp.pad(v, ((0, 16 - T), (0, 0)))
+
+    volts = jax.vmap(prep)(off)
+
+    lanei = jnp.arange(128)
+
+    def meta1(ln, ld):
+        row = jnp.zeros(128, F32)
+        row = row.at[pfu.M_SEGLEN].set(ln.astype(F32))
+        row = row.at[pfu.M_LEAD].set(ld.astype(F32))
+        row = row.at[pfu.M_STATLB].set(stat_leftbin)
+        row = row.at[pfu.M_STATBW].set(stat_binwidth)
+        m = jnp.broadcast_to(row, (16, 128))
+        rf = jnp.pad(rise_floor, (0, 16 - T))
+        mf = jnp.pad(min_floor, (0, 16 - T))
+        m = jnp.where(lanei[None, :] == pfu.M_RISEF, rf[:, None], m)
+        m = jnp.where(lanei[None, :] == pfu.M_MINF, mf[:, None], m)
+        return m
+
+    meta = jax.vmap(meta1)(seg_lens, leads)
+    (spb_f, rises, minps, aalphas, awindows, clk_ws, clk_as, clk_fs,
+     padjs) = knobs[1]
+    bits, hist, scal, runs = pfu.pe_fused_scan(
+        volts, meta, S=S, T=T, P=P, maxb=maxb, Ws=Ws, rises=rises,
+        minps=minps, aalphas=aalphas, awindows=awindows,
+        clk_windows=clk_ws, clk_alphas=clk_as, clk_factors=clk_fs,
+        pulse_adjs=padjs,
+        spb=spb_f, agc_ring=agc_ring, clk_ring=clk_ring)
+
+    def lane(bb, hh, ss, rr):
+        col = lambda ln: ss[:T, ln]
+        dc = col(pfu.PL_DC).astype(I32)
+        bits_t = bb[:T, :maxb].astype(jnp.int8)
+        # apply the fake-bit runs (pe.py's delta-cumsum replay, per track)
+        n_runs = col(pfu.PL_NRUNS).astype(I32)
+        valid = jnp.arange(128)[None, :] < jnp.minimum(n_runs, 128)[:, None]
+        starts = jnp.where(valid, rr[0, :T].astype(I32), maxb)
+        ends = jnp.where(valid, jnp.minimum(
+            rr[0, :T].astype(I32) + rr[1, :T].astype(I32), maxb), maxb)
+        bvals = (rr[2, :T] > 0.5).astype(I32)
+        ti = jnp.arange(T)[:, None]
+        delta = jnp.zeros((T, maxb + 1), I32).at[
+            ti, starts].add(1, mode="drop").at[ti, ends].add(-1,
+                                                            mode="drop")
+        inrun = jnp.cumsum(delta[:, :maxb], axis=1) > 0
+        vdelta = jnp.zeros((T, maxb + 1), I32).at[
+            ti, starts].add(jnp.where(valid, bvals, 0), mode="drop").at[
+            ti, ends].add(-jnp.where(valid, bvals, 0), mode="drop")
+        runbit = jnp.cumsum(vdelta[:, :maxb], axis=1)
+        bits_t = jnp.where(inrun, runbit.astype(jnp.int8), bits_t)
+        faked = jnp.where(inrun, jnp.int8(1), jnp.int8(0))
+        finals = dict(
+            datacount=dc,
+            peakcount=col(pfu.PL_PEAKCNT).astype(I32),
+            t_firstbit=col(pfu.PL_TFIRST),
+            t_lastbit=col(pfu.PL_TLAST),
+            bits=bits_t, faked=faked,
+            corrected_bits=col(pfu.PL_CORR).astype(I32),
+            max_agc_gain=col(pfu.PL_MAXAGC),
+            min_agc_gain=col(pfu.PL_MINAGC),
+            hist=hh[:T, :50].astype(I32),
+            trksum=col(pfu.PL_TRKSUM).astype(I32),
+            incomplete=col(pfu.PL_INCOMP) > 0.5,
+        )
+        r = pe_mod.pe_finish(finals, T, expected_parity, revparity, maxb)
+        r["event_overflow"] = jnp.any(finals["incomplete"])
+        r["fused_bail"] = ss[0, pfu.PL_BAIL] > 0.5
+        return r
+
+    return jax.vmap(jax.vmap(lane))(bits, hist, scal, runs)
+
+
 def _nrzi_segment_pallas_finals(v, nxt, *, Ws):
     """Per-segment front end for the Pallas admission kernel: stack the
     per-distinct-width feature packs. Returns [G, T, 12, S]."""
@@ -517,7 +616,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
                        stat_leftbin, stat_binwidth, *,
                        S, T, P, nsteps, K, maxb, max_slots, Ws, knobs,
                        do_correct, differentiate, spb_int,
-                       clk_ring, agc_ring):
+                       clk_ring, agc_ring, skew_on=True):
     """Pallas-kernel variant of one NRZI segment-batch group: the
     admission scans for ALL (segment, track, parmset) lanes run as ONE
     Mosaic kernel (pallas_scan.nrzi_track_scan_pallas) instead of B*T*P
@@ -529,7 +628,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
         v_i16 = jax.lax.dynamic_slice(tape, (0, o), (T, S))
         v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay,
                         S=S, T=T, differentiate=differentiate,
-                        spb_int=spb_int)
+                        spb_int=spb_int, apply_skew=skew_on)
         nxt = _mask_jump_table(
             _union_jump_table(v, Ws, rise_floor, min_floor), ln, ld, S)
         return _nrzi_segment_pallas_finals(v, nxt, Ws=Ws)
@@ -610,7 +709,7 @@ def _nrzi_group_pallas(tape, off, seg_lens, leads, maxvolts, invert_sign,
 def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                 do_correct, do_correct2, find_zeros, differentiate, spb_int,
                 clk_ring, agc_ring, pallas_knobs=None, adjskew=False,
-                mesh_ver=0, correctdbg=False):
+                mesh_ver=0, correctdbg=False, skew_on=True):
     """Cached jitted segment-batch decoder for one static configuration.
 
     The returned function takes (tape [T, N] int16, offsets [B] int32,
@@ -627,21 +726,30 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                        find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int,
                        clk_ring=clk_ring, agc_ring=agc_ring,
-                       stream_writes=correctdbg)
+                       stream_writes=correctdbg, skew_on=skew_on)
         n_in = 13 if adjskew else 11    # +2: the -adjskew (n, mean) seeds
     elif mode == tb.MODE_PE:
         base = partial(_pe_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
                        differentiate=differentiate, spb_int=spb_int,
-                       clk_ring=clk_ring, agc_ring=agc_ring)
+                       clk_ring=clk_ring, agc_ring=agc_ring,
+                       skew_on=skew_on)
         n_in = 11
+        if pallas_knobs is not None and pallas_knobs[0] == "fused-pe":
+            _group = partial(_pe_group_fused,
+                             S=S, T=T, P=P, maxb=maxb, Ws=Ws,
+                             knobs=pallas_knobs,
+                             differentiate=differentiate, spb_int=spb_int,
+                             agc_ring=agc_ring, clk_ring=clk_ring,
+                             skew_on=skew_on)
     elif mode == tb.MODE_GCR:
         base = partial(_gcr_segment_device,
                        S=S, T=T, P=P, nsteps=nsteps, maxb=maxb, Ws=Ws,
                        do_correct=do_correct, do_correct2=do_correct2,
                        find_zeros=find_zeros,
                        differentiate=differentiate, spb_int=spb_int,
-                       clk_ring=clk_ring, agc_ring=agc_ring)
+                       clk_ring=clk_ring, agc_ring=agc_ring,
+                       skew_on=skew_on)
         n_in = 11
     else:
         raise NotImplementedError(f"mode {mode}")
@@ -667,7 +775,8 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                              max_slots=max_slots, Ws=Ws, knobs=pallas_knobs,
                              do_correct=do_correct,
                              differentiate=differentiate,
-                             spb_int=spb_int, agc_ring=agc_ring)
+                             spb_int=spb_int, agc_ring=agc_ring,
+                             skew_on=skew_on)
         else:
             _group = partial(_nrzi_group_pallas,
                              S=S, T=T, P=P, nsteps=nsteps, K=K, maxb=maxb,
@@ -675,7 +784,9 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                              do_correct=do_correct,
                              differentiate=differentiate,
                              spb_int=spb_int, clk_ring=clk_ring,
-                             agc_ring=agc_ring)
+                             agc_ring=agc_ring, skew_on=skew_on)
+    elif mode == tb.MODE_PE and pallas_knobs is not None:
+        pass                             # _group bound above (fused-pe)
     else:
         def _group(tape, off, lens, leads, *args):
             v = jax.vmap(lambda o: jax.lax.dynamic_slice(
@@ -1173,7 +1284,7 @@ class TapeDecoder:
                     and os.environ.get("READTAPE_FUSED", "1") == "1"
                     and not opts.find_zeros and adj_init is None
                     and not correctdbg and not force_xla
-                    and S % 1024 == 0 and S <= 1 << 20 and nparms <= 16
+                    and S % 2048 == 0 and S <= 1 << 20 and nparms <= 16
                     and opts.ntrks <= 16 and max(Ws) <= 128)
         if fused_ok:
             # the FUSED kernel: one sweep, -correct included (the
@@ -1211,13 +1322,30 @@ class TapeDecoder:
                               tuple(float(p.pulse_adj) for p in active),
                               tuple(float(p.midbit) for p in active))
             pallas_knobs = (track_knobs, slot_knobs)
+        elif (opts.mode == tb.MODE_PE and _pallas_enabled()
+                and os.environ.get("READTAPE_FUSED", "1") == "1"
+                and not force_xla
+                and S % 2048 == 0 and S <= 1 << 20 and nparms <= 16
+                and opts.ntrks <= 16 and max(Ws) <= 128):
+            # PE rides the fused per-track kernel (no slot machine)
+            pallas_knobs = ("fused-pe", (
+                float(spb),
+                tuple(float(p.pkww_rise) for p in active),
+                tuple(float(p.min_peak) for p in active),
+                tuple(float(p.agc_alpha) for p in active),
+                tuple(int(p.agc_window) for p in active),
+                tuple(int(p.clk_window) for p in active),
+                tuple(float(p.clk_alpha) for p in active),
+                tuple(float(p.clk_factor) for p in active),
+                tuple(float(p.pulse_adj) for p in active)))
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.do_correct2,
                          opts.find_zeros,
                          opts.differentiate, spb_int, clk_ring, agc_ring,
                          pallas_knobs=pallas_knobs,
                          adjskew=adj_init is not None, mesh_ver=mesh_ver,
-                         correctdbg=correctdbg)
+                         correctdbg=correctdbg,
+                         skew_on=bool(np.any(self.skew)))
         args = [tape, offsets, seg_lens, leads, jnp.float32(opts.maxvolts),
                 jnp.float32(-1.0 if opts.invert else 1.0),
                 jnp.asarray(self.skew, I32), pa, jnp.float32(spb),
