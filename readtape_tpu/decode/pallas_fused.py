@@ -1670,3 +1670,567 @@ def pe_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
     )(meta, volts, volts)
     return (bits.reshape(B, P, 16, MBP), hist.reshape(B, P, 16, 128),
             scal.reshape(B, P, 16, 128), runs.reshape(B, P, 3, 16, 128))
+
+
+# ---------------------------------------------------------------------------
+# GCR: per-track NRZI-AGC + zero-inference bit recovery (decode_gcr.c)
+# ---------------------------------------------------------------------------
+
+# scal output lanes (GCR)
+(GL_DC, GL_TFIRST, GL_TLAST, GL_MAXAGC, GL_MINAGC, GL_TRKSUM, GL_INCOMP,
+ GL_PEAKCNT, GL_BAIL) = range(9)
+
+GSM_AWORK, GSM_BITBASE, GSM_BAIL = range(3)
+GN_SM = 3
+
+
+def _gcr_layout(agc_ring: int):
+    off = {}
+    n = 0
+
+    def alloc(name):
+        nonlocal n
+        off[name] = n
+        n += 1 if name == "misc" else 16
+
+    for f in ("blind", "v_top", "v_bot", "n_adm", "agc", "vah", "vah_sum",
+              "vah_cnt", "hndx", "max_agc", "min_agc", "v_lasttop",
+              "v_lastbot", "peakcount", "overflow"):
+        alloc(f"adm_{f}")
+    for k in range(agc_ring):
+        alloc(f"admring_{k}")
+    for nm in ("elig", "dc", "lastbits", "rsc", "clkavg", "clkndx",
+               "clkring", "tpadj", "tpkdelta", "tpkdeltaprev",
+               "datablock", "tfirstbit", "tlastbit", "tlastpeak",
+               "bw0", "bw1", "trksum", "vmarg", "col0v", "misc"):
+        alloc(nm)
+    return off, n
+
+
+def _gcr_kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
+                st_ref, smem_ref, *, P, T, S, maxb, MBP,
+                Ws, rises, minps, aalphas, awindows, clk_windows,
+                clk_alphas, z1pts, z2pts, pulse_adjs, spb, agc_ring,
+                mark1: int, mark2: int):
+    n_rblks = pl.num_programs(1)
+    rblk = pl.program_id(1)
+    last_blk = rblk == n_rblks - 1
+    p_id = pl.program_id(0) % P
+    sub = jax.lax.broadcasted_iota(I32, (16, 128), 0)
+    lane = jax.lax.broadcasted_iota(I32, (16, 128), 1)
+    zf = jnp.zeros((16, 128), F32)
+    active = sub < T
+    lanef = lane.astype(F32)
+    OFF, _NR = _gcr_layout(agc_ring)
+
+    def srow(name):
+        o = OFF[name]
+        nrow = 1 if name == "misc" else 16
+        return st_ref[o:o + nrow, :]
+
+    def wrow(name, val):
+        o = OFF[name]
+        nrow = 1 if name == "misc" else 16
+        st_ref[o:o + nrow, :] = val
+
+    def st_read(k):
+        return srow(f"adm_{k}") if isinstance(k, str) else srow(f"admring_{k}")
+
+    def st_write(k, val):
+        if isinstance(k, str):
+            wrow(f"adm_{k}", val)
+        else:
+            wrow(f"admring_{k}", val)
+
+    def kfv(vals):
+        out = zf + jnp.float32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, zf + jnp.float32(vals[p]), out)
+        return out
+
+    def kiv(vals):
+        out = sub * 0 + jnp.int32(vals[0])
+        for p in range(1, P):
+            out = jnp.where(p_id == p, sub * 0 + jnp.int32(vals[p]), out)
+        return out
+
+    rise_k = kfv(rises)
+    minp_k = kfv(minps)
+    aal_k = kfv(aalphas)
+    awin_k = kiv(awindows)
+    clkw_k = kfv([float(x) for x in clk_windows])
+    clka_k = kfv(clk_alphas)
+    z1_k = kfv(z1pts)
+    z2_k = kfv(z2pts)
+    padj_k = kfv(pulse_adjs)
+    wset = sorted(set(Ws))
+    G = len(wset)
+    grp_k = kiv([wset.index(w) for w in Ws])
+    W_f = kfv([float(w) for w in Ws])
+
+    meta = meta_ref[0, :, :]
+
+    def meta_scalar(lane_idx):
+        return jnp.sum(jnp.where((sub == 0) & (lane == lane_idx), meta, 0.0))
+
+    def meta_col(lane_idx):
+        c = jnp.sum(jnp.where(lane == lane_idx, meta, 0.0), axis=1,
+                    keepdims=True)
+        return jnp.broadcast_to(c, (16, 128))
+
+    seg_len = meta_scalar(M_SEGLEN)
+    lead_len = meta_scalar(M_LEAD)
+    stat_lb = meta_scalar(M_STATLB)
+    stat_bw = meta_scalar(M_STATBW)
+    rf_col = meta_col(M_RISEF)
+    mf_col = meta_col(M_MINF)
+
+    @pl.when(rblk == 0)
+    def _():
+        st_write("blind", zf - 1.0)
+        st_write("agc", zf + 1.0)
+        st_write("vah", zf + cm.PKWW_PEAKHEIGHT)
+        st_write("min_agc", zf + cm.FLT_MAX)
+        for f in ("v_top", "v_bot", "n_adm", "vah_sum", "vah_cnt", "hndx",
+                  "max_agc", "v_lasttop", "v_lastbot", "peakcount",
+                  "overflow"):
+            st_write(f, zf)
+        for k in range(agc_ring):
+            st_write(k, zf)
+        for nm in ("elig", "dc", "lastbits", "rsc", "clkndx", "tpadj",
+                   "tpkdelta", "tpkdeltaprev", "datablock", "tfirstbit",
+                   "tlastbit", "tlastpeak", "bw0", "bw1", "trksum",
+                   "vmarg", "col0v"):
+            wrow(nm, zf)
+        wrow("clkavg", zf + jnp.float32(spb))
+        wrow("clkring", zf + jnp.float32(spb))
+        for sm in (GSM_AWORK, GSM_BITBASE, GSM_BAIL):
+            smem_ref[sm] = jnp.float32(0.0)
+        for k in range(MBP // 128):
+            bits_ref[0, :, k * 128:(k + 1) * 128] = zf
+        hist_ref[0, :, :] = zf
+
+    A_MAX = 66
+
+    def bits_write(idx_col, val, mask):
+        base = smem_ref[GSM_BITBASE]
+        rel = idx_col - base
+        oob = mask & ((rel < 0.0) | (rel >= 256.0))
+        smem_ref[GSM_BAIL] = jnp.where(
+            jnp.sum(jnp.where(oob, 1.0, 0.0)) > 0.0, 1.0,
+            smem_ref[GSM_BAIL])
+        m0 = mask & (rel >= 0.0) & (rel < 128.0) & (lanef == rel)
+        m1 = mask & (rel >= 128.0) & (rel < 256.0) & (lanef == rel - 128.0)
+        wrow("bw0", jnp.where(m0, val, srow("bw0")))
+        wrow("bw1", jnp.where(m1, val, srow("bw1")))
+
+    def elig_fn(feat, cand_full, posf):
+        wmax, wmin, v_left, v_right = (feat["wmax"], feat["wmin"],
+                                       feat["v_left"], feat["v_right"])
+        no_min = minp_k == 0.0
+
+        def elig(agc, vah, blind):
+            scale = vah / cm.PKWW_PEAKHEIGHT
+            rise = rise_k * scale / agc
+            rmin = minp_k * scale / agc
+            is_top = ((wmax > v_left + rise) & (wmax > v_right + rise) &
+                      (no_min | (wmax > rmin)))
+            is_bot = ((~is_top) & (wmin < v_left - rise) &
+                      (wmin < v_right - rise) & (no_min | (wmin < -rmin)))
+            return (is_top | is_bot) & cand_full & (posf > blind), is_top
+        return elig
+
+    def row_admission(feat, cand_full, posf):
+        (wmax, wmin, l_top, prevmax, nextmax, l_bot, prevmin, nextmin) = (
+            feat["wmax"], feat["wmin"], feat["l_top"], feat["prevmax"],
+            feat["nextmax"], feat["l_bot"], feat["prevmin"], feat["nextmin"])
+        elig = elig_fn(feat, cand_full, posf)
+        use_exp = aal_k > 0.0
+        use_win = awin_k > 0
+
+        e0, _ = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+        wrow("elig", jnp.where(e0, 1.0, 0.0))
+        smem_ref[GSM_AWORK] = jnp.sum(e0.astype(F32))
+
+        def commit(j, carry):
+            @pl.when(smem_ref[GSM_AWORK] > 0.0)
+            def _():
+                agc = st_read("agc")
+                vah = st_read("vah")
+                e = srow("elig") > 0.5
+
+                li = jnp.min(jnp.where(e, lane, 9999), axis=1,
+                             keepdims=True)
+                li = jnp.broadcast_to(li, lane.shape)
+                adm = (li < 9999) & active
+                sel = (lane == li) & adm
+
+                def ext(x):
+                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                keepdims=True)
+                    return jnp.broadcast_to(v, lane.shape)
+
+                scale = vah / cm.PKWW_PEAKHEIGHT
+                rise = rise_k * scale / agc
+                rmin = minp_k * scale / agc
+                no_min = minp_k == 0.0
+                top_row = ((wmax > feat["v_left"] + rise) &
+                           (wmax > feat["v_right"] + rise) &
+                           (no_min | (wmax > rmin)))
+                is_top = ext(jnp.where(top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(jnp.where(top_row, l_top, l_bot))
+                val = ext(jnp.where(top_row, wmax, wmin))
+                prev = ext(jnp.where(top_row, prevmax, prevmin))
+                nxt = ext(jnp.where(top_row, nextmax, nextmin))
+                s_f = ext(posf)
+
+                thr = cm.PEAK_THRESHOLD / agc
+                ref = jnp.where(is_top, val - thr, val + thr)
+                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
+                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+                adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                                jnp.where(n_close & ~p_close, F32(0.5),
+                                          F32(0.0)))
+                t_this = s_f - ((W_f - L) - adj)
+
+                # first data bit initializes max_agc (gcr_track_scan)
+                dc_pre = srow("dc")
+                first = adm & (dc_pre == 0.0)
+                max_agc1 = jnp.where(first, agc, st_read("max_agc"))
+
+                # ---- nrzi_agc_policy (shared with the NRZI kernel) ----
+                n_adm = st_read("n_adm")
+                v_top2 = jnp.where(is_top, val, st_read("v_top"))
+                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+                pc = st_read("peakcount") + jnp.where(adm, 1.0, 0.0)
+                height = v_top2 - v_bot2
+                in_base = (is_top & (pc >= cm.AGC_STARTBASE) &
+                           (pc <= cm.AGC_ENDBASE))
+                past = pc > cm.AGC_ENDBASE
+                vah_cnt = st_read("vah_cnt")
+                do_fin = is_top & past & (vah_cnt > 0.0)
+                do_agc = adm & past & (vah_cnt == 0.0)
+                vah_sum2 = jnp.where(in_base, st_read("vah_sum") + height,
+                                     st_read("vah_sum"))
+                vah_cnt2 = jnp.where(in_base, vah_cnt + 1.0, vah_cnt)
+                hndx = st_read("hndx")
+                hndx_acc = jnp.where(hndx + 1.0 >= awin_k.astype(F32),
+                                     F32(0.0), hndx + 1.0)
+                hndx2 = jnp.where(in_base, hndx_acc, hndx)
+                ring_rows = [st_read(k) for k in range(agc_ring)]
+                ring2 = [jnp.where(in_base & (hndx == k), height,
+                                   ring_rows[k]) for k in range(agc_ring)]
+                vah_fin = st_read("vah_sum") / jnp.maximum(vah_cnt, 1.0)
+                vah2 = jnp.where(do_fin, vah_fin, vah)
+                vah_cnt2 = jnp.where(do_fin, F32(0.0), vah_cnt2)
+                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+                hgt_ok = lastheight > 0.0
+                g_exp = vah2 / jnp.maximum(lastheight, 1e-9)
+                g_exp = jnp.minimum(aal_k * g_exp + (1 - aal_k) * agc,
+                                    cm.AGC_MAX_VALUE)
+                ring3 = [jnp.where(do_agc & use_win & hgt_ok & (hndx == k),
+                                   lastheight, ring2[k])
+                         for k in range(agc_ring)]
+                minh = zf + cm.FLT_MAX
+                for k in range(agc_ring):
+                    minh = jnp.minimum(
+                        minh, jnp.where(k < awin_k, ring3[k], cm.FLT_MAX))
+                g_win = jnp.minimum(vah2 / jnp.maximum(minh, 1e-9),
+                                    cm.AGC_MAX_VALUE)
+                agc2 = jnp.where(do_agc & use_exp & hgt_ok, g_exp, agc)
+                agc2 = jnp.where(do_agc & use_win & hgt_ok, g_win, agc2)
+                hndx2 = jnp.where(do_agc & use_win & hgt_ok, hndx_acc,
+                                  hndx2)
+                changed = do_agc & (use_exp | use_win) & hgt_ok
+                max_agc2 = jnp.where(changed & (agc2 > max_agc1), agc2,
+                                     max_agc1)
+                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                     agc2, st_read("min_agc"))
+
+                # ---- peak statistics (pre-update datablock/lastpeak) ----
+                stat_ok = adm & (srow("datablock") > 0.5)
+                stat_val = t_this - srow("tlastpeak")
+                stat_bkt = ((stat_val - stat_lb) / stat_bw).astype(I32)
+                code = jnp.where(stat_bkt < 0, 0,
+                                 jnp.where(stat_bkt > 49, 49, stat_bkt))
+                hist_ref[0, :, :] = hist_ref[0, :, :] + jnp.where(
+                    stat_ok & (lane == code), 1.0, 0.0)
+                wrow("trksum", srow("trksum") + jnp.where(
+                    stat_ok & (stat_bkt >= 0) & (stat_bkt <= 49) &
+                    (lane == 0), 1.0, 0.0))
+
+                # ---- gcr_bit_step (decode_gcr.c:731-834) ----
+                b = srow("clkavg")
+                delta = t_this - srow("tlastpeak")
+                in_blk = adm & (srow("datablock") > 0.5)
+                zero1 = in_blk & (delta - srow("tpadj") > z1_k * b)
+                zero2 = zero1 & (delta - srow("tpadj") > z2_k * b)
+                numbits = (1.0 + jnp.where(zero1, 1.0, 0.0) +
+                           jnp.where(zero2, 1.0, 0.0))
+                tpd_new = jnp.where(in_blk, delta, srow("tpkdelta"))
+
+                dc = dc_pre
+                lastbits = srow("lastbits")
+                rsc = srow("rsc")
+                clkavg = b
+                clkring = srow("clkring")
+                clkndx = srow("clkndx")
+
+                def add_one_bit(dc_, lb_, rsc_, ca_, cr_, bitval, enable):
+                    bits_write(jnp.minimum(dc_, float(maxb - 1)), bitval,
+                               enable)
+                    dc_n = jnp.where(enable,
+                                     jnp.minimum(dc_ + 1.0, float(maxb)),
+                                     dc_)
+                    lb_n = jnp.where(enable,
+                                     _mod(lb_ * 2.0 + bitval, 256.0), lb_)
+                    at5 = enable & (_mod(dc_n, 5.0) == 0.0)
+                    lb5 = _mod(lb_n, 32.0)
+                    rsc_n = jnp.where(at5 & (lb5 == float(mark2)), 1.0,
+                             jnp.where(at5 & (lb5 == float(mark1)) &
+                                       (rsc_ > 0.0), 0.0, rsc_))
+                    in_resync = enable & (rsc_n > 0.0)
+                    force = in_resync & (rsc_n == 5.0)
+                    ca_n = jnp.where(force, tpd_new, ca_)
+                    cr_n = jnp.where(force, tpd_new, cr_)
+                    rsc_n = jnp.where(in_resync, rsc_n + 1.0, rsc_n)
+                    return dc_n, lb_n, rsc_n, ca_n, cr_n
+
+                dc, lastbits, rsc, clkavg, clkring = add_one_bit(
+                    dc, lastbits, rsc, clkavg, clkring, 0.0, zero1 & adm)
+                dc, lastbits, rsc, clkavg, clkring = add_one_bit(
+                    dc, lastbits, rsc, clkavg, clkring, 0.0, zero2 & adm)
+
+                # clock adjust on 3 consecutive ones (prev delta)
+                prev2 = jnp.where(dc >= 2.0,
+                                  _mod(jnp.floor(lastbits / 2.0), 2.0),
+                                  0.0)
+                do_adj = in_blk & (dc > 3.0) & (numbits == 1.0) & \
+                    (prev2 == 1.0)
+                pdelta = srow("tpkdelta")
+                old = jnp.sum(jnp.where(lanef == clkndx, clkring, 0.0),
+                              axis=1, keepdims=True)
+                old = jnp.broadcast_to(old, (16, 128))
+                use_wc = clkw_k > 0.0
+                use_ec = (~use_wc) & (clka_k > 0.0)
+                avg_w = clkavg + (pdelta - old) / jnp.maximum(clkw_k, 1.0)
+                avg_e = clka_k * pdelta + (1.0 - clka_k) * clkavg
+                avg_new = jnp.where(use_wc, avg_w,
+                                    jnp.where(use_ec, avg_e,
+                                              jnp.float32(spb)))
+                clkring = jnp.where(do_adj & use_wc & (lanef == clkndx),
+                                    pdelta, clkring)
+                ndx2 = jnp.where(clkndx + 1.0 >= clkw_k, 0.0, clkndx + 1.0)
+                clkndx = jnp.where(do_adj & use_wc, ndx2, clkndx)
+                clkavg = jnp.where(do_adj, avg_new, clkavg)
+
+                tpadj2 = jnp.where(
+                    in_blk, padj_k * (numbits * clkavg - delta),
+                    srow("tpadj"))
+
+                dc, lastbits, rsc, clkavg, clkring = add_one_bit(
+                    dc, lastbits, rsc, clkavg, clkring, 1.0, adm)
+
+                wrow("dc", dc)
+                wrow("lastbits", lastbits)
+                wrow("rsc", rsc)
+                wrow("clkavg", clkavg)
+                wrow("clkring", clkring)
+                wrow("clkndx", clkndx)
+                wrow("tpadj", tpadj2)
+                wrow("tpkdeltaprev", jnp.where(in_blk, srow("tpkdelta"),
+                                               srow("tpkdeltaprev")))
+                wrow("tpkdelta", jnp.where(in_blk, delta,
+                                           srow("tpkdelta")))
+                wrow("datablock", jnp.where(adm, 1.0, srow("datablock")))
+                wrow("tfirstbit", jnp.where(adm & (dc_pre == 0.0), t_this,
+                                            srow("tfirstbit")))
+                wrow("tlastbit", jnp.where(adm, t_this, srow("tlastbit")))
+                wrow("tlastpeak", jnp.where(adm, t_this,
+                                            srow("tlastpeak")))
+
+                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+                st_write("blind", blind2)
+                st_write("v_top", v_top2)
+                st_write("v_bot", v_bot2)
+                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
+                st_write("agc", agc2)
+                st_write("vah", vah2)
+                st_write("vah_sum", vah_sum2)
+                st_write("vah_cnt", vah_cnt2)
+                st_write("hndx", hndx2)
+                st_write("max_agc", max_agc2)
+                st_write("min_agc", min_agc2)
+                st_write("v_lasttop", jnp.where(is_top, val,
+                                                st_read("v_lasttop")))
+                st_write("v_lastbot", jnp.where(is_bot, val,
+                                                st_read("v_lastbot")))
+                st_write("peakcount", pc)
+                for k in range(agc_ring):
+                    st_write(k, ring3[k])
+
+                # flush pressure
+                mx = jnp.max(jnp.where(active & (lane == 0), dc, 0.0))
+                bb = smem_ref[GSM_BITBASE]
+
+                @pl.when((mx - bb >= 224.0) & (bb + 128.0 < float(MBP)))
+                def _():
+                    bi = (bb / 128.0).astype(I32)
+                    bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+                    wrow("bw0", srow("bw1"))
+                    wrow("bw1", zf)
+                    smem_ref[GSM_BITBASE] = bb + 128.0
+
+                e2, _ = elig(agc2, vah2, blind2)
+                wrow("elig", jnp.where(e2, 1.0, 0.0))
+                smem_ref[GSM_AWORK] = jnp.sum(e2.astype(F32))
+            return carry
+
+        def commit_block(o, carry):
+            @pl.when(smem_ref[GSM_AWORK] > 0.0)
+            def _():
+                jax.lax.fori_loop(0, 8, commit, 0)
+            return carry
+
+        jax.lax.fori_loop(0, -(-A_MAX // 8), commit_block, 0)
+        st_write("overflow", jnp.where(smem_ref[GSM_AWORK] > 0.0,
+                                       zf + 1.0, st_read("overflow")))
+
+    def col0_bcast(blk):
+        return jnp.broadcast_to(
+            jnp.sum(jnp.where(lane == 0, blk, 0.0), axis=1, keepdims=True),
+            (16, 128))
+
+    for rr in range(RB):
+        vcur = v_ref[0, :, rr * 128:(rr + 1) * 128]
+        if rr == 0:
+            vprev = srow("vmarg")
+        else:
+            vprev = v_ref[0, :, (rr - 1) * 128:rr * 128]
+        nxt_blk = (v_ref[0, :, (rr + 1) * 128:(rr + 2) * 128]
+                   if rr < RB - 1 else vnxt_ref[0, :, :])
+        nxt0_row = col0_bcast(nxt_blk)
+        base = rblk * (RB * 128) + rr * 128
+        first_row = (rblk == 0) & (rr == 0)
+
+        @pl.when(first_row)
+        def _(vcur=vcur):
+            wrow("col0v", col0_bcast(vcur))
+
+        posf = lanef + base.astype(F32)
+        seg_end_col = posf == np.float32(S - 1)
+
+        feats = []
+        for Wd in wset:
+            feats.append(_row_features(
+                vprev, vcur, nxt0_row, Wd, first_row=first_row,
+                seg_end_col=seg_end_col, col0_row=srow("col0v"),
+                lane=lane, lanef=lanef))
+        if G == 1:
+            feat = feats[0]
+        else:
+            feat = {k: feats[0][k] for k in feats[0]}
+            for g in range(1, G):
+                feat = {k: jnp.where(grp_k == g, feats[g][k], feat[k])
+                        for k in feat}
+
+        wmax, wmin, v_left = feat["wmax"], feat["wmin"], feat["v_left"]
+        no_mf = mf_col <= 0.0
+        topc = ((wmax > v_left + rf_col) & (wmax > vcur + rf_col) &
+                (no_mf | (wmax > mf_col)))
+        botc = ((wmin < v_left - rf_col) & (wmin < vcur - rf_col) &
+                (no_mf | (wmin < -mf_col)))
+        cand_full = ((topc | botc) & active &
+                     (posf >= lead_len) & (posf < seg_len))
+        row_admission(feat, cand_full, posf)
+        if rr == RB - 1:
+            wrow("vmarg", vcur)
+
+    @pl.when(last_blk)
+    def _():
+        bb = smem_ref[GSM_BITBASE]
+        bi = (bb / 128.0).astype(I32)
+
+        @pl.when(bb < float(MBP))
+        def _():
+            bits_ref[0, :, pl.ds(bi * 128, 128)] = srow("bw0")
+
+        @pl.when(bb + 128.0 < float(MBP))
+        def _():
+            bits_ref[0, :, pl.ds(bi * 128 + 128, 128)] = srow("bw1")
+
+        vals = zf
+        for ln, col in (
+                (GL_DC, srow("dc")),
+                (GL_TFIRST, srow("tfirstbit")),
+                (GL_TLAST, srow("tlastbit")),
+                (GL_MAXAGC, st_read("max_agc")),
+                (GL_MINAGC, st_read("min_agc")),
+                (GL_TRKSUM, jnp.broadcast_to(
+                    jnp.sum(jnp.where(lane == 0, srow("trksum"), 0.0),
+                            axis=1, keepdims=True), (16, 128))),
+                (GL_INCOMP, st_read("overflow")),
+                (GL_PEAKCNT, st_read("peakcount"))):
+            vals = jnp.where(lane == ln, col, vals)
+        vals = jnp.where(lane == GL_BAIL, zf + smem_ref[GSM_BAIL], vals)
+        scal_ref[0, :, :] = vals
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "T", "P", "maxb", "Ws", "rises", "minps", "aalphas", "awindows",
+    "clk_windows", "clk_alphas", "z1pts", "z2pts", "pulse_adjs", "spb",
+    "agc_ring", "mark1", "mark2", "interpret"))
+def gcr_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
+                   Ws, rises, minps, aalphas, awindows, clk_windows,
+                   clk_alphas, z1pts, z2pts, pulse_adjs, spb: float,
+                   agc_ring: int, mark1: int, mark2: int,
+                   interpret: bool = None):
+    """GCR per-track fused scan. Returns (bits, hist, scal)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    B = volts.shape[0]
+    assert volts.shape[1] == 16 and volts.shape[2] == S
+    assert S % (RB * 128) == 0 and T <= 16
+    n_rblks = S // (RB * 128)
+    R = S // 128
+    MBP = -(-maxb // 128) * 128
+
+    kern = functools.partial(
+        _gcr_kernel, P=P, T=T, S=S, maxb=maxb, MBP=MBP, Ws=Ws,
+        rises=rises, minps=minps, aalphas=aalphas, awindows=awindows,
+        clk_windows=clk_windows, clk_alphas=clk_alphas, z1pts=z1pts,
+        z2pts=z2pts, pulse_adjs=pulse_adjs, spb=spb, agc_ring=agc_ring,
+        mark1=mark1, mark2=mark2)
+    _, n_rows = _gcr_layout(agc_ring)
+
+    bits, hist, scal = pl.pallas_call(
+        kern,
+        grid=(B * P, n_rblks),
+        in_specs=[
+            pl.BlockSpec((1, 16, 128), lambda i, r, P=P: (i // P, 0, 0)),
+            pl.BlockSpec((1, 16, RB * 128),
+                         lambda i, r, P=P: (i // P, 0, r)),
+            pl.BlockSpec((1, 16, 128),
+                         lambda i, r, P=P, R=R:
+                         (i // P, 0, jnp.minimum(r * RB + RB, R - 1))),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 16, MBP), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * P, 16, MBP), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * P, 16, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, 128), jnp.float32),
+            pltpu.SMEM((GN_SM,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, volts, volts)
+    return (bits.reshape(B, P, 16, MBP), hist.reshape(B, P, 16, 128),
+            scal.reshape(B, P, 16, 128))

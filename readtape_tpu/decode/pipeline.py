@@ -602,6 +602,72 @@ def _pe_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
     return jax.vmap(jax.vmap(lane))(bits, hist, scal, runs)
 
 
+def _gcr_group_fused(tape, off, seg_lens, leads, maxvolts, invert_sign,
+                     skew_delay, pa: ParmArrays, spb, expected_parity,
+                     revparity, rise_floor, min_floor,
+                     stat_leftbin, stat_binwidth, *,
+                     S, T, P, maxb, Ws, knobs, do_correct, do_correct2,
+                     differentiate, spb_int, agc_ring, skew_on=True):
+    """One GCR segment-batch group through the fused per-track kernel."""
+    from . import pallas_fused as pfu
+    from . import gcr_tables as gt
+
+    def prep(o):
+        v_i16 = jax.lax.dynamic_slice(tape, (0, o), (T, S))
+        v = _prep_volts(v_i16, maxvolts, invert_sign, skew_delay, S=S, T=T,
+                        differentiate=differentiate, spb_int=spb_int,
+                        apply_skew=skew_on)
+        return jnp.pad(v, ((0, 16 - T), (0, 0)))
+
+    volts = jax.vmap(prep)(off)
+    lanei = jnp.arange(128)
+
+    def meta1(ln, ld):
+        row = jnp.zeros(128, F32)
+        row = row.at[pfu.M_SEGLEN].set(ln.astype(F32))
+        row = row.at[pfu.M_LEAD].set(ld.astype(F32))
+        row = row.at[pfu.M_STATLB].set(stat_leftbin)
+        row = row.at[pfu.M_STATBW].set(stat_binwidth)
+        m = jnp.broadcast_to(row, (16, 128))
+        rf = jnp.pad(rise_floor, (0, 16 - T))
+        mf = jnp.pad(min_floor, (0, 16 - T))
+        m = jnp.where(lanei[None, :] == pfu.M_RISEF, rf[:, None], m)
+        m = jnp.where(lanei[None, :] == pfu.M_MINF, mf[:, None], m)
+        return m
+
+    meta = jax.vmap(meta1)(seg_lens, leads)
+    (spb_f, rises, minps, aalphas, awindows, clk_ws, clk_as, z1s, z2s,
+     padjs) = knobs[1]
+    bits, hist, scal = pfu.gcr_fused_scan(
+        volts, meta, S=S, T=T, P=P, maxb=maxb, Ws=Ws, rises=rises,
+        minps=minps, aalphas=aalphas, awindows=awindows,
+        clk_windows=clk_ws, clk_alphas=clk_as, z1pts=z1s, z2pts=z2s,
+        pulse_adjs=padjs, spb=spb_f, agc_ring=agc_ring,
+        mark1=int(gt.GCR_MARK1), mark2=int(gt.GCR_MARK2))
+
+    def lane(bb, hh, ss):
+        col = lambda ln: ss[:T, ln]
+        finals = dict(
+            datacount=col(pfu.GL_DC).astype(I32),
+            peakcount=col(pfu.GL_PEAKCNT).astype(I32),
+            t_firstbit=col(pfu.GL_TFIRST),
+            t_lastbit=col(pfu.GL_TLAST),
+            bits=bb[:T, :maxb].astype(jnp.int8),
+            max_agc_gain=col(pfu.GL_MAXAGC),
+            min_agc_gain=col(pfu.GL_MINAGC),
+            hist=hh[:T, :50].astype(I32),
+            trksum=col(pfu.GL_TRKSUM).astype(I32),
+            incomplete=col(pfu.GL_INCOMP) > 0.5,
+        )
+        r = gcr_mod.gcr_finish(finals, T, expected_parity, revparity,
+                               do_correct, maxb, do_correct2=do_correct2)
+        r["event_overflow"] = jnp.any(finals["incomplete"])
+        r["fused_bail"] = ss[0, pfu.GL_BAIL] > 0.5
+        return r
+
+    return jax.vmap(jax.vmap(lane))(bits, hist, scal)
+
+
 def _nrzi_segment_pallas_finals(v, nxt, *, Ws):
     """Per-segment front end for the Pallas admission kernel: stack the
     per-distinct-width feature packs. Returns [G, T, 12, S]."""
@@ -751,6 +817,13 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                        clk_ring=clk_ring, agc_ring=agc_ring,
                        skew_on=skew_on)
         n_in = 11
+        if pallas_knobs is not None and pallas_knobs[0] == "fused-gcr":
+            _group = partial(_gcr_group_fused,
+                             S=S, T=T, P=P, maxb=maxb, Ws=Ws,
+                             knobs=pallas_knobs, do_correct=do_correct,
+                             do_correct2=do_correct2,
+                             differentiate=differentiate, spb_int=spb_int,
+                             agc_ring=agc_ring, skew_on=skew_on)
     else:
         raise NotImplementedError(f"mode {mode}")
 
@@ -785,8 +858,8 @@ def _batched_fn(mode, S, T, P, nsteps, K, maxb, max_slots, Ws,
                              differentiate=differentiate,
                              spb_int=spb_int, clk_ring=clk_ring,
                              agc_ring=agc_ring, skew_on=skew_on)
-    elif mode == tb.MODE_PE and pallas_knobs is not None:
-        pass                             # _group bound above (fused-pe)
+    elif (mode in (tb.MODE_PE, tb.MODE_GCR) and pallas_knobs is not None):
+        pass                        # _group bound above (fused-pe/-gcr)
     else:
         def _group(tape, off, lens, leads, *args):
             v = jax.vmap(lambda o: jax.lax.dynamic_slice(
@@ -1337,6 +1410,24 @@ class TapeDecoder:
                 tuple(int(p.clk_window) for p in active),
                 tuple(float(p.clk_alpha) for p in active),
                 tuple(float(p.clk_factor) for p in active),
+                tuple(float(p.pulse_adj) for p in active)))
+        elif (opts.mode == tb.MODE_GCR and _pallas_enabled()
+                and os.environ.get("READTAPE_FUSED", "1") == "1"
+                and not opts.find_zeros and not force_xla
+                and S % 2048 == 0 and S <= 1 << 20 and nparms <= 16
+                and opts.ntrks <= 16 and max(Ws) <= 128):
+            # GCR rides the fused per-track kernel (zero-inference
+            # in-kernel; -correct/-correct2 live in gcr_finish)
+            pallas_knobs = ("fused-gcr", (
+                float(spb),
+                tuple(float(p.pkww_rise) for p in active),
+                tuple(float(p.min_peak) for p in active),
+                tuple(float(p.agc_alpha) for p in active),
+                tuple(int(p.agc_window) for p in active),
+                tuple(int(p.clk_window) for p in active),
+                tuple(float(p.clk_alpha) for p in active),
+                tuple(float(p.z1pt) for p in active),
+                tuple(float(p.z2pt) for p in active),
                 tuple(float(p.pulse_adj) for p in active)))
         fn = _batched_fn(opts.mode, S, T, nparms, nsteps, K, maxb,
                          max_slots, Ws, opts.do_correct, opts.do_correct2,

@@ -353,3 +353,119 @@ def test_pe_fused_production_wiring(monkeypatch):
     assert stats_f["nblocks"] == 3
     np.testing.assert_array_equal(stats_f["peak_hist"],
                                   stats_ref["peak_hist"])
+
+
+# ---------------------------------------------------------------------------
+# GCR fused kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nblocks,noise", [(1, 0.0), (2, 0.03)])
+def test_gcr_fused_matches_xla(nblocks, noise):
+    from readtape_tpu.decode import gcr as gcr_mod
+    from readtape_tpu.decode import gcr_tables as gt
+    S, P, T = 8192, 3, 9
+    rng = np.random.default_rng(31)
+    spec = default_spec(tb.MODE_GCR, ibg_secs=0.003, start_gap_secs=0.001)
+    items = [("block", bytes(rng.integers(0, 256, 200, dtype=np.uint8)))
+             for _ in range(nblocks)]
+    hdr, samples = synthesize_tape(spec, items)
+    v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
+    if noise:
+        v = v + rng.normal(0.0, noise, v.shape).astype(np.float32)
+    v = v[:, :S]
+    if v.shape[1] < S:
+        v = np.pad(v, ((0, 0), (0, S - v.shape[1])))
+    v = jnp.asarray(v)
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (spec.bpi * spec.ips * deltat)
+    sets = builtin_parmsets(tb.MODE_GCR).sets[:P]
+    maxb = int(S / spb * 1.3) + 64
+    lb, bw = 0.0, 1.0
+    rise_floor = np.full(T, 0.02, np.float32)
+    min_floor = np.zeros(T, np.float32)
+    Ws = tuple(cm.pkww_width_for(p.pkww_bitfrac, spec.bpi, spec.ips,
+                                 deltat) for p in sets)
+    nxt = _mask_jump_table(
+        _union_jump_table(v, Ws, jnp.asarray(rise_floor),
+                          jnp.asarray(min_floor)), S, 0, S)
+    refs = []
+    for p, W in zip(sets, Ws):
+        feat = ts.precompute_window_features(v, W, nxt)
+        lane = jax.vmap(lambda f, nx, W=W, p=p: gcr_mod.gcr_track_scan(
+            f, nx, W, S, S, jnp.float32(p.pkww_rise),
+            jnp.float32(p.min_peak), jnp.float32(p.agc_alpha),
+            jnp.int32(p.agc_window), jnp.int32(p.clk_window),
+            jnp.float32(p.clk_alpha), jnp.float32(p.z1pt),
+            jnp.float32(p.z2pt), jnp.float32(p.pulse_adj),
+            jnp.float32(spb), maxb, jnp.float32(lb), jnp.float32(bw),
+            pre=True))
+        refs.append(jax.tree.map(np.asarray, lane(feat, nxt)))
+
+    volts = jnp.pad(v, ((0, 16 - T), (0, 0)))[None]
+    meta = np.zeros((1, 16, 128), np.float32)
+    meta[0, :, pf.M_SEGLEN] = S
+    meta[0, :, pf.M_STATLB] = lb
+    meta[0, :, pf.M_STATBW] = bw
+    meta[0, :T, pf.M_RISEF] = rise_floor
+    bits, hist, scal = pf.gcr_fused_scan(
+        volts, jnp.asarray(meta), S=S, T=T, P=P, maxb=maxb, Ws=Ws,
+        rises=tuple(float(p.pkww_rise) for p in sets),
+        minps=tuple(float(p.min_peak) for p in sets),
+        aalphas=tuple(float(p.agc_alpha) for p in sets),
+        awindows=tuple(int(p.agc_window) for p in sets),
+        clk_windows=tuple(int(p.clk_window) for p in sets),
+        clk_alphas=tuple(float(p.clk_alpha) for p in sets),
+        z1pts=tuple(float(p.z1pt) for p in sets),
+        z2pts=tuple(float(p.z2pt) for p in sets),
+        pulse_adjs=tuple(float(p.pulse_adj) for p in sets),
+        spb=float(spb), agc_ring=max(max(p.agc_window for p in sets), 1),
+        mark1=int(gt.GCR_MARK1), mark2=int(gt.GCR_MARK2), interpret=True)
+
+    for pi, fin in enumerate(refs):
+        msg = f"parmset {pi}"
+        ss = np.asarray(scal[0, pi])
+        col = lambda ln: ss[:T, ln]
+        np.testing.assert_array_equal(col(pf.GL_DC).astype(np.int64),
+                                      fin["datacount"], err_msg=msg)
+        np.testing.assert_array_equal(col(pf.GL_PEAKCNT).astype(np.int64),
+                                      fin["peakcount"], err_msg=msg)
+        np.testing.assert_allclose(col(pf.GL_TFIRST), fin["t_firstbit"],
+                                   rtol=0, atol=0, err_msg=msg)
+        np.testing.assert_allclose(col(pf.GL_TLAST), fin["t_lastbit"],
+                                   rtol=0, atol=0, err_msg=msg)
+        np.testing.assert_array_equal(
+            np.asarray(bits[0, pi])[:T, :maxb].astype(np.int8),
+            fin["bits"], err_msg=msg)
+        np.testing.assert_array_equal(
+            np.asarray(hist[0, pi])[:T, :50].astype(np.int64),
+            fin["hist"], err_msg=msg)
+        np.testing.assert_array_equal(col(pf.GL_TRKSUM).astype(np.int64),
+                                      fin["trksum"], err_msg=msg)
+        np.testing.assert_allclose(col(pf.GL_MAXAGC),
+                                   fin["max_agc_gain"], rtol=0, atol=0,
+                                   err_msg=msg)
+        assert not ss[0, pf.GL_BAIL] > 0.5, msg
+        assert fin["datacount"].max() > 100, "decoded too little"
+
+
+def test_gcr_fused_production_wiring(monkeypatch):
+    from readtape_tpu.decode import pipeline as pl
+    rng = np.random.default_rng(9)
+    spec = default_spec(tb.MODE_GCR, ibg_secs=0.004, start_gap_secs=0.004)
+    blocks = [bytes(rng.integers(0, 256, 400, dtype=np.uint8))
+              for _ in range(3)]
+    items = [("block", b) for b in blocks]
+    hdr, samples = synthesize_tape(spec, items)
+    opts = pl.DecodeOptions(mode=tb.MODE_GCR, ntrks=9, bpi=spec.bpi,
+                            ips=spec.ips, deltat=hdr.tdelta_ns * 1e-9,
+                            maxvolts=hdr.maxvolts)
+    monkeypatch.setenv("READTAPE_PALLAS", "0")
+    out_ref, stats_ref = pl.decode_tape(samples, opts)
+    monkeypatch.setenv("READTAPE_PALLAS", "1")
+    monkeypatch.setenv("READTAPE_FUSED", "1")
+    out_f, stats_f = pl.decode_tape(samples, opts)
+    assert [b.data for b in out_f] == [b.data for b in out_ref]
+    assert [b.kind for b in out_f] == [b.kind for b in out_ref]
+    assert stats_f["nblocks"] == 3
+    np.testing.assert_array_equal(stats_f["peak_hist"],
+                                  stats_ref["peak_hist"])
