@@ -259,6 +259,10 @@ def main():
                           "kernel_path": kernel_path}))
         return 1
 
+    modes = {}
+    if os.environ.get("BENCH_MODES", "1") == "1":
+        modes = _bench_modes(opts_base_deltat=None)
+
     msps = nsamples / best / 1e6
     print(json.dumps({
         "metric": "TBIN Msamples/sec/chip (9trk NRZI, 8 parmsets, "
@@ -276,8 +280,93 @@ def main():
         "kernel_path": kernel_path,
         "fallback": fallback,
         "oracle_tap": oracle_tap,
+        "modes": modes,
     }))
     return 0
+
+
+def _bench_modes(opts_base_deltat=None):
+    """Per-mode device-resident throughput (VERDICT r3 #3): PE, GCR and
+    Whirlwind on synthesized tapes with every block byte-checked. NRZI is
+    the main metric above. Reference single-core numbers (BASELINE.md):
+    PE ~1.2, GCR ~2.7, WW ~1.6 Msamples/s."""
+    import time as _t
+    from dataclasses import replace
+    import jax
+    from readtape_tpu.formats import tbin as tb
+    from readtape_tpu.synth import default_spec, synthesize_tape
+    from readtape_tpu.decode.pipeline import (DecodeOptions, TapeDecoder,
+                                              decode_tape)
+
+    out = {}
+    saved = os.environ.get("READTAPE_GRANULES")
+    os.environ["READTAPE_GRANULES"] = "0"
+    try:
+        for name, mode, nblk in (("pe", tb.MODE_PE, 60),
+                                 ("gcr", tb.MODE_GCR, 40),
+                                 ("ww", tb.MODE_WW, 40)):
+            try:
+                spec = default_spec(mode, ibg_secs=0.005,
+                                    start_gap_secs=0.005)
+                walls = []
+                nsamp = 0
+                for rep in range(3):
+                    seed = (4100 if mode == tb.MODE_PE else
+                            5100 if mode == tb.MODE_GCR else 6100) + rep
+                    rng = np.random.default_rng(seed)
+                    kw = dict(mode=mode, ntrks=spec.ntrks, bpi=spec.bpi,
+                              ips=spec.ips)
+                    if mode == tb.MODE_WW:
+                        words = [[int(w) for w in
+                                  rng.integers(0, 65536, 600)]
+                                 for _ in range(nblk)]
+                        items = [("block", w) for w in words]
+                        blocks = [b"".join(bytes([w >> 8, w & 0xFF])
+                                           for w in ws) for ws in words]
+                        kw.update(ww_order=spec.ww_order, fluxdir="neg",
+                                  multiple_tries=False)
+                    else:
+                        blocks = [bytes(rng.integers(0, 256, 1200,
+                                                     dtype=np.uint8))
+                                  for _ in range(nblk)]
+                        items = [("block", b) for b in blocks]
+                    hdr, samples = synthesize_tape(
+                        replace(spec, seed=seed), items)
+                    nsamp = samples.shape[0]
+                    kw.update(deltat=hdr.tdelta_ns * 1e-9,
+                              maxvolts=hdr.maxvolts)
+                    opts = DecodeOptions(**kw)
+                    if mode == tb.MODE_WW:
+                        t0 = _t.perf_counter()
+                        res, _st = decode_tape(samples, opts)
+                        dt = _t.perf_counter() - t0
+                    else:
+                        dec = TapeDecoder(samples, opts)
+                        jax.block_until_ready(dec.v_i16)
+                        t0 = _t.perf_counter()
+                        res, _st = decode_tape(samples, opts, decoder=dec)
+                        dt = _t.perf_counter() - t0
+                    datas = [b.data for b in res if b.kind == "data"]
+                    if datas != blocks:
+                        out[name] = {"error": "decode mismatch"}
+                        break
+                    if rep > 0:          # rep 0 pays compilation
+                        walls.append(dt)
+                else:
+                    med = sorted(walls)[len(walls) // 2]
+                    out[name] = {"msps": round(nsamp / med / 1e6, 3),
+                                 "walls_s": [round(x, 3) for x in walls],
+                                 "blocks_checked": nblk}
+            except Exception as e:
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+                print(f"# modes[{name}] failed: {e}", file=sys.stderr,
+                      flush=True)
+    finally:
+        if saved is None:
+            os.environ.pop("READTAPE_GRANULES", None)
+        else:
+            os.environ["READTAPE_GRANULES"] = saved
+    return out
 
 
 if __name__ == "__main__":

@@ -630,18 +630,22 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
 
         one = zf + 1.0
         n_seen = rsum(c0, one) + rsum(c1, one)             # [16, 1]
-        ovf = (jnp.sum(jnp.where(c0 & (relA == 3.0), 1.0, 0.0)) +
-               jnp.sum(jnp.where(c1 & (relB == 3.0), 1.0, 0.0))) > 0.0
+        ovf = jnp.sum(jnp.where(c0 & (relA == 3.0), 1.0, 0.0) +
+                      jnp.where(c1 & (relB == 3.0), 1.0, 0.0)) > 0.0
         tj = [rsum(c0 & (relA == j), rt0) + rsum(c1 & (relB == j), rt1)
-              for j in (0.0, 1.0, 2.0)]
-        newest = (rsum(c0 & (relA == n_seen - 1.0), rt0) +
-                  rsum(c1 & (relB == n_seen - 1.0), rt1))
-        second = (rsum(c0 & (relA == n_seen - 2.0), rt0) +
-                  rsum(c1 & (relB == n_seen - 2.0), rt1))
+              for j in (0.0, 1.0, 2.0, 3.0)]
+        nb = jnp.broadcast_to(n_seen, (16, 128))
+        tjb = [jnp.broadcast_to(t, (16, 128)) for t in tj]
+        newest = jnp.where(nb >= 4.0, tjb[3],
+                  jnp.where(nb == 3.0, tjb[2],
+                   jnp.where(nb == 2.0, tjb[1], tjb[0])))
+        second = jnp.where(nb >= 4.0, tjb[2],
+                  jnp.where(nb == 3.0, tjb[1], tjb[0]))
         w0 = c0 & (relA < 3.0)
         w1 = c1 & (relB < 3.0)
-        t_max = jnp.maximum(jnp.max(jnp.where(w0, rt0, NEG)),
-                            jnp.max(jnp.where(w1, rt1, NEG)))
+        t_max = jnp.max(jnp.maximum(jnp.where(w0, rt0, NEG),
+                                    jnp.where(w1, rt1, NEG)))
+        tj = tj[:3]
         wrow("kv", kv + jnp.broadcast_to(n_seen, (16, 128)))
         realign = ((post0 > 0.0) & (t_max > NEG / 2) &
                    (t_lc_in < t_max - (2.0 - midbit) * b_in))
@@ -673,38 +677,62 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
             z = mask & (idx_col == 0.0)
             wrow("bits0", jnp.where(z, val, srow("bits0")))
 
-    def hist_add(tj, has, t_lc_used, kv_rs, j):
-        """Peak-stat recording for consume rank j (record_peakstat)."""
-        post0 = smem_ref[SM_POST]
-        skip = (srow("firstk") > 0.5) & (kv_rs + float(j) == 0.0)
-        stat_ok = has & (post0 == 0.0) & jnp.logical_not(skip) & active
-        val = tj - t_lc_used
-        bkt = ((val - stat_lb) / stat_bw).astype(I32)
-        code = jnp.where(bkt < 0, 0, jnp.where(bkt > 49, 49, bkt))
-        hist_ref[0, :, :] = hist_ref[0, :, :] + jnp.where(
-            stat_ok & (lane == code), 1.0, 0.0)
-        in_rng = stat_ok & (bkt >= 0) & (bkt <= 49)
-        wrow("trksum", srow("trksum") +
-             jnp.where(in_rng & (lane == 0), 1.0, 0.0))
-        # midbit warning (consume():193-194)
-        t_lm0 = smem_ref[SM_TLM]
-        miss = has & (tj < t_lm0) & (post0 == 0.0) & active
-        smem_ref[SM_MISSMID] = smem_ref[SM_MISSMID] + \
-            jnp.sum(jnp.where(miss & (lane == 0), 1.0, 0.0))
-
     def consume_writes(r, kv_rs, t_lc_used):
-        """Bit-buffer writes + stats for one consume round (j < 3)."""
+        """Bit-buffer writes + stats for one consume round (j < 3).
+        All three ranks' 1-writes, histogram adds, trksum/midbit counts
+        merge into ONE buffer update each (the values are identical and
+        the adds commute, so the fused form is bit-equal to the XLA
+        scan's sequential j-loop; tfirst can only trigger at rank 0
+        since dc >= 0, and tlast is the last written rank)."""
         dc = srow("dc")
         n = r["n"]
+        base = smem_ref[SM_BITBASE]
+        post0 = smem_ref[SM_POST]
+        t_lm0 = smem_ref[SM_TLM]
+        or0 = zf > 1.0
+        or1 = zf > 1.0
+        hadd = zf
+        trk_cnt = zf
+        miss_cnt = zf
+        firstk_col = srow("firstk") > 0.5
         for j in range(3):
             tjb = jnp.broadcast_to(r["tj"][j], (16, 128))
             has = (n > float(j)) & active
-            idx = jnp.minimum(dc + float(j), float(maxb - 1))
-            bits_write(idx, 1.0, has)
-            was_first = has & (dc + float(j) == 0.0)
-            wrow("tfirst", jnp.where(was_first, tjb, srow("tfirst")))
-            wrow("tlast", jnp.where(has, tjb, srow("tlast")))
-            hist_add(tjb, has, t_lc_used, kv_rs, j)
+            rel = jnp.minimum(dc + float(j), float(maxb - 1)) - base
+            or0 = or0 | (has & (rel >= 0.0) & (rel < 128.0) &
+                         (lanef == rel))
+            or1 = or1 | (has & (rel >= 128.0) & (rel < 256.0) &
+                         (lanef == rel - 128.0))
+            skip = firstk_col & (kv_rs + float(j) == 0.0)
+            stat_ok = has & (post0 == 0.0) & jnp.logical_not(skip)
+            val = tjb - t_lc_used
+            bkt = ((val - stat_lb) / stat_bw).astype(I32)
+            code = jnp.where(bkt < 0, 0, jnp.where(bkt > 49, 49, bkt))
+            hadd = hadd + jnp.where(stat_ok & (lane == code), 1.0, 0.0)
+            trk_cnt = trk_cnt + jnp.where(
+                stat_ok & (bkt >= 0) & (bkt <= 49) & (lane == 0), 1.0,
+                0.0)
+            miss_cnt = miss_cnt + jnp.where(
+                has & (tjb < t_lm0) & (post0 == 0.0) & (lane == 0), 1.0,
+                0.0)
+        wrow("bw0", jnp.where(or0, 1.0, srow("bw0")))
+        wrow("bw1", jnp.where(or1, 1.0, srow("bw1")))
+        if do_correct:
+            z = (n > 0.0) & active & (dc == 0.0)
+            wrow("bits0", jnp.where(z, 1.0, srow("bits0")))
+        hist_ref[0, :, :] = hist_ref[0, :, :] + hadd
+        wrow("trksum", srow("trksum") + trk_cnt)
+        smem_ref[SM_MISSMID] = smem_ref[SM_MISSMID] + jnp.sum(miss_cnt)
+        tj0 = jnp.broadcast_to(r["tj"][0], (16, 128))
+        was_first = (n > 0.0) & active & (dc == 0.0)
+        wrow("tfirst", jnp.where(was_first, tj0, srow("tfirst")))
+        m = jnp.minimum(n, 3.0)
+        tlast_new = jnp.where(
+            m == 1.0, tj0,
+            jnp.where(m == 2.0, jnp.broadcast_to(r["tj"][1], (16, 128)),
+                      jnp.broadcast_to(r["tj"][2], (16, 128))))
+        wrow("tlast", jnp.where((n > 0.0) & active, tlast_new,
+                                srow("tlast")))
         wrow("dc", jnp.minimum(dc + n, float(maxb)))
 
     def slot_iteration(it, carry):
