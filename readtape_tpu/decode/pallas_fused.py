@@ -212,7 +212,7 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
             st_ref, smem_ref, *, P, T, S, maxb, max_slots, MBP,
             Ws, rises, minps, aalphas, awindows,
             clk_windows, clk_alphas, pulse_adjs, midbits,
-            spb, do_correct, agc_ring):
+            spb, do_correct, agc_ring, no_slots=False):
     n_rblks = pl.num_programs(1)
     rblk = pl.program_id(1)
     last_blk = rblk == n_rblks - 1
@@ -369,16 +369,24 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
         use_exp = aal_k > 0.0
         use_win = awin_k > 0
 
-        e0, _ = elig(st_read("agc"), st_read("vah"), st_read("blind"))
-        wrow("elig", jnp.where(e0, 1.0, 0.0))
-        smem_ref[SM_AWORK] = jnp.sum(e0.astype(F32))
+        def e_pack(e, is_top_row):
+            # 0 = not eligible, 1 = eligible bottom, 2 = eligible top:
+            # the commit reuses the topness instead of re-running the
+            # threshold test (2 divides) per iteration
+            return jnp.where(e, jnp.where(is_top_row, 2.0, 1.0), 0.0)
+
+        e0, t0 = elig(st_read("agc"), st_read("vah"), st_read("blind"))
+        wrow("elig", e_pack(e0, t0))
+        smem_ref[SM_AWORK] = jnp.sum(jnp.where(e0, 1.0, 0.0))
 
         def slot_body(j, carry):
             @pl.when(smem_ref[SM_AWORK] > 0.0)
             def _():
                 agc = st_read("agc")
                 vah = st_read("vah")
-                e = srow("elig") > 0.5
+                erow = srow("elig")
+                e = erow > 0.5
+                top_row = erow > 1.5
 
                 li = jnp.min(jnp.where(e, lane, 9999), axis=1,
                              keepdims=True)
@@ -391,31 +399,29 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                                 keepdims=True)
                     return jnp.broadcast_to(v, lane.shape)
 
-                # topness at the selected position (same test as elig's)
-                scale = vah / cm.PKWW_PEAKHEIGHT
-                rise = rise_k * scale / agc
-                rmin = minp_k * scale / agc
-                no_min = minp_k == 0.0
-                top_row = ((wmax > feat["v_left"] + rise) &
-                           (wmax > feat["v_right"] + rise) &
-                           (no_min | (wmax > rmin)))
-                is_top = ext(jnp.where(top_row, F32(1.0), F32(0.0))) > 0.5
-                is_top = is_top & adm
-                is_bot = adm & (~is_top)
-                L = ext(jnp.where(top_row, l_top, l_bot))
-                val = ext(jnp.where(top_row, wmax, wmin))
-                prev = ext(jnp.where(top_row, prevmax, prevmin))
-                nxt = ext(jnp.where(top_row, nextmax, nextmin))
-                s_f = ext(posf)
-
+                # refine_peak in ROW space (per-position, data-parallel),
+                # then one extraction per scalar actually carried
+                L_row = jnp.where(top_row, l_top, l_bot)
+                val_row = jnp.where(top_row, wmax, wmin)
+                prev_row = jnp.where(top_row, prevmax, prevmin)
+                nxt_row = jnp.where(top_row, nextmax, nextmin)
                 thr = cm.PEAK_THRESHOLD / agc
-                ref = jnp.where(is_top, val - thr, val + thr)
-                p_close = (is_top & (prev > ref)) | (is_bot & (prev < ref))
-                n_close = (is_top & (nxt > ref)) | (is_bot & (nxt < ref))
+                ref = jnp.where(top_row, val_row - thr, val_row + thr)
+                p_close = jnp.where(top_row, prev_row > ref,
+                                    prev_row < ref)
+                n_close = jnp.where(top_row, nxt_row > ref, nxt_row < ref)
                 adj = jnp.where(p_close & ~n_close, F32(-0.5),
                                 jnp.where(n_close & ~p_close, F32(0.5),
                                           F32(0.0)))
-                t_peak = s_f - ((W_f - L) - adj)
+                t_row = posf - ((W_f - L_row) - adj)
+
+                is_top = ext(jnp.where(top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(L_row)
+                val = ext(val_row)
+                s_f = ext(posf)
+                t_peak = ext(t_row)
 
                 n_adm = st_read("n_adm")
                 v_top2 = jnp.where(is_top, val, st_read("v_top"))
@@ -511,9 +517,9 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                 for k in range(agc_ring):
                     st_write(k, ring3[k])
 
-                e2, _ = elig(agc2, vah2, blind2)
-                wrow("elig", jnp.where(e2, 1.0, 0.0))
-                smem_ref[SM_AWORK] = jnp.sum(e2.astype(F32))
+                e2, t2 = elig(agc2, vah2, blind2)
+                wrow("elig", e_pack(e2, t2))
+                smem_ref[SM_AWORK] = jnp.sum(jnp.where(e2, 1.0, 0.0))
             return carry
 
         def commit_block(o, carry):
@@ -932,11 +938,12 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
 
         jax.lax.fori_loop(0, nouter, outer, 0)
 
-    slot_block(-(-SLMAX // 8), 8)
+    if not no_slots:              # debug: admission-only timing
+        slot_block(-(-SLMAX // 8), 8)
 
     # tail: after the last row block the boundary is gone -- run the slot
     # machine to completion (postamble end / past-segment / slot cap)
-    @pl.when(last_blk)
+    @pl.when(last_blk & (not no_slots))
     def _():
         slot_block(-(-max_slots // 16), 16)
 
@@ -987,12 +994,12 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
 @functools.partial(jax.jit, static_argnames=(
     "S", "T", "P", "maxb", "max_slots", "Ws", "rises", "minps", "aalphas",
     "awindows", "clk_windows", "clk_alphas", "pulse_adjs", "midbits",
-    "spb", "do_correct", "agc_ring", "interpret"))
+    "spb", "do_correct", "agc_ring", "interpret", "no_slots"))
 def nrzi_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
                     max_slots: int, Ws, rises, minps, aalphas, awindows,
                     clk_windows, clk_alphas, pulse_adjs, midbits,
                     spb: float, do_correct: bool, agc_ring: int,
-                    interpret: bool = None):
+                    interpret: bool = None, no_slots: bool = False):
     """volts: [B, 16, S] f32 (padded tracks zero); meta: [B, 16, 128] f32
     (lanes M_*). Returns (bits [B, P, 16, MBP], hist [B, P, 16, 128],
     scal [B, P, 16, 128]) -- everything nrzi_finish needs, no
@@ -1013,7 +1020,7 @@ def nrzi_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
         Ws=Ws, rises=rises, minps=minps, aalphas=aalphas,
         awindows=awindows, clk_windows=clk_windows, clk_alphas=clk_alphas,
         pulse_adjs=pulse_adjs, midbits=midbits, spb=spb,
-        do_correct=do_correct, agc_ring=agc_ring)
+        do_correct=do_correct, agc_ring=agc_ring, no_slots=no_slots)
     _, n_rows = _fused_layout(agc_ring)
 
     bits, hist, scal = pl.pallas_call(

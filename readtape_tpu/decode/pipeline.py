@@ -1803,6 +1803,7 @@ def ww_trace_lanes(samples, opts, a: int, b: int):
     keep = np.arange(K) < counts[..., None]
     trans = dict(s_det=jnp.where(keep, fin["tr_s"], nrzi_mod.BIG_S),
                  t_peak=jnp.where(keep, fin["tr_t"], 0.0),
+                 t_frac=jnp.where(keep, fin["tr_frac"], 0.0),
                  is_top=jnp.where(keep, fin["tr_top"], False))
     Mcap = min(int(T * K), int(np.sum(counts)) + 16)
     merged = ww_mod.merge_transitions(trans, T, Mcap)
@@ -1823,7 +1824,7 @@ def ww_trace_lanes(samples, opts, a: int, b: int):
         alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
         alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
         T=T, maxchars=maxchars, maxblocks=4096, fluxdir_req=fluxdir,
-        debug_times=True))
+        debug_times=True, m_frac=merged["t_frac"]))
     nchars = int(res["datacount"])
     data = [[] for _ in range(T)]
     data[0] = [(tsec(res["char_t"][i]), int(res["chars"][i]))
@@ -1847,16 +1848,20 @@ def _decode_tape_ww(samples, opts, log):
 
     T = ntrks
     N = samples.shape[0]
+    # Captures up to READTAPE_WW_SINGLE_MAX samples decode in one
+    # whole-capture pass; larger ones (the PL/I tape was 49M samples)
+    # stream through fixed-size admission chunks with the per-track scan
+    # state carried across boundaries, and the global scan's rolling time
+    # base (ww_global_scan) keeps sub-sample clocking exact at any
+    # length. The old hard cap at 2^26 samples is gone.
+    WW_SINGLE_MAX = int(os.environ.get("READTAPE_WW_SINGLE_MAX",
+                                       str(1 << 24)))
+    chunked = N > WW_SINGLE_MAX
+    WW_CH = int(os.environ.get("READTAPE_WW_CHUNK", str(1 << 22)))
+    WW_PAD = 192                      # > max window width + max skew delay
     S = seg.bucket_length(N)
-    # Sample POSITIONS survive the scan exactly at any length (int32 bit
-    # patterns through the f32 output pack, trackscan._int_to_f32_bits), but
-    # peak TIMES are absolute f32 sample units whose resolution passes
-    # 0.25 sample beyond 2^26 -- too coarse for WW clocking. Fail loudly
-    # rather than decode garbage; fix = per-chunk time bases.
-    if S >= 2 ** 26:
-        raise NotImplementedError(
-            f"Whirlwind capture of {N} samples exceeds the single-segment "
-            "scan's f32 time resolution (2^26 samples); split the capture")
+    if chunked:
+        S = (-(-N // WW_CH)) * WW_CH + WW_PAD
     v_i16, h_est, _ = seg.tape_activity(     # device-side (slow host vCPU)
         jnp.asarray(samples), jnp.float32(opts.maxvolts),
         step=max(1, (N * T) // 2_000_000))
@@ -1873,16 +1878,37 @@ def _decode_tape_ww(samples, opts, log):
     nsteps = int(S / spb * 3.2) + 64
     lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
 
-    def run_pass(skew_arr, v_avg_init):
+    def _floors():
+        scale = min(1.0, h_est / cm.PKWW_PEAKHEIGHT)
+        return (jnp.full(T, p0.pkww_rise * scale / cm.AGC_MAX_VALUE * 0.8,
+                         F32),
+                jnp.full(T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8,
+                         F32))
+
+    def _global(m_trk, m_t, m_frac, m_s, m_top, m_valid, maxblocks):
+        maxchars = int(N / spb) + 256
+        fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
+                   "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
+        return ww_mod.ww_global_scan(
+            m_trk, m_t, m_s, m_top, m_valid,
+            jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+            jnp.float32(spb),
+            jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
+            pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+            pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+            pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+            alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+            alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+            alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
+            T=T, maxchars=maxchars, maxblocks=maxblocks,
+            fluxdir_req=fluxdir, m_frac=m_frac)
+
+    def run_pass_single(skew_arr, v_avg_init):
         v = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
                         jnp.float32(-1.0 if opts.invert else 1.0),
                         jnp.asarray(skew_arr, I32), S=S, T=T,
                         differentiate=opts.differentiate, spb_int=int(spb))
-        scale = min(1.0, h_est / cm.PKWW_PEAKHEIGHT)
-        rise_floor = jnp.full(
-            T, p0.pkww_rise * scale / cm.AGC_MAX_VALUE * 0.8, F32)
-        min_floor = jnp.full(
-            T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8, F32)
+        rise_floor, min_floor = _floors()
         nxt = trackscan.loose_jump_table(v, W, rise_floor, min_floor)
         K = int(S / spb * 2.5) + 64
         feat = trackscan.precompute_window_features(v, W, nxt)
@@ -1896,28 +1922,109 @@ def _decode_tape_ww(samples, opts, log):
         trans = dict(
             s_det=jnp.where(keep, finals["tr_s"], nrzi_mod.BIG_S),
             t_peak=jnp.where(keep, finals["tr_t"], 0.0),
+            t_frac=jnp.where(keep, finals["tr_frac"], 0.0),
             is_top=jnp.where(keep, finals["tr_top"], False))
         Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
         merged = ww_mod.merge_transitions(trans, T, Mcap)
-
-        maxchars = int(S / spb) + 256
-        fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
-                   "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
-        res = ww_mod.ww_global_scan(
-            merged["trk"], merged["t_peak"], merged["s_det"],
-            merged["is_top"], merged["valid"],
-            jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
-            jnp.float32(spb),
-            jnp.float32(lb / opts.deltat), jnp.float32(bw / opts.deltat),
-            pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
-            pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
-            pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
-            alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
-            alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
-            alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
-            T=T, maxchars=maxchars, maxblocks=4096, fluxdir_req=fluxdir)
+        res = _global(merged["trk"], merged["t_peak"], merged["t_frac"],
+                      merged["s_det"], merged["is_top"], merged["valid"],
+                      maxblocks=4096)
         return jax.tree.map(np.asarray, res), jax.tree.map(np.asarray,
                                                            finals)
+
+    def run_pass_chunked(skew_arr, v_avg_init):
+        """Streamed admission front end for huge captures: fixed chunks
+        with the per-track scan state carried across boundaries. A WW_PAD
+        margin re-reads the previous chunk's tail so windows, skew delay
+        lines and differentiation see real history; candidates in the pad
+        are masked (they were scanned by the previous chunk)."""
+        SL = WW_CH + WW_PAD
+        # WW admits up to 2 pulse edges per bit per track; the single-pass
+        # 3.2x/bit step budget only suffices because inter-block gaps pool
+        # across the tape -- a chunk can be wall-to-wall block, so budget
+        # for the dense case (steps ~= admissions + rejects ~= 5/bit)
+        K_c = int(WW_CH / spb * 3.0) + 128
+        nst = int(WW_CH / spb * 6.0) + 256
+        nchunks = -(-N // WW_CH)
+        rise_floor, min_floor = _floors()
+        carry = ww_mod.ww_carry_init(T, W, v_avg_init)
+        carry_keys = list(carry.keys())
+        prev_cnt = np.zeros(T, np.int64)
+        s_l, f_l, k_l, u_l = [], [], [], []
+        skew_j = jnp.asarray(skew_arr, I32)
+        fin_np = None
+        for c in range(nchunks):
+            org = c * WW_CH - (WW_PAD if c else 0)
+            end = min((c + 1) * WW_CH, N)
+            lead = WW_PAD if c else 0
+            sl = jax.lax.dynamic_slice(v_i16, (0, org), (T, SL))
+            v = _prep_volts(sl, jnp.float32(opts.maxvolts),
+                            jnp.float32(-1.0 if opts.invert else 1.0),
+                            skew_j, S=SL, T=T,
+                            differentiate=opts.differentiate,
+                            spb_int=int(spb))
+            # the no-more-candidates snap target is SL + 256 -- a value
+            # a genuine blind jump (<= SL + W) can never reach, so the
+            # carried cursor translation below can tell them apart
+            nxt = _mask_jump_table(
+                trackscan.loose_jump_table(v, W, rise_floor, min_floor),
+                jnp.int32(end - org), jnp.int32(lead), SL + 256)
+            feat = trackscan.precompute_window_features(v, W, nxt)
+            lane = jax.vmap(lambda ft, nx, cr: ww_mod.ww_track_scan(
+                ft, nx, W, SL, nst, K_c, p0.pkww_rise, p0.min_peak,
+                p0.agc_alpha, p0.agc_window, jnp.float32(0.0), pre=True,
+                chunked=True, carry_in=cr))
+            fin = lane(feat, nxt, carry)
+            fin_np = {k: np.asarray(fin[k]) for k in
+                      ("tr_s", "tr_t", "tr_frac", "tr_top", "n_admitted",
+                       "pos", "h_sum", "h_cnt")}
+            new = fin_np["n_admitted"].astype(np.int64) - prev_cnt
+            prev_cnt = fin_np["n_admitted"].astype(np.int64)
+            if os.environ.get("READTAPE_WW_DEBUG"):
+                t0s = fin_np["tr_s"][0, :max(int(new[0]), 1)]
+                print(f"# chunk {c} org={org} end={end} new={new.tolist()} "
+                      f"pos={fin_np['pos'].tolist()} "
+                      f"trk0 s[:3]={(t0s[:3] + org).tolist()} "
+                      f"s[-1]={int(t0s[max(int(new[0]) - 1, 0)]) + org}",
+                      flush=True)
+            for t in range(T):
+                n = min(int(new[t]), K_c)
+                s_l.append(fin_np["tr_s"][t, :n].astype(np.int64) + org)
+                f_l.append(fin_np["tr_frac"][t, :n])
+                k_l.append(np.full(n, t, np.int32))
+                u_l.append(fin_np["tr_top"][t, :n])
+            carry = {k: fin[k] for k in carry_keys}
+            next_org = (c + 1) * WW_CH - WW_PAD
+            posn = fin_np["pos"].astype(np.int64)
+            art = posn >= SL + 256      # artificial no-more-candidates snap
+            # artificial: resume at the next chunk's first admissible
+            # position (abs `end`); genuine (a blind jump past the chunk
+            # end): translate, preserving the blind frontier exactly
+            pos_next = np.where(art, end - next_org,
+                                np.maximum(posn + org - next_org, 0))
+            carry["pos"] = jnp.asarray(pos_next.astype(np.int32))
+            carry["steps"] = jnp.zeros(T, I32)
+
+        s_all = np.concatenate(s_l) if s_l else np.zeros(0, np.int64)
+        order = np.lexsort((np.concatenate(k_l), s_all))
+        M = len(order)
+        s_srt = s_all[order]
+        # m_t (absolute f32) is only read by the global scan while its
+        # base is still 0, i.e. for events below REBASE_SPAN < 2^23 where
+        # f32 is exact; later events use f32(s - base) + frac
+        res = _global(
+            jnp.asarray(np.concatenate(k_l)[order]),
+            jnp.asarray((s_srt + np.concatenate(f_l)[order]
+                         .astype(np.float64)).astype(np.float32)),
+            jnp.asarray(np.concatenate(f_l)[order]),
+            jnp.asarray(np.minimum(s_srt, 2 ** 30).astype(np.int32)),
+            jnp.asarray(np.concatenate(u_l)[order]),
+            jnp.ones(M, bool),
+            maxblocks=int(N / spb) // 8 + 64)
+        finals = dict(h_sum=fin_np["h_sum"], h_cnt=fin_np["h_cnt"])
+        return jax.tree.map(np.asarray, res), finals
+
+    run_pass = run_pass_chunked if chunked else run_pass_single
 
     v_avg_init = np.full(T, cm.PKWW_PEAKHEIGHT, np.float32)
     deskew_done = False

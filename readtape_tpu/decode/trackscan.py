@@ -135,9 +135,13 @@ def admission_test(st, ev, rise_parm, min_parm):
     return is_top, is_bot
 
 
-def refine_time(st, ev, s, admit_top):
-    """refine_peak (decoder.c:700-749): +-0.5-sample interpolation and the
-    C's verbatim time formula (full window width even while filling)."""
+def refine_frac(st, ev, admit_top):
+    """refine_peak's sub-sample offset RELATIVE to the detection sample
+    (decoder.c:700-749): frac = -((W - L) - adj), an exact f32 (small
+    integer +- 0.5). Splitting the time into (s exact int, frac exact
+    f32) lets huge captures (s beyond the f32 mantissa) carry exact peak
+    times; t_peak = f32(s) + frac reproduces the original absolute
+    arithmetic bit-for-bit where both are representable."""
     L = jnp.where(admit_top, ev["l_top"], ev["l_bot"])
     val = jnp.where(admit_top, ev["wmax"], ev["wmin"])
     prev = jnp.where(admit_top, ev["prevmax"], ev["prevmin"])
@@ -148,7 +152,14 @@ def refine_time(st, ev, s, admit_top):
     next_close = jnp.where(admit_top, nxt > ref, nxt < ref)
     adj = jnp.where(prev_close & ~next_close, F32(-0.5),
                     jnp.where(next_close & ~prev_close, F32(0.5), F32(0.0)))
-    t_peak = s.astype(F32) - ((st["W"] - L).astype(F32) - adj)
+    return -((st["W"] - L).astype(F32) - adj), L
+
+
+def refine_time(st, ev, s, admit_top):
+    """refine_peak (decoder.c:700-749): +-0.5-sample interpolation and the
+    C's verbatim time formula (full window width even while filling)."""
+    frac, L = refine_frac(st, ev, admit_top)
+    t_peak = s.astype(F32) + frac
     return t_peak, L
 
 
@@ -303,7 +314,8 @@ def gather_window_features(feat: jnp.ndarray, s):
 def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
                       nsteps: int, rise_parm, min_parm,
                       agc_ring: int = cm.AGC_MAX_WINDOW,
-                      chunk: int = 512):    # 256 measured slower (439 vs 420ms)
+                      chunk: int = 512,     # 256 measured slower (439 vs 420ms)
+                      init_override=None):
     """lax.scan variant of run_jump_scan with PER-STEP OUTPUTS.
 
     Scattering into big buffers carried through a loop forces XLA to copy the
@@ -363,12 +375,21 @@ def run_jump_scan_seq(step_extra, init_extra, ev_fn, nxt_trk, W, S: int,
         else:
             nxt_pos = jnp.where(admit, s + L + 1, s + 1)
             pos2 = nxt_trk[jnp.clip(nxt_pos, 0, S)]
-        st3["pos"] = jnp.where(live, pos2, S)
+        # dead steps (pos already past S) PRESERVE the exit position: the
+        # chunked-capture driver distinguishes a genuine blind-jump
+        # overshoot (<= S + W, carries the blind frontier into the next
+        # chunk) from the no-more-candidates snap (> S + 255)
+        st3["pos"] = jnp.where(live, pos2, st["pos"])
         return st3, out
 
-    init = admission_init(W, agc_ring)
-    init["pos"] = nxt_trk[0]            # first candidate (skip leading quiet)
-    init.update(init_extra)
+    if init_override is not None:
+        # chunked captures: resume from the previous chunk's full carried
+        # state (positions already translated to this chunk's frame)
+        init = dict(init_override)
+    else:
+        init = admission_init(W, agc_ring)
+        init["pos"] = nxt_trk[0]        # first candidate (skip leading quiet)
+        init.update(init_extra)
 
     # probe the output structure to build the pack/unpack maps
     dead = dict(init)

@@ -59,10 +59,11 @@ def parse_ww_order(order: str):
     return type_to_trk, head_to_trk, ntrks
 
 
-@partial(jax.jit, static_argnames=("S", "nsteps", "K", "pre"))
+@partial(jax.jit, static_argnames=("S", "nsteps", "K", "pre", "chunked"))
 def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
-                  v_avg_height_init, pre: bool = False):
+                  v_avg_height_init, pre: bool = False,
+                  chunked: bool = False, carry_in=None):
     """Admission + the WW AGC policy: adjust_agc on every pulse edge
     (decode_ww.c:171,190). v_avg_height comes from the deskew pass when
     available (decoder.c:484-497), else the nominal value. Also measures
@@ -84,7 +85,12 @@ def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
         st3["h_cnt"] = st["h_cnt"] + meas.astype(I32)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
-        out = dict(admit=admit, s_det=s, t_peak=t_peak, is_top=admit_top)
+        # exact sub-sample offset alongside the absolute f32 time: huge
+        # captures (s beyond the f32 mantissa) rebuild exact local times
+        # as f32(s - base) + frac (see ww_global_scan's rebasing)
+        frac, _L = ts.refine_frac(st, ev, admit_top)
+        out = dict(admit=admit, s_det=s, t_peak=t_peak, t_frac=frac,
+                   is_top=admit_top)
         return st3, out
 
     init = {"v_avg_height": jnp.asarray(v_avg_height_init, F32),
@@ -95,28 +101,51 @@ def ww_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int, K: int,
         WMAX = W if isinstance(W, int) else cm.PKWW_MAX_WIDTH
         ev_fn = lambda st, s: ts.window_features(v_trk, s, st["W"], S, WMAX)
     final, outs = ts.run_jump_scan_seq(extra, init, ev_fn, nxt_trk, W, S,
-                                       nsteps, rise_parm, min_parm)
+                                       nsteps, rise_parm, min_parm,
+                                       init_override=carry_in if chunked
+                                       else None)
     final.update(ts.compact_outputs(
         outs["admit"], K,
         tr_s=(outs["s_det"], ts.BIG_S),
         tr_t=(outs["t_peak"], F32(0.0)),
+        tr_frac=(outs["t_frac"], F32(0.0)),
         tr_top=(outs["is_top"], False)))
     return final
+
+
+def ww_carry_init(T: int, W: int, v_avg_height_init,
+                  agc_ring: int = cm.AGC_MAX_WINDOW):
+    """Fresh per-track carry for the CHUNKED scan (ww_track_scan with
+    chunked=True): the full admission + WW state, [T]-leading so it vmaps
+    like the scan. pos starts at 0 (one reject step snaps to the first
+    candidate, identical admissions to starting at nxt[0])."""
+    one = ts.admission_init(W, agc_ring)
+    one.update(v_avg_height=jnp.asarray(0.0, F32), h_sum=F32(0.0),
+               h_cnt=I32(0), steps=I32(0))
+    carry = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (T,) + jnp.shape(x)),
+        one)
+    carry["v_avg_height"] = jnp.asarray(v_avg_height_init, F32).reshape(T)
+    return carry
 
 
 def merge_transitions(trans, T: int, cap: int):
     """trans: dict of [T, K] compacted per-track transitions. Merge into one
     detection-ordered stream [cap]: within a sample, lower tracks first (the
-    reference's per-sample track loop order)."""
+    reference's per-sample track loop order). A STABLE sort on s_det with
+    the [T, K] row-major flattening gives exactly that tiebreak, with no
+    upper bound on s_det (the old key packed s*16+trk into an int32, which
+    capped captures at 2^26 samples)."""
     K = trans["s_det"].shape[1]
-    key = (jnp.minimum(trans["s_det"], 2 ** 26) * 16 +
-           jnp.arange(T, dtype=I32)[:, None])
-    flat_key = key.reshape(-1)
-    order = jnp.argsort(flat_key)[:cap]
+    flat_s = trans["s_det"].reshape(-1)
+    order = jnp.argsort(flat_s, stable=True)[:cap]
     out = {k: v.reshape(-1)[order] for k, v in trans.items()}
-    out["trk"] = (flat_key[order] % 16).astype(I32)
-    out["valid"] = out["s_det"] < 2 ** 26
+    out["trk"] = (order // K).astype(I32)
+    out["valid"] = out["s_det"] < ts.BIG_S
     return out
+
+
+REBASE_SPAN = 1 << 22     # rebase when an event is this far past the base
 
 
 @partial(jax.jit, static_argnames=(
@@ -128,14 +157,30 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                    stat_binwidth=jnp.float32(1.0),
                    *, pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb,
                    T, maxchars, maxblocks, fluxdir_req,
-                   debug_times: bool = False):
+                   debug_times: bool = False, m_frac=None):
     """The merged-stream state machine (decode_ww.c:51-271).
+
+    Carried times are RELATIVE to a rolling integer base: when an event
+    lands more than REBASE_SPAN samples past the base, the base jumps to
+    it and every carried time shifts down (0.0 'never' sentinels
+    preserved). Below the span the base stays 0 and the arithmetic is
+    bit-identical to the old absolute-time scan, so captures beyond the
+    f32 mantissa (the PL/I tape is 49M samples; the old cap was 2^26)
+    decode with full sub-sample clocking precision. m_frac (exact
+    sub-sample offsets from refine_frac) enables the exact local-time
+    rebuild f32(s - base) + frac; without it the absolute m_t is used
+    (trace path, small captures only).
 
     debug_times additionally records each data char's clock-end time
     (char_t) for the -trace data lane (TRACE(data, clkendtime, ...),
     decode_ww.c:90); off by default to keep the carried buffer small."""
     clk_trks = [t for t in (pri_clk, alt_clk) if t >= 0]
     lsb_trks = [t for t in (pri_lsb, alt_lsb) if t >= 0]
+    TIME_FIELDS = ("t_lastclkpulsestart", "t_lastclkpulseend",
+                   "t_lastpriclkpulsestart", "t_lastaltclkpulsestart",
+                   "t_lastpriclkpulseend", "t_lastblockmark",
+                   "ww_lastpeak", "trk_lastpulsestart", "trk_lastpulseend",
+                   "trk_lastpeak", "trk_prevlastpeak")
 
     def emit_block(st, btype, end_t):
         """Record a block boundary (ww_end_of_block / ww_blockmark)."""
@@ -146,6 +191,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                 ("b_end", st["datacount"]),
                 ("b_type", btype),
                 ("b_t_end", end_t),
+                ("b_t_base", st["base"]),
                 ("b_bitspace", st["clkavg"]["t_bitspaceavg"]),
                 ("b_leadclk", jnp.int32(0)),
                 ("b_missing1", st["w_missing_onebit"]),
@@ -194,12 +240,26 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         return out
 
     def step(st, x):
-        trk, t, s_det, is_top, valid = x
+        trk, t_in, frac, s_det, is_top, valid = x
         b = st["clkavg"]["t_bitspaceavg"]
+
+        # ---- rolling rebase (see docstring) ----
+        ds = s_det - st["base"]
+        reb = valid & (ds > REBASE_SPAN)
+        dsf = ds.astype(F32)
+        for k in TIME_FIELDS:
+            st[k] = jnp.where(reb,
+                              jnp.where(st[k] == 0.0, 0.0, st[k] - dsf),
+                              st[k])
+        st["base"] = jnp.where(reb, s_det, st["base"])
+        s_rel = (s_det - st["base"]).astype(F32)
+        # exact local event time; identical to the absolute t when the
+        # base is 0 (t was computed as f32(s) + frac in refine_time)
+        t = jnp.where(st["base"] == 0, t_in, s_rel + frac)
 
         # block end between events: the clock stopped (decoder.c:892-894)
         ended = (valid & st["datablock"] & (st["t_lastclkpulseend"] > 0) &
-                 (s_det.astype(F32) - st["t_lastclkpulseend"] >
+                 (s_rel - st["t_lastclkpulseend"] >
                   b * cm.WW_CLKSTOP_BITS))
         # queued blockmark: an LSB pulse end straggling past the last clock
         # (decode_ww.c:148-158)
@@ -328,6 +388,8 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         b_end=jnp.zeros(maxblocks, I32),
         b_type=jnp.zeros(maxblocks, I32),
         b_t_end=jnp.zeros(maxblocks, F32),
+        b_t_base=jnp.zeros(maxblocks, I32),
+        base=I32(0),
         b_bitspace=jnp.zeros(maxblocks, F32),
         b_leadclk=jnp.zeros(maxblocks, I32),
         b_missing1=jnp.zeros(maxblocks, I32),
@@ -353,8 +415,10 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         hist=jnp.zeros((T, 50), I32),
         trksums=jnp.zeros(T, I32),
     )
+    if m_frac is None:
+        m_frac = jnp.zeros_like(m_t)
     final, _ = jax.lax.scan(step, init,
-                            (m_trk, m_t, m_s, m_is_top, m_valid))
+                            (m_trk, m_t, m_frac, m_s, m_is_top, m_valid))
     # flush a trailing block (samples continue past the last event, so the
     # clock-stop check would have fired eventually)
     lsb_strag = jnp.bool_(False)
@@ -384,7 +448,8 @@ def assemble_ww_blocks(res_host, spb, reverse: bool):
         btype = int(res_host["b_type"][i])
         if btype == BS_TAPEMARK:
             out.append(dict(kind="tapemark", data=b"", warnings={},
-                            t_end_samples=float(res_host["b_t_end"][i])))
+                            t_end_samples=float(res_host["b_t_base"][i]) +
+                            float(res_host["b_t_end"][i])))
             continue
         a, b = int(res_host["b_start"][i]), int(res_host["b_end"][i])
         two = np.asarray(chars[a:b], np.int32)
@@ -415,5 +480,6 @@ def assemble_ww_blocks(res_host, spb, reverse: bool):
             avg_bit_spacing=bitspace,
         )
         out.append(dict(kind="data", data=byts.tobytes(), warnings=warnings,
-                        t_end_samples=float(res_host["b_t_end"][i])))
+                        t_end_samples=float(res_host["b_t_base"][i]) +
+                        float(res_host["b_t_end"][i])))
     return out

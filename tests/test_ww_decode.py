@@ -86,3 +86,33 @@ def test_ww_order_parsing():
     import pytest
     with pytest.raises(ValueError):
         parse_ww_order("Mcml")       # no primary clock
+
+
+def test_ww_chunked_matches_single(monkeypatch):
+    """The chunked admission front end + rolling-base global scan
+    (captures beyond READTAPE_WW_SINGLE_MAX; the old hard 2^26-sample cap
+    is gone) must reproduce the single-pass decode byte for byte. Forced
+    here with a small chunk size on a mid-size capture whose blocks
+    straddle several chunk boundaries."""
+    rng = np.random.default_rng(77)
+    spec = default_spec(tb.MODE_WW)
+    items = []
+    for i in range(12):
+        words = [int(w) for w in rng.integers(0, 65536, 120)]
+        items.append(("block", words))
+        if i == 5:
+            items.append(("tapemark",))
+    out_ref, stats_ref = _decode(spec, items, fluxdir="neg")
+
+    monkeypatch.setenv("READTAPE_WW_SINGLE_MAX", str(1 << 18))
+    monkeypatch.setenv("READTAPE_WW_CHUNK", str(1 << 17))
+    out_ch, stats_ch = _decode(spec, items, fluxdir="neg")
+
+    assert [b.kind for b in out_ch] == [b.kind for b in out_ref]
+    assert [b.data for b in out_ch] == [b.data for b in out_ref]
+    assert [b.errcount for b in out_ch] == [b.errcount for b in out_ref]
+    assert stats_ch["nblocks"] == 12 and stats_ch["ntapemarks"] == 1
+    np.testing.assert_array_equal(stats_ch["peak_hist"],
+                                  stats_ref["peak_hist"])
+    for a, b in zip(out_ch, out_ref):
+        assert abs(a.t_end - b.t_end) < 1e-6
