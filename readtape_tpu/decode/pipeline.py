@@ -1885,7 +1885,8 @@ def _decode_tape_ww(samples, opts, log):
                 jnp.full(T, p0.min_peak * scale / cm.AGC_MAX_VALUE * 0.8,
                          F32))
 
-    def _global(m_trk, m_t, m_frac, m_s, m_top, m_valid, maxblocks):
+    def _global(m_trk, m_t, m_frac, m_s, m_top, m_valid, maxblocks,
+                init_state=None, flush=True):
         maxchars = int(N / spb) + 256
         fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
                    "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
@@ -1901,7 +1902,8 @@ def _decode_tape_ww(samples, opts, log):
             alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
             alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
             T=T, maxchars=maxchars, maxblocks=maxblocks,
-            fluxdir_req=fluxdir, m_frac=m_frac)
+            fluxdir_req=fluxdir, m_frac=m_frac,
+            init_state=init_state, flush=flush)
 
     def run_pass_single(skew_arr, v_avg_init):
         v = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
@@ -2012,15 +2014,33 @@ def _decode_tape_ww(samples, opts, log):
         # m_t (absolute f32) is only read by the global scan while its
         # base is still 0, i.e. for events below REBASE_SPAN < 2^23 where
         # f32 is exact; later events use f32(s - base) + frac
-        res = _global(
-            jnp.asarray(np.concatenate(k_l)[order]),
-            jnp.asarray((s_srt + np.concatenate(f_l)[order]
-                         .astype(np.float64)).astype(np.float32)),
-            jnp.asarray(np.concatenate(f_l)[order]),
-            jnp.asarray(np.minimum(s_srt, 2 ** 30).astype(np.int32)),
-            jnp.asarray(np.concatenate(u_l)[order]),
-            jnp.ones(M, bool),
-            maxblocks=int(N / spb) // 8 + 64)
+        trk_m = np.concatenate(k_l)[order]
+        t_m = (s_srt + np.concatenate(f_l)[order]
+               .astype(np.float64)).astype(np.float32)
+        f_m = np.concatenate(f_l)[order]
+        s_m = np.minimum(s_srt, 2 ** 30).astype(np.int32)
+        u_m = np.concatenate(u_l)[order]
+        maxblocks = int(N / spb) // 8 + 64
+        # the scan runs in bounded slices (one multi-million-step device
+        # program trips the runtime's execution watchdog); state threads
+        # through on device, padded tail events are exact no-ops
+        SLICE = 1 << 20
+        nsl = max(1, -(-M // SLICE))
+        state = None
+        for k in range(nsl):
+            a, b = k * SLICE, min((k + 1) * SLICE, M)
+            pad = SLICE - (b - a)
+
+            def cut(x, fill=0):
+                return jnp.asarray(np.pad(x[a:b], (0, pad),
+                                          constant_values=fill))
+            state = _global(cut(trk_m), cut(t_m), cut(f_m), cut(s_m),
+                            cut(u_m),
+                            jnp.asarray(np.pad(np.ones(b - a, bool),
+                                               (0, pad))),
+                            maxblocks=maxblocks,
+                            init_state=state, flush=(k == nsl - 1))
+        res = state
         finals = dict(h_sum=fin_np["h_sum"], h_cnt=fin_np["h_cnt"])
         return jax.tree.map(np.asarray, res), finals
 

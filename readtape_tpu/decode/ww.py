@@ -150,14 +150,15 @@ REBASE_SPAN = 1 << 22     # rebase when an event is this far past the base
 
 @partial(jax.jit, static_argnames=(
     "pri_clk", "pri_lsb", "pri_msb", "alt_clk", "alt_lsb", "alt_msb",
-    "T", "maxchars", "maxblocks", "fluxdir_req", "debug_times"))
+    "T", "maxchars", "maxblocks", "fluxdir_req", "debug_times", "flush"))
 def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                    clk_window, clk_alpha, spb,
                    stat_leftbin=jnp.float32(0.0),
                    stat_binwidth=jnp.float32(1.0),
                    *, pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb,
                    T, maxchars, maxblocks, fluxdir_req,
-                   debug_times: bool = False, m_frac=None):
+                   debug_times: bool = False, m_frac=None,
+                   init_state=None, flush: bool = True):
     """The merged-stream state machine (decode_ww.c:51-271).
 
     Carried times are RELATIVE to a rolling integer base: when an event
@@ -182,9 +183,15 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                    "ww_lastpeak", "trk_lastpulsestart", "trk_lastpulseend",
                    "trk_lastpeak", "trk_prevlastpeak")
 
-    def emit_block(st, btype, end_t):
-        """Record a block boundary (ww_end_of_block / ww_blockmark)."""
-        i = jnp.minimum(st["nblocks"], maxblocks - 1)
+    def emit_block(st, btype, end_t, cond):
+        """Record a block boundary (ww_end_of_block / ww_blockmark) when
+        cond. The [maxblocks] arrays take ONE predicated dropped-index
+        write instead of a whole-array where-merge: a full select costs
+        O(maxblocks) per event, which at large-capture sizes moves
+        megabytes per scan step (it crashed the TPU worker on a 70M-sample
+        capture); the predicated write is bit-identical and O(1)."""
+        i = jnp.where(cond, jnp.minimum(st["nblocks"], maxblocks - 1),
+                      maxblocks)
         blk = dict(st)
         for name, val in [
                 ("b_start", st["blockstart_char"]),
@@ -196,25 +203,31 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
                 ("b_leadclk", jnp.int32(0)),
                 ("b_missing1", st["w_missing_onebit"]),
                 ("b_missingclk", st["w_missing_clock"])]:
-            blk[name] = st[name].at[i].set(val)
-        blk["nblocks"] = st["nblocks"] + 1
-        blk["blockstart_char"] = st["datacount"]
-        blk["w_missing_onebit"] = jnp.int32(0)
-        blk["w_missing_clock"] = jnp.int32(0)
+            blk[name] = st[name].at[i].set(val, mode="drop")
+        blk["nblocks"] = st["nblocks"] + cond.astype(I32)
+
+        def sel(new, old):
+            return jnp.where(cond, new, old)
+        blk["blockstart_char"] = sel(st["datacount"],
+                                     st["blockstart_char"])
+        blk["w_missing_onebit"] = sel(jnp.int32(0), st["w_missing_onebit"])
+        blk["w_missing_clock"] = sel(jnp.int32(0), st["w_missing_clock"])
         # ww_init_blockstate: reset clock + per-track peak memory
-        blk["clkavg"] = cm.clkavg_init(spb)
-        blk["t_lastclkpulsestart"] = F32(0.0)
-        blk["t_lastclkpulseend"] = F32(0.0)
-        blk["t_lastpriclkpulseend"] = F32(0.0)
-        blk["t_lastpriclkpulsestart"] = F32(0.0)
-        blk["t_lastaltclkpulsestart"] = F32(0.0)
-        blk["datablock"] = jnp.bool_(False)
-        blk["trk_lastpeak"] = jnp.zeros(T, F32)
-        blk["trk_prevlastpeak"] = jnp.zeros(T, F32)
+        blk["clkavg"] = jax.tree.map(sel, cm.clkavg_init(spb),
+                                     st["clkavg"])
+        for k in ("t_lastclkpulsestart", "t_lastclkpulseend",
+                  "t_lastpriclkpulseend", "t_lastpriclkpulsestart",
+                  "t_lastaltclkpulsestart"):
+            blk[k] = sel(F32(0.0), st[k])
+        blk["datablock"] = sel(jnp.bool_(False), st["datablock"])
+        blk["trk_lastpeak"] = sel(jnp.zeros(T, F32), st["trk_lastpeak"])
+        blk["trk_prevlastpeak"] = sel(jnp.zeros(T, F32),
+                                      st["trk_prevlastpeak"])
         return blk
 
-    def chk_databits(st, clkend):
-        """ww_chk_databits at a clock pulse end (decode_ww.c:51-92)."""
+    def chk_databits(st, clkend, cond):
+        """ww_chk_databits at a clock pulse end (decode_ww.c:51-92),
+        applied when cond (predicated writes, see emit_block)."""
         b = st["clkavg"]["t_bitspaceavg"]
         def chk(trk):
             if trk < 0:
@@ -230,13 +243,18 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         lsb = ((r_pl == 1) | (r_al == 1)).astype(I32)
         miss = ((r_pm | r_am) == 3).astype(I32) + ((r_pl | r_al) == 3).astype(I32)
         ch = (msb << 1) | lsb
-        i = jnp.minimum(st["datacount"], maxchars - 1)
+        i = jnp.where(cond, jnp.minimum(st["datacount"], maxchars - 1),
+                      maxchars)
         out = dict(st)
-        out["chars"] = st["chars"].at[i].set(ch.astype(jnp.int8))
+        out["chars"] = st["chars"].at[i].set(ch.astype(jnp.int8),
+                                             mode="drop")
         if debug_times:
-            out["char_t"] = st["char_t"].at[i].set(clkend)
-        out["datacount"] = jnp.minimum(st["datacount"] + 1, maxchars)
-        out["w_missing_onebit"] = st["w_missing_onebit"] + miss
+            out["char_t"] = st["char_t"].at[i].set(clkend, mode="drop")
+        out["datacount"] = jnp.where(
+            cond, jnp.minimum(st["datacount"] + 1, maxchars),
+            st["datacount"])
+        out["w_missing_onebit"] = st["w_missing_onebit"] + \
+            jnp.where(cond, miss, 0)
         return out
 
     def step(st, x):
@@ -268,13 +286,9 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
             lsb_strag = lsb_strag | (
                 st["trk_lastpulseend"][lt] - st["t_lastclkpulseend"] >
                 b * cm.WW_PEAKSCLOSE_BITS)
-        st = jax.tree.map(
-            lambda a, bb: jnp.where(ended, a, bb),
-            emit_block(st, jnp.int32(BS_BLOCK), t), st)
+        st = emit_block(st, jnp.int32(BS_BLOCK), t, ended)
         emit_mark = ended & lsb_strag
-        st = jax.tree.map(
-            lambda a, bb: jnp.where(emit_mark, a, bb),
-            emit_block(st, jnp.int32(BS_TAPEMARK), t), st)
+        st = emit_block(st, jnp.int32(BS_TAPEMARK), t, emit_mark)
         st["t_lastblockmark"] = jnp.where(emit_mark, t,
                                           st["t_lastblockmark"])
 
@@ -349,8 +363,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         end_clk = pe & is_clk
         do_chk = end_clk & ((t - st["t_lastclkpulseend"]) >
                             b * cm.WW_PEAKSCLOSE_BITS)
-        st = jax.tree.map(lambda a, bb: jnp.where(do_chk, a, bb),
-                          chk_databits(st, t), st)
+        st = chk_databits(st, t, do_chk)
         st["t_lastclkpulseend"] = jnp.where(end_clk, t,
                                             st["t_lastclkpulseend"])
         # missing-clock warnings (decode_ww.c:210-223)
@@ -367,8 +380,7 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
         # standalone blockmark: LSB pulse end with no clock running
         bm = (pe & is_lsb & (st["t_lastclkpulsestart"] == 0) &
               (t - st["t_lastblockmark"] > b))
-        st = jax.tree.map(lambda a, bb: jnp.where(bm, a, bb),
-                          emit_block(st, jnp.int32(BS_TAPEMARK), t), st)
+        st = emit_block(st, jnp.int32(BS_TAPEMARK), t, bm)
         st["t_lastblockmark"] = jnp.where(bm, t, st["t_lastblockmark"])
 
         # per-track peak history (process_up/down_transition tail)
@@ -417,8 +429,16 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
     )
     if m_frac is None:
         m_frac = jnp.zeros_like(m_t)
+    if init_state is not None:
+        # resumable slices: huge captures run the scan in bounded pieces
+        # (one long device program trips the runtime's execution watchdog),
+        # threading the carried state through host calls; invalid events
+        # are exact no-ops, so padded tails are safe
+        init = init_state
     final, _ = jax.lax.scan(step, init,
                             (m_trk, m_t, m_frac, m_s, m_is_top, m_valid))
+    if not flush:
+        return final
     # flush a trailing block (samples continue past the last event, so the
     # clock-stop check would have fired eventually)
     lsb_strag = jnp.bool_(False)
@@ -427,15 +447,11 @@ def ww_global_scan(m_trk, m_t, m_s, m_is_top, m_valid,
             final["trk_lastpulseend"][lt] - final["t_lastclkpulseend"] >
             final["clkavg"]["t_bitspaceavg"] * cm.WW_PEAKSCLOSE_BITS)
     ended = final["datablock"] & (final["t_lastclkpulseend"] > 0)
-    final2 = jax.tree.map(
-        lambda a, bb: jnp.where(ended, a, bb),
-        emit_block(final, jnp.int32(BS_BLOCK), final["t_lastclkpulseend"]),
-        final)
+    final2 = emit_block(final, jnp.int32(BS_BLOCK),
+                        final["t_lastclkpulseend"], ended)
     emit_mark = ended & lsb_strag
-    final2 = jax.tree.map(
-        lambda a, bb: jnp.where(emit_mark, a, bb),
-        emit_block(final2, jnp.int32(BS_TAPEMARK),
-                   final2["t_lastclkpulseend"]), final2)
+    final2 = emit_block(final2, jnp.int32(BS_TAPEMARK),
+                        final2["t_lastclkpulseend"], emit_mark)
     return final2
 
 
