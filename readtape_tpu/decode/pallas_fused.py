@@ -407,9 +407,12 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                 nxt_row = jnp.where(top_row, nextmax, nextmin)
                 thr = cm.PEAK_THRESHOLD / agc
                 ref = jnp.where(top_row, val_row - thr, val_row + thr)
-                p_close = jnp.where(top_row, prev_row > ref,
-                                    prev_row < ref)
-                n_close = jnp.where(top_row, nxt_row > ref, nxt_row < ref)
+                # boolean algebra, not where-of-bools (Mosaic-on-v5e
+                # rejects i1 selects)
+                p_close = ((top_row & (prev_row > ref)) |
+                           (~top_row & (prev_row < ref)))
+                n_close = ((top_row & (nxt_row > ref)) |
+                           (~top_row & (nxt_row < ref)))
                 adj = jnp.where(p_close & ~n_close, F32(-0.5),
                                 jnp.where(n_close & ~p_close, F32(0.5),
                                           F32(0.0)))
