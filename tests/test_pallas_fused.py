@@ -189,7 +189,22 @@ def test_fused_correct_matches_xla():
         assert int(got["faked_tracks"]) == int(r["faked_tracks"]), msg
 
 
-def test_fused_production_wiring(monkeypatch):
+@pytest.fixture()
+def fresh_caches():
+    """The production-wiring tests run whole decode_tape pipelines; with
+    the full suite's accumulated executables the XLA:CPU runtime has been
+    observed to segfault inside a compiled program (reproduced at
+    test_gcr_fused_production_wiring after ~90 prior tests). Dropping the
+    lru-cached batch programs and jax's caches before each wiring decode
+    avoids the pathological state and keeps suite memory bounded."""
+    import jax
+    from readtape_tpu.decode.pipeline import _batched_fn
+    _batched_fn.cache_clear()
+    jax.clear_caches()
+    yield
+
+
+def test_fused_production_wiring(fresh_caches, monkeypatch):
     """End-to-end decode_tape through the fused group function (forced on
     for CPU via READTAPE_PALLAS=1; the kernel runs in interpret mode):
     decoded blocks must match the XLA path byte for byte."""
@@ -332,7 +347,7 @@ def test_pe_fused_matches_xla(nblocks, ibg, noise):
         assert fin["datacount"].max() > 50, "decoded too little"
 
 
-def test_pe_fused_production_wiring(monkeypatch):
+def test_pe_fused_production_wiring(fresh_caches, monkeypatch):
     from readtape_tpu.decode import pipeline as pl
     rng = np.random.default_rng(5)
     spec = default_spec(tb.MODE_PE, ibg_secs=0.004, start_gap_secs=0.004)
@@ -448,7 +463,7 @@ def test_gcr_fused_matches_xla(nblocks, noise):
         assert fin["datacount"].max() > 100, "decoded too little"
 
 
-def test_gcr_fused_production_wiring(monkeypatch):
+def test_gcr_fused_production_wiring(fresh_caches, monkeypatch):
     from readtape_tpu.decode import pipeline as pl
     rng = np.random.default_rng(9)
     spec = default_spec(tb.MODE_GCR, ibg_secs=0.004, start_gap_secs=0.004)
