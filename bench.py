@@ -289,7 +289,9 @@ def _bench_modes(opts_base_deltat=None):
     """Per-mode device-resident throughput (VERDICT r3 #3): PE, GCR and
     Whirlwind on synthesized tapes with every block byte-checked. NRZI is
     the main metric above. Reference single-core numbers (BASELINE.md):
-    PE ~1.2, GCR ~2.7, WW ~1.6 Msamples/s."""
+    PE ~1.2, GCR ~2.7, WW ~1.6 Msamples/s. BENCH_MODES_BUDGET (seconds,
+    default 2400) bounds the whole sweep so a slow compile can never
+    starve the main JSON line."""
     import time as _t
     from dataclasses import replace
     import jax
@@ -301,10 +303,15 @@ def _bench_modes(opts_base_deltat=None):
     out = {}
     saved = os.environ.get("READTAPE_GRANULES")
     os.environ["READTAPE_GRANULES"] = "0"
+    deadline = _t.monotonic() + float(
+        os.environ.get("BENCH_MODES_BUDGET", "2400"))
     try:
         for name, mode, nblk in (("pe", tb.MODE_PE, 60),
                                  ("gcr", tb.MODE_GCR, 40),
                                  ("ww", tb.MODE_WW, 40)):
+            if _t.monotonic() > deadline:
+                out[name] = {"skipped": "modes budget exhausted"}
+                continue
             try:
                 spec = default_spec(mode, ibg_secs=0.005,
                                     start_gap_secs=0.005)
