@@ -10,7 +10,23 @@ checks every byte against the synthesizer's ground truth, and additionally
 diffs the warmup tape's .tap byte-for-byte against the reference C binary
 (the reference's own acceptance methodology, examples/*/Makefile).
 
-Prints ONE JSON line with:
+Output protocol (round-5 redesign -- the round-4 artifact was empty because
+a slow remote compile in the per-mode sweep ran before the single JSON
+print; rc=124 with no line ever emitted):
+
+  1. a thin WATCHDOG parent re-execs this file with --inner under a total
+     wall budget and streams its output; if the inner process produces no
+     JSON line before the deadline (e.g. a hung remote compile), the parent
+     kills it and prints an error JSON so the driver ALWAYS parses a line;
+  2. the inner process prints the MAIN JSON line immediately after the
+     resident reps -- before any per-mode work;
+  3. each per-mode benchmark (PE/GCR/WW) runs in its own subprocess with a
+     hard timeout (a hung compile skips that mode, never blocks);
+  4. a second, richer JSON line (main metrics + modes dict) is printed at
+     the end. The driver parses the LAST JSON line, so it sees the richer
+     line normally and the main line if the modes phase is cut short.
+
+JSON fields:
   value            end-to-end Msamples/s (host tape in, decoded blocks out;
                    includes the host->device upload, which on this relay-
                    tunneled TPU is link-bound)
@@ -18,9 +34,9 @@ Prints ONE JSON line with:
                    upload; the chip-capability number BASELINE.md's north
                    star is about)
   kernel_path      which compute path produced the numbers
-                   (pallas-v3 / pallas-admission+xla-slot / xla / ...)
   fallback         true if any bit-exactness fallback triggered
   oracle_tap       result of the .tap diff vs the reference C binary
+  modes            per-mode resident Msamples/s (pe/gcr/ww), byte-checked
 """
 
 import json
@@ -32,12 +48,6 @@ import time
 from dataclasses import replace
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import numpy as np
-
-from readtape_tpu.jaxcache import enable_compilation_cache
-
-enable_compilation_cache()
 
 BASELINE_MSPS = 1.49
 
@@ -52,6 +62,54 @@ KERNEL_PATHS = (
     ({"READTAPE_FUSED": "0", "READTAPE_PALLAS": "0",
       "READTAPE_MAX_BATCH": "1"}, "xla-b1"),
 )
+
+METRIC = ("TBIN Msamples/sec/chip (9trk NRZI, 8 parmsets, "
+          "block bytes checked vs ground truth every rep; "
+          ".tap diffed vs reference binary)")
+
+
+def watchdog_main():
+    """Parent: run --inner under a wall budget; guarantee a JSON line."""
+    budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "3300"))
+    t0 = time.monotonic()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--inner"],
+        stdout=subprocess.PIPE, text=True, bufsize=1)
+    saw_json = False
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        remaining = budget - (time.monotonic() - t0)
+        if remaining <= 0:
+            break
+        if not sel.select(timeout=min(remaining, 10.0)):
+            if proc.poll() is not None:
+                break
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "":
+            break
+        buf = chunk
+        if chunk.lstrip().startswith("{"):
+            saw_json = True
+        sys.stdout.write(chunk)
+        sys.stdout.flush()
+    if proc.poll() is None:
+        proc.kill()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+    if not saw_json:
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0, "unit": "Msamples/s",
+            "vs_baseline": 0.0,
+            "error": f"bench produced no JSON within {budget:.0f}s "
+                     f"(last line: {buf.strip()[:200]!r})"}), flush=True)
+        return 1
+    return 0
 
 
 def _backend_alive(timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT",
@@ -109,23 +167,26 @@ def _oracle_tap_check(hdr, samples, out):
         return f"skipped({type(e).__name__})"
 
 
-def main():
+def inner_main():
+    from readtape_tpu.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     # the relay has been observed down for hours at a stretch: keep
     # probing for a while before conceding, so a transient outage at
     # bench time doesn't record a zero round
     deadline = time.monotonic() + 60 * float(
-        os.environ.get("BENCH_PROBE_MINUTES", "90"))
+        os.environ.get("BENCH_PROBE_MINUTES", "30"))
     while not _backend_alive():
         if time.monotonic() >= deadline:
             print(json.dumps({
-                "metric": "TBIN Msamples/sec/chip (9trk NRZI)",
+                "metric": METRIC,
                 "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
                 "error": "TPU backend unavailable (relay down; "
-                         "init hung through the probe window)"}))
+                         "init hung through the probe window)"}), flush=True)
             return 1
         print("# TPU backend unavailable; retrying", file=sys.stderr,
               flush=True)
         time.sleep(120)
+    import numpy as np
     from readtape_tpu.formats import tbin as tb
     from readtape_tpu.synth import default_spec, synthesize_tape
     from readtape_tpu.decode.pipeline import (DecodeOptions, TapeDecoder,
@@ -184,7 +245,8 @@ def main():
             print(f"# warmup failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
             continue
-        print(f"# warmup (incl. compile) {time.perf_counter() - t_warm:.1f}s",
+        warmup_s = time.perf_counter() - t_warm
+        print(f"# warmup (incl. compile) {warmup_s:.1f}s",
               file=sys.stderr, flush=True)
         datas = [b.data for b in out if b.kind == "data"]
         ok = (datas == blocks and stats["ntapemarks"] == 2 and
@@ -192,10 +254,10 @@ def main():
         if ok:
             break
     if not ok:
-        print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
+        print(json.dumps({"metric": METRIC,
                           "value": 0.0, "unit": "Msamples/s",
                           "vs_baseline": 0.0,
-                          "error": "decode mismatch"}))
+                          "error": "decode mismatch"}), flush=True)
         return 1
 
     oracle_tap = _oracle_tap_check(hdr, samples, out)
@@ -253,21 +315,15 @@ def main():
             else:
                 os.environ["READTAPE_GRANULES"] = saved_granules
     except AssertionError as e:
-        print(json.dumps({"metric": "TBIN Msamples/sec/chip (9trk NRZI)",
+        print(json.dumps({"metric": METRIC,
                           "value": 0.0, "unit": "Msamples/s",
                           "vs_baseline": 0.0, "error": str(e),
-                          "kernel_path": kernel_path}))
+                          "kernel_path": kernel_path}), flush=True)
         return 1
 
-    modes = {}
-    if os.environ.get("BENCH_MODES", "1") == "1":
-        modes = _bench_modes(opts_base_deltat=None)
-
     msps = nsamples / best / 1e6
-    print(json.dumps({
-        "metric": "TBIN Msamples/sec/chip (9trk NRZI, 8 parmsets, "
-                  "block bytes checked vs ground truth every rep; "
-                  ".tap diffed vs reference binary)",
+    result = {
+        "metric": METRIC,
         "value": round(msps, 3),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
@@ -280,101 +336,124 @@ def main():
         "kernel_path": kernel_path,
         "fallback": fallback,
         "oracle_tap": oracle_tap,
-        "modes": modes,
-    }))
+        "warmup_s": round(warmup_s, 1),
+    }
+    # MAIN JSON LINE -- printed before any per-mode work so a slow or hung
+    # mode compile can never empty the round's artifact (round-4 failure)
+    print(json.dumps(result), flush=True)
+
+    if os.environ.get("BENCH_MODES", "1") == "1":
+        result["modes"] = _bench_modes_subprocess()
+        # richer final line; the driver parses the tail of stdout
+        print(json.dumps(result), flush=True)
     return 0
 
 
-def _bench_modes(opts_base_deltat=None):
-    """Per-mode device-resident throughput (VERDICT r3 #3): PE, GCR and
-    Whirlwind on synthesized tapes with every block byte-checked. NRZI is
-    the main metric above. Reference single-core numbers (BASELINE.md):
-    PE ~1.2, GCR ~2.7, WW ~1.6 Msamples/s. BENCH_MODES_BUDGET (seconds,
-    default 2400) bounds the whole sweep so a slow compile can never
-    starve the main JSON line."""
-    import time as _t
-    from dataclasses import replace
+def _bench_modes_subprocess():
+    """Per-mode device-resident throughput (PE, GCR, Whirlwind), each mode
+    in its own subprocess under a hard timeout so a hung remote compile
+    skips the mode instead of blocking the bench (round-4 failure mode).
+    Reference single-core numbers (BASELINE.md): PE ~1.2, GCR ~2.7,
+    WW ~1.6 Msamples/s."""
+    out = {}
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_MODES_BUDGET", "1200"))
+    for name in ("pe", "gcr", "ww"):
+        remaining = deadline - time.monotonic()
+        if remaining <= 30:
+            out[name] = {"skipped": "modes budget exhausted"}
+            continue
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode", name],
+                capture_output=True, text=True, timeout=remaining)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.lstrip().startswith("{")]
+            if line:
+                out[name] = json.loads(line[-1])
+            else:
+                out[name] = {"error": f"no JSON (rc={r.returncode}): "
+                                      f"{r.stderr.strip()[-200:]}"}
+        except subprocess.TimeoutExpired:
+            out[name] = {"skipped": f"timeout after {remaining:.0f}s "
+                                    "(mode budget)"}
+        print(f"# modes[{name}]: {out[name]}", file=sys.stderr, flush=True)
+    return out
+
+
+def mode_main(name):
+    """Child process: benchmark one mode (pe/gcr/ww), print one JSON dict."""
+    from readtape_tpu.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    import numpy as np
     import jax
     from readtape_tpu.formats import tbin as tb
     from readtape_tpu.synth import default_spec, synthesize_tape
     from readtape_tpu.decode.pipeline import (DecodeOptions, TapeDecoder,
                                               decode_tape)
 
-    out = {}
-    saved = os.environ.get("READTAPE_GRANULES")
+    mode = {"pe": tb.MODE_PE, "gcr": tb.MODE_GCR, "ww": tb.MODE_WW}[name]
+    nblk = {"pe": 60, "gcr": 40, "ww": 40}[name]
     os.environ["READTAPE_GRANULES"] = "0"
-    deadline = _t.monotonic() + float(
-        os.environ.get("BENCH_MODES_BUDGET", "2400"))
     try:
-        for name, mode, nblk in (("pe", tb.MODE_PE, 60),
-                                 ("gcr", tb.MODE_GCR, 40),
-                                 ("ww", tb.MODE_WW, 40)):
-            if _t.monotonic() > deadline:
-                out[name] = {"skipped": "modes budget exhausted"}
-                continue
-            try:
-                spec = default_spec(mode, ibg_secs=0.005,
-                                    start_gap_secs=0.005)
-                walls = []
-                nsamp = 0
-                for rep in range(3):
-                    seed = (4100 if mode == tb.MODE_PE else
-                            5100 if mode == tb.MODE_GCR else 6100) + rep
-                    rng = np.random.default_rng(seed)
-                    kw = dict(mode=mode, ntrks=spec.ntrks, bpi=spec.bpi,
-                              ips=spec.ips)
-                    if mode == tb.MODE_WW:
-                        words = [[int(w) for w in
-                                  rng.integers(0, 65536, 600)]
-                                 for _ in range(nblk)]
-                        items = [("block", w) for w in words]
-                        blocks = [b"".join(bytes([w >> 8, w & 0xFF])
-                                           for w in ws) for ws in words]
-                        kw.update(ww_order=spec.ww_order, fluxdir="neg",
-                                  multiple_tries=False)
-                    else:
-                        blocks = [bytes(rng.integers(0, 256, 1200,
-                                                     dtype=np.uint8))
-                                  for _ in range(nblk)]
-                        items = [("block", b) for b in blocks]
-                    hdr, samples = synthesize_tape(
-                        replace(spec, seed=seed), items)
-                    nsamp = samples.shape[0]
-                    kw.update(deltat=hdr.tdelta_ns * 1e-9,
-                              maxvolts=hdr.maxvolts)
-                    opts = DecodeOptions(**kw)
-                    if mode == tb.MODE_WW:
-                        t0 = _t.perf_counter()
-                        res, _st = decode_tape(samples, opts)
-                        dt = _t.perf_counter() - t0
-                    else:
-                        dec = TapeDecoder(samples, opts)
-                        jax.block_until_ready(dec.v_i16)
-                        t0 = _t.perf_counter()
-                        res, _st = decode_tape(samples, opts, decoder=dec)
-                        dt = _t.perf_counter() - t0
-                    datas = [b.data for b in res if b.kind == "data"]
-                    if datas != blocks:
-                        out[name] = {"error": "decode mismatch"}
-                        break
-                    if rep > 0:          # rep 0 pays compilation
-                        walls.append(dt)
-                else:
-                    med = sorted(walls)[len(walls) // 2]
-                    out[name] = {"msps": round(nsamp / med / 1e6, 3),
-                                 "walls_s": [round(x, 3) for x in walls],
-                                 "blocks_checked": nblk}
-            except Exception as e:
-                out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
-                print(f"# modes[{name}] failed: {e}", file=sys.stderr,
-                      flush=True)
-    finally:
-        if saved is None:
-            os.environ.pop("READTAPE_GRANULES", None)
-        else:
-            os.environ["READTAPE_GRANULES"] = saved
-    return out
+        spec = default_spec(mode, ibg_secs=0.005, start_gap_secs=0.005)
+        walls = []
+        nsamp = 0
+        for rep in range(3):
+            seed = (4100 if mode == tb.MODE_PE else
+                    5100 if mode == tb.MODE_GCR else 6100) + rep
+            rng = np.random.default_rng(seed)
+            kw = dict(mode=mode, ntrks=spec.ntrks, bpi=spec.bpi,
+                      ips=spec.ips)
+            if mode == tb.MODE_WW:
+                words = [[int(w) for w in rng.integers(0, 65536, 600)]
+                         for _ in range(nblk)]
+                items = [("block", w) for w in words]
+                blocks = [b"".join(bytes([w >> 8, w & 0xFF])
+                                   for w in ws) for ws in words]
+                kw.update(ww_order=spec.ww_order, fluxdir="neg",
+                          multiple_tries=False)
+            else:
+                blocks = [bytes(rng.integers(0, 256, 1200, dtype=np.uint8))
+                          for _ in range(nblk)]
+                items = [("block", b) for b in blocks]
+            hdr, samples = synthesize_tape(replace(spec, seed=seed), items)
+            nsamp = samples.shape[0]
+            kw.update(deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts)
+            opts = DecodeOptions(**kw)
+            if mode == tb.MODE_WW:
+                # the WW path manages its own upload (decode_tape ignores
+                # the decoder arg for WW); time the full decode
+                t0 = time.perf_counter()
+                res, _st = decode_tape(samples, opts)
+                dt = time.perf_counter() - t0
+            else:
+                dec = TapeDecoder(samples, opts)
+                jax.block_until_ready(dec.v_i16)
+                t0 = time.perf_counter()
+                res, _st = decode_tape(samples, opts, decoder=dec)
+                dt = time.perf_counter() - t0
+            datas = [b.data for b in res if b.kind == "data"]
+            if datas != blocks:
+                print(json.dumps({"error": "decode mismatch"}), flush=True)
+                return 1
+            if rep > 0:          # rep 0 pays compilation
+                walls.append(dt)
+        med = sorted(walls)[len(walls) // 2]
+        print(json.dumps({"msps": round(nsamp / med / 1e6, 3),
+                          "walls_s": [round(x, 3) for x in walls],
+                          "blocks_checked": nblk}), flush=True)
+        return 0
+    except Exception as e:
+        print(json.dumps(
+            {"error": f"{type(e).__name__}: {e}"[:200]}), flush=True)
+        return 1
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--inner" in sys.argv:
+        sys.exit(inner_main())
+    elif "--mode" in sys.argv:
+        sys.exit(mode_main(sys.argv[sys.argv.index("--mode") + 1]))
+    else:
+        sys.exit(watchdog_main())

@@ -151,8 +151,23 @@ def gcr_bit_state_init(spb, maxb, clk_ring: int = cm.CLKRATE_WINDOW):
     )
 
 
+def gcr_idle_entry_sample(t_lp, thr, s_floor):
+    """First integer sample s >= s_floor where f32(s) > t_lp + thr --
+    the reference's per-sample GCR idle check (decoder.c:879-880:
+    timenow > t_lastpeak + GCR_IDLE_THRESH * bitspaceavg), with its exact
+    comparison form (threshold added to the peak time, unlike PE's
+    subtracted-gap form)."""
+    x = t_lp + thr
+    c = jnp.floor(x).astype(I32)
+    offs = c - 1 + jnp.arange(4, dtype=I32)
+    pred = offs.astype(F32) > x
+    e = jnp.where(jnp.any(pred), c - 1 + jnp.argmax(pred), c + 2)
+    return jnp.maximum(e, s_floor)
+
+
 @partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
-                                    "agc_ring", "pre", "debug_peaks"))
+                                    "agc_ring", "pre", "debug_peaks",
+                                    "idle_out"))
 def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    rise_parm, min_parm, agc_alpha, agc_window,
                    clk_window, clk_alpha, z1pt, z2pt, pulse_adj_parm,
@@ -161,10 +176,19 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    stat_binwidth=jnp.float32(1.0),
                    clk_ring: int = cm.CLKRATE_WINDOW,
                    agc_ring: int = cm.AGC_MAX_WINDOW,
-                   pre: bool = False, debug_peaks: bool = False):
+                   pre: bool = False, debug_peaks: bool = False,
+                   idle_out: bool = False, s_first_check=I32(0)):
     """Peak-detection GCR lane: admission + AGC + bit recovery fused.
     With pre=True the first argument is the precomputed [10, S] feature
-    pack for this lane's (static) window width."""
+    pack for this lane's (static) window width.
+
+    idle_out=True additionally models the reference's mid-scan track
+    idle (decoder.c:879-888): when a datablock track sees no peaks for
+    GCR_IDLE_THRESH bit times its datablock flag drops (so the wake peak
+    skips zero-inference and re-seeds the block, gcr_addbit:749-753),
+    idle-entry intervals stream out for the cross-track all-idle point,
+    and the raw per-step records are returned (final["_st_*"]) instead of
+    being replayed, so the caller can truncate at tau (gcr_apply_tau)."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
@@ -175,11 +199,29 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                                  agc_alpha, agc_window)
         st3["v_lasttop"] = jnp.where(admit_top, ev["wmax"], st["v_lasttop"])
         st3["v_lastbot"] = jnp.where(admit_bot, ev["wmin"], st["v_lastbot"])
-        # peak statistics for deskew (decode_gcr.c:839-840,849-850)
-        stat_ok = admit & st["datablock"]
+        # peak statistics for deskew (decode_gcr.c:839-840,849-850); the
+        # reference gates on t_lastclock != 0, which is set by the first
+        # gcr_addbit and never cleared -- "has ever had data", not the
+        # (idle-resettable) datablock flag
+        stat_ok = admit & st.get("had_data", st["datablock"])
         val = t_peak - st["t_lastpeak"]
         # (int) cast truncates toward zero (decoder.c:160)
         bkt = ((val - stat_leftbin) / stat_binwidth).astype(I32)
+        idle_rec = {}
+        if idle_out:
+            # mid-scan idle (decoder.c:879-888): entry between the
+            # previous admission and this one drops datablock, so THIS
+            # admission re-seeds the block (no zero-inference)
+            thr = np.float32(cm.GCR_IDLE_THRESH) * \
+                st["clkavg"]["t_bitspaceavg"]
+            entry = gcr_idle_entry_sample(st["t_lastpeak"], thr,
+                                          st["s_lastdet"])
+            went_idle = admit & st["datablock"] & (entry <= s - 1)
+            st3["datablock"] = st["datablock"] & ~went_idle
+            st3["s_lastdet"] = jnp.where(admit, s, st["s_lastdet"])
+            st3["had_data"] = st["had_data"] | admit
+            idle_rec = dict(adm=admit, s_det=s,
+                            ie_valid=went_idle, ie_e=entry)
         st4, wr = gcr_bit_step(st3, admit, t_peak, z1pt, z2pt,
                                pulse_adj_parm, clk_window, clk_alpha,
                                spb, maxb)
@@ -190,6 +232,11 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                                 jnp.where(bkt < 0, 52,
                                           jnp.where(bkt > 49, 53, bkt)),
                                 50))
+        if idle_out:
+            rec.update(idle_rec,
+                       t_fb=st4["t_firstbit"], t_lb=st4["t_lastbit"],
+                       agc_mx=st4["max_agc_gain"],
+                       agc_mn=st4["min_agc_gain"])
         if debug_peaks:
             # zero-inference events for the -trace zerpos/adjpos lanes
             rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top,
@@ -199,6 +246,9 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         return st4, rec
 
     init = gcr_bit_state_init(spb, maxb, clk_ring)
+    if idle_out:
+        init["s_lastdet"] = s_first_check
+        init["had_data"] = jnp.bool_(False)
     if pre:
         ev_fn = lambda st, s: ts.gather_window_features(v_trk, s)
     else:
@@ -207,11 +257,6 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
     final, recs = ts.run_jump_scan_seq(extra, init, ev_fn, nxt_trk, W, S,
                                        nsteps, rise_parm, min_parm,
                                        agc_ring=agc_ring)
-    final["bits"] = gcr_replay_bits(recs["wr"], maxb)
-    hb = recs["hb"]
-    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
-    final["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
-    final["trksum"] = jnp.sum((hb <= 49).astype(I32))
     if debug_peaks:
         final.update(ts.compact_outputs(
             recs["admit"], maxb,
@@ -221,7 +266,69 @@ def gcr_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
             tr_nzeros=(recs["nzeros"], np.int8(0)),
             tr_padj=(recs["padj"], jnp.float32(0.0))))
         final["n_admitted"] = jnp.sum(recs["admit"].astype(I32))
+    if idle_out:
+        from . import pe as pe_mod
+        final.update(ts.compact_outputs(
+            recs["ie_valid"], pe_mod.IDLE_CAP,
+            ie_e=(recs["ie_e"], pe_mod.BIG_TAU),
+            ie_w=(recs["s_det"], pe_mod.BIG_TAU)))
+        final["n_ie"] = jnp.sum(recs["ie_valid"].astype(I32))
+        thr_t = np.float32(cm.GCR_IDLE_THRESH) * \
+            final["clkavg"]["t_bitspaceavg"]
+        trail = gcr_idle_entry_sample(final["t_lastpeak"], thr_t,
+                                      final["s_lastdet"])
+        # a trailing entry exists only while the track still holds an
+        # open datablock (a dead/never-written track can never go idle,
+        # decoder.c:879: `t->datablock &&`)
+        final["ie_trail"] = jnp.where(final["datablock"], trail,
+                                      pe_mod.BIG_TAU)
+        for k in ("adm", "s_det", "wr", "hb", "t_fb", "t_lb",
+                  "agc_mx", "agc_mn"):
+            final["_st_" + k] = recs[k]
+        return final
+    final["bits"] = gcr_replay_bits(recs["wr"], maxb)
+    hb = recs["hb"]
+    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
+    final["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
+    final["trksum"] = jnp.sum((hb <= 49).astype(I32))
     return final
+
+
+def gcr_apply_tau(final, maxb: int, tau):
+    """Truncate one parmset lane's per-track GCR scan streams at the
+    all-idle sample tau (gcr_end_of_block, decoder.c:885-888) and rebuild
+    the per-track state gcr_finish consumes. tau = BIG_TAU reproduces the
+    full-scan state exactly."""
+    def one_track(fin):
+        mask = fin["_st_adm"] & (fin["_st_s_det"] < tau)
+        steps = jnp.arange(mask.shape[0], dtype=I32)
+        last = jnp.max(jnp.where(mask, steps, -1))
+        has = last >= 0
+
+        def at_last(field, init):
+            return jnp.where(has, field[jnp.maximum(last, 0)],
+                             jnp.asarray(init, field.dtype))
+
+        wr = jnp.where(mask[:, None], fin["_st_wr"], maxb)
+        out = {}
+        out["bits"] = gcr_replay_bits(wr, maxb)
+        out["datacount"] = jnp.minimum(
+            jnp.sum((wr < maxb).astype(I32)), maxb)
+        hb = jnp.where(mask, fin["_st_hb"], 50)
+        hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
+        out["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
+        out["trksum"] = jnp.sum((hb <= 49).astype(I32))
+        out["peakcount"] = jnp.sum(mask.astype(I32))
+        out["t_firstbit"] = at_last(fin["_st_t_fb"], F32(0.0))
+        out["t_lastbit"] = at_last(fin["_st_t_lb"], F32(0.0))
+        out["max_agc_gain"] = at_last(fin["_st_agc_mx"], F32(0.0))
+        out["min_agc_gain"] = at_last(fin["_st_agc_mn"], cm.FLT_MAX)
+        out["incomplete"] = fin["incomplete"]
+        out["n_consumed"] = out["peakcount"]
+        out["n_total"] = jnp.sum(fin["_st_adm"].astype(I32))
+        return out
+
+    return jax.vmap(one_track)(final)
 
 
 # ---------------------------------------------------------------------------

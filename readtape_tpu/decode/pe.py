@@ -27,10 +27,31 @@ from .nrzi import BS_BLOCK, BS_NOISE, BS_TAPEMARK
 
 
 RUN_CAP = 128        # max dropout fake-bit runs per track per segment
+IDLE_CAP = 510       # max idle-entry intervals streamed per track per scan
+IDLE_ECAP = 128      # idle entries tested as all-idle candidates (the fire
+                     # point is the FIRST simultaneous idle, so only early
+                     # entries can trigger it; later ones are interval data)
+BIG_TAU = np.int32(2 ** 30)
+
+
+def idle_entry_sample(t_lp, thr, s_floor):
+    """First integer sample s >= s_floor where (f32(s) - t_lp) > thr --
+    the sample at which the reference's per-sample idle check
+    (decoder.c:868: timenow - t_lastpeak > bitspaceavg * PE_IDLE_FACTOR)
+    first fires after a peak at t_lp. Evaluated with the same f32
+    arithmetic as the in-scan was_idle test so entry points are exactly
+    the scan's own idle semantics."""
+    x = t_lp + thr
+    c = jnp.floor(x).astype(I32)
+    offs = c - 1 + jnp.arange(4, dtype=I32)
+    pred = (offs.astype(F32) - t_lp) > thr
+    e = jnp.where(jnp.any(pred), c - 1 + jnp.argmax(pred), c + 2)
+    return jnp.maximum(e, s_floor)
 
 
 @partial(jax.jit, static_argnames=("S", "nsteps", "maxb", "clk_ring",
-                                    "agc_ring", "pre", "debug_peaks"))
+                                    "agc_ring", "pre", "debug_peaks",
+                                    "idle_out"))
 def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   rise_parm, min_parm, agc_alpha, agc_window,
                   clk_window, clk_alpha, clk_factor, pulse_adj_parm,
@@ -39,11 +60,24 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                   stat_binwidth=jnp.float32(1.0),
                   clk_ring: int = cm.CLKRATE_WINDOW,
                   agc_ring: int = cm.AGC_MAX_WINDOW,
-                  pre: bool = False, debug_peaks: bool = False):
+                  pre: bool = False, debug_peaks: bool = False,
+                  idle_out: bool = False,
+                  t_lp_virtual=F32(0.0), s_first_check=I32(0)):
     """One (parmset x track) lane. Returns the final state including the
     emitted bit/fake buffers. With pre=True the first argument is the
     PRECOMPUTED [10, S] feature pack for this lane's (static) window
-    width instead of the raw voltages."""
+    width instead of the raw voltages.
+
+    idle_out=True streams the raw per-step records out in the final state
+    (final["_st_*"]) INSTEAD of replaying them into bit buffers, plus the
+    track's idle-entry intervals (decoder.c:868-877): the caller computes
+    the cross-track all-idle point tau and builds the block result from
+    the streams truncated at tau (pe_apply_tau) -- the reference's
+    end-of-block semantics, where nothing after tau exists. t_lp_virtual /
+    s_first_check seed the pre-first-peak idle clock: the reference
+    initializes t_lastpeak to the block's first scanned sample (staggered
+    one sample per track by the init `break`, decoder.c:856-862), so a
+    silent track goes idle ~PE_IDLE_FACTOR bit times after block start."""
 
     def extra(st2, st, ev, admit_top, admit_bot, t_peak, s):
         admit = admit_top | admit_bot
@@ -164,6 +198,21 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
                    run_start=run["start"], run_len=run["length"],
                    run_bit=run["bit"].astype(jnp.int8),
                    run_valid=run["valid"], hb=stat_hb)
+        if idle_out:
+            # idle-entry interval: the track went idle between the previous
+            # admission and this one (decoder.c:868-877). The entry sample
+            # uses the PRE-admission clock/lastpeak (between admissions the
+            # clock is constant); the floor is the previous admission's
+            # detection sample (the check runs from there on, with the
+            # just-updated t_lastpeak).
+            thr = st["clkavg"]["t_bitspaceavg"] * np.float32(
+                cm.PE_IDLE_FACTOR)
+            entry = idle_entry_sample(st["t_lastpeak"], thr, st["s_lastdet"])
+            out["s_lastdet"] = jnp.where(admit, s, st["s_lastdet"])
+            rec.update(adm=admit, s_det=s,
+                       ie_valid=admit & (entry <= s - 1), ie_e=entry,
+                       t_fb=out["t_firstbit"], t_lb=out["t_lastbit"],
+                       agc_mx=out["max_agc_gain"], agc_mn=out["min_agc_gain"])
         if debug_peaks:
             rec.update(admit=admit, s_det=s, t_pk=t_peak, is_top=admit_top,
                        is_data=is_data, clkw=t_clkwindow,
@@ -180,11 +229,17 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
         t_pulse_adj=F32(0.0),
         t_lastbit=F32(0.0),
         t_firstbit=F32(0.0),
-        t_lastpeak=F32(0.0),
+        # the virtual pre-first-peak t_lastpeak (decoder.c:856-862);
+        # 0.0 (the default) reproduces the historical init exactly for
+        # callers without idle tracking (it only feeds was_idle, which the
+        # idle=True init forces anyway at the first admission)
+        t_lastpeak=t_lp_virtual,
         datacount=I32(0),
         lastdatabit=jnp.bool_(False),
         corrected_bits=I32(0),
     )
+    if idle_out:
+        init_extra["s_lastdet"] = s_first_check
     if pre:
         ev_fn = lambda st, s: ts.gather_window_features(v_trk, s)
     else:
@@ -193,20 +248,6 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
     final, recs = ts.run_jump_scan_seq(extra, init_extra, ev_fn, nxt_trk,
                                        W, S, nsteps, rise_parm, min_parm,
                                        agc_ring=agc_ring)
-    # replay streamed bit writes (indices are unique and monotonic)
-    final["bits"] = jnp.zeros(maxb, jnp.int8).at[recs["widx"]].set(
-        recs["bitval"], mode="drop")
-    hb = recs["hb"]
-    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
-    final["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
-    final["trksum"] = jnp.sum((hb <= 49).astype(I32))
-    final["faked"] = jnp.zeros(maxb, jnp.int8)
-    final.update(ts.compact_outputs(
-        recs["run_valid"], RUN_CAP,
-        run_start=(recs["run_start"], 0),
-        run_len=(recs["run_len"], 0),
-        run_bit=(recs["run_bit"], np.int8(0))))
-    final["n_runs"] = jnp.sum(recs["run_valid"].astype(I32))
     if debug_peaks:    # admitted-peak stream for -trace / per-peak diffing
         final.update(ts.compact_outputs(
             recs["admit"], maxb,
@@ -217,23 +258,152 @@ def pe_track_scan(v_trk, nxt_trk, W, S: int, nsteps: int,
             tr_clkw=(recs["clkw"], F32(0.0)),
             tr_bitval=(recs["bitval"], np.int8(0))))
         final["n_admitted"] = jnp.sum(recs["admit"].astype(I32))
+    if idle_out:
+        # defer the bit replay to pe_apply_tau (it needs the cross-track
+        # all-idle point); stream the records out plus this track's
+        # compacted idle intervals, including the trailing entry after the
+        # last admission (wake = BIG_TAU: nothing wakes it in this scan)
+        final.update(ts.compact_outputs(
+            recs["ie_valid"], IDLE_CAP,
+            ie_e=(recs["ie_e"], BIG_TAU),
+            ie_w=(recs["s_det"], BIG_TAU)))
+        final["n_ie"] = jnp.sum(recs["ie_valid"].astype(I32))
+        thr_t = final["clkavg"]["t_bitspaceavg"] * np.float32(
+            cm.PE_IDLE_FACTOR)
+        final["ie_trail"] = idle_entry_sample(
+            final["t_lastpeak"], thr_t, final["s_lastdet"])
+        for k in ("adm", "s_det", "widx", "bitval", "run_start", "run_len",
+                  "run_bit", "run_valid", "hb", "t_fb", "t_lb", "agc_mx",
+                  "agc_mn"):
+            final["_st_" + k] = recs[k]
+        return final
+    final.update(pe_replay_streams(recs, maxb))
+    return final
+
+
+def pe_replay_streams(recs, maxb: int, mask=None):
+    """Replay the scan's streamed bit/run/stat records into the block
+    buffers (bits, faked, hist, trksum). mask (bool [nsteps]) truncates
+    the stream -- records where mask is False never happened (the
+    reference's end-of-block: nothing after the all-idle point exists)."""
+    widx = recs["widx"]
+    run_valid = recs["run_valid"]
+    hb = recs["hb"]
+    if mask is not None:
+        widx = jnp.where(mask, widx, maxb)
+        run_valid = run_valid & mask
+        hb = jnp.where(mask, hb, 50)
+    out = {}
+    # replay streamed bit writes (indices are unique and monotonic)
+    out["bits"] = jnp.zeros(maxb, jnp.int8).at[widx].set(
+        recs["bitval"], mode="drop")
+    hb2 = jnp.where(hb == 52, 0, jnp.where(hb == 53, 49, hb))
+    out["hist"] = jnp.zeros(50, I32).at[hb2].add(1, mode="drop")
+    out["trksum"] = jnp.sum((hb <= 49).astype(I32))
+    out["faked"] = jnp.zeros(maxb, jnp.int8)
+    out.update(ts.compact_outputs(
+        run_valid, RUN_CAP,
+        run_start=(recs["run_start"], 0),
+        run_len=(recs["run_len"], 0),
+        run_bit=(recs["run_bit"], np.int8(0))))
+    out["n_runs"] = jnp.sum(run_valid.astype(I32))
 
     # apply accumulated fake-bit runs (non-overlapping by construction)
-    valid = jnp.arange(RUN_CAP) < final["n_runs"]
-    starts = jnp.where(valid, final["run_start"], maxb)
+    valid = jnp.arange(RUN_CAP) < out["n_runs"]
+    starts = jnp.where(valid, out["run_start"], maxb)
     ends = jnp.where(valid,
-                     jnp.minimum(final["run_start"] + final["run_len"],
+                     jnp.minimum(out["run_start"] + out["run_len"],
                                  maxb), maxb)
     delta = jnp.zeros(maxb + 1, I32).at[starts].add(1, mode="drop")
     delta = delta.at[ends].add(-1, mode="drop")
     inrun = jnp.cumsum(delta[:maxb]) > 0
-    bvals = final["run_bit"].astype(I32)
+    bvals = out["run_bit"].astype(I32)
     vdelta = jnp.zeros(maxb + 1, I32).at[starts].add(bvals, mode="drop")
     vdelta = vdelta.at[ends].add(-bvals, mode="drop")
     runbit = jnp.cumsum(vdelta[:maxb])
-    final["bits"] = jnp.where(inrun, runbit.astype(jnp.int8), final["bits"])
-    final["faked"] = jnp.where(inrun, jnp.int8(1), final["faked"])
-    return final
+    out["bits"] = jnp.where(inrun, runbit.astype(jnp.int8), out["bits"])
+    out["faked"] = jnp.where(inrun, jnp.int8(1), out["faked"])
+    return out
+
+
+def pe_idle_tau(e, w, valid):
+    """First sample where ALL tracks are simultaneously idle -- the
+    reference's pe_end_of_block trigger (decoder.c:868-877: per-track
+    idle entries bump num_trks_idle; the block ends the moment it reaches
+    ntrks). e, w, valid: [T, C] idle intervals per track (entry sample,
+    wake = the next admission's detection sample, BIG_TAU-sentinel).
+
+    The track loop runs in index order within a sample, and a track's
+    admission (wake) precedes its own idle check, so at a candidate entry
+    (track i, sample s): tracks k < i count as idle if idle at s (their
+    sample-s processing already ran), tracks k > i if idle at s-1 (theirs
+    has not). Only the first IDLE_ECAP entries per track are tested as
+    candidates (the fire point is the FIRST simultaneous idle); intervals
+    beyond that still participate as coverage. Returns BIG_TAU if the
+    tracks never align."""
+    T, C = e.shape
+    ECAP = min(C, IDLE_ECAP)
+    cand_e = e[:, :ECAP]                                   # [T, ECAP]
+    cand_ok = valid[:, :ECAP]
+    s0 = cand_e.reshape(-1)                                # [N]
+    ok0 = cand_ok.reshape(-1)
+    ti = jnp.repeat(jnp.arange(T, dtype=I32), ECAP)        # [N]
+
+    def idle_at(s):                                        # [N] -> [N, T]
+        return jnp.any(valid[None, :, :]
+                       & (e[None, :, :] <= s[:, None, None])
+                       & (s[:, None, None] < w[None, :, :]), axis=2)
+
+    ia_now = idle_at(s0)
+    ia_prev = idle_at(s0 - 1)
+    k = jnp.arange(T, dtype=I32)[None, :]
+    cond = jnp.all(jnp.where(k < ti[:, None], ia_now,
+                             jnp.where(k > ti[:, None], ia_prev, True)),
+                   axis=1)
+    fire = ok0 & cond
+    return jnp.min(jnp.where(fire, s0, BIG_TAU))
+
+
+def pe_apply_tau(final, maxb: int, nsteps: int, tau):
+    """Truncate one parmset lane's per-track scan streams at the all-idle
+    sample tau and rebuild the per-track block state pe_finish consumes:
+    the reference's scan stopped at tau (pe_end_of_block), so admissions
+    with detection sample >= tau never happened. tau = BIG_TAU (no fire)
+    reproduces the full-scan state exactly. final: per-track stacked
+    (leading axis T) scan state with _st_* streams from
+    pe_track_scan(idle_out=True)."""
+    def one_track(fin):
+        mask = fin["_st_adm"] & (fin["_st_s_det"] < tau)
+        # streams are chunk-padded by run_jump_scan_seq (>= nsteps)
+        steps = jnp.arange(mask.shape[0], dtype=I32)
+        last = jnp.max(jnp.where(mask, steps, -1))
+        has = last >= 0
+
+        def at_last(field, init):
+            return jnp.where(has, field[jnp.maximum(last, 0)],
+                             jnp.asarray(init, field.dtype))
+
+        fakes = jnp.sum(jnp.where(mask & fin["_st_run_valid"],
+                                  fin["_st_run_len"], 0))
+        recs = {k: fin["_st_" + k] for k in
+                ("widx", "bitval", "run_start", "run_len", "run_bit",
+                 "run_valid", "hb")}
+        out = pe_replay_streams(recs, maxb, mask=mask)
+        out["peakcount"] = jnp.sum(mask.astype(I32))
+        out["datacount"] = jnp.minimum(
+            jnp.sum((mask & (fin["_st_widx"] < maxb)).astype(I32)) + fakes,
+            maxb)
+        out["t_firstbit"] = at_last(fin["_st_t_fb"], F32(0.0))
+        out["t_lastbit"] = at_last(fin["_st_t_lb"], F32(0.0))
+        out["max_agc_gain"] = at_last(fin["_st_agc_mx"], F32(0.0))
+        out["min_agc_gain"] = at_last(fin["_st_agc_mn"], cm.FLT_MAX)
+        out["corrected_bits"] = fakes
+        out["incomplete"] = fin["incomplete"]
+        out["n_consumed"] = out["peakcount"]
+        out["n_total"] = jnp.sum(fin["_st_adm"].astype(I32))
+        return out
+
+    return jax.vmap(one_track)(final)
 
 
 def pe_finish(finals, T: int, expected_parity, revparity, maxb: int):

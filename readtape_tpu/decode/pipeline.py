@@ -173,12 +173,17 @@ def _mask_jump_table(nxt, seg_len, lead_len, S):
     """Restrict candidates to [lead_len, seg_len): positions below the
     warmup lead snap forward to the first eligible candidate, positions at
     or past the segment's true end (bucket tail = unscanned real tape)
-    vanish."""
+    vanish. lead_len may be a scalar or a per-track [T] vector (the
+    reference's per-track init stagger plus window refill, decoder.c:
+    856-862, 751-777: after init_trackstate, track k's moving window only
+    re-fills by block_start + k + W - 1, so earlier positions cannot be
+    steady-window detections)."""
     T = nxt.shape[0]
-    first = jnp.take_along_axis(
-        nxt, jnp.broadcast_to(lead_len, (T, 1)), axis=1)
+    lead = jnp.broadcast_to(jnp.asarray(lead_len, I32), (T,))[:, None]
+    first = jnp.take_along_axis(nxt, jnp.clip(lead, 0, nxt.shape[1] - 1),
+                                axis=1)
     iota = jnp.arange(nxt.shape[1], dtype=I32)[None, :]
-    nxt = jnp.where(iota < lead_len, first, nxt)
+    nxt = jnp.where(iota < lead, first, nxt)
     return jnp.where(nxt < seg_len, nxt, S)
 
 
@@ -358,34 +363,93 @@ def _pe_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                     S=S, T=T, differentiate=differentiate, spb_int=spb_int,
                     apply_skew=skew_on)
     spb_f = jnp.float32(spb)
-    nxt = _mask_jump_table(
-        _union_jump_table(v, Ws, rise_floor, min_floor), seg_len, lead_len, S)
+    nxt_union = _union_jump_table(v, Ws, rise_floor, min_floor)
 
     # group parmsets by (static) window width over precomputed features,
     # exactly like the NRZI path
+    trk = jnp.arange(T, dtype=I32)
+    # the reference initializes each track's idle clock to the block's
+    # first scanned sample, staggered one sample per track by the init
+    # `break` (decoder.c:856-862); the first idle CHECK for track k runs
+    # one sample later
+    t_lp_virtual = (lead_len + trk).astype(F32)
+    s_first_check = lead_len + trk + 1
     order, parts = [], []
+    nxt_first = None
     for Wd in sorted(set(Ws)):
         idxs = [i for i, w in enumerate(Ws) if w == Wd]
         order += idxs
+        # per-track candidate floor: after init_trackstate the reference's
+        # moving window re-fills sample by sample (decoder.c:751-777), so
+        # track k's first steady-window detection is block_start + k +
+        # W - 1; earlier positions see partial windows (which admit at
+        # most rare left-edge-referenced tops -- masked here, noted in
+        # README known divergences)
+        nxt = _mask_jump_table(nxt_union, seg_len,
+                               lead_len + trk + Wd - 1, S)
+        if nxt_first is None:
+            nxt_first = nxt              # smallest W: loosest candidacy
         feat = trackscan.precompute_window_features(v, Wd, nxt)
         lane = jax.vmap(    # over tracks
-            lambda ft, nx, *p, _W=Wd: pe_mod.pe_track_scan(
+            lambda ft, nx, tv, sf, *p, _W=Wd: pe_mod.pe_track_scan(
                 ft, nx, _W, S, nsteps, *p, spb_f, maxb,
                 stat_leftbin, stat_binwidth,
-                clk_ring=clk_ring, agc_ring=agc_ring, pre=True),
-            in_axes=(0, 0) + (None,) * 8)
+                clk_ring=clk_ring, agc_ring=agc_ring, pre=True,
+                idle_out=True, t_lp_virtual=tv, s_first_check=sf),
+            in_axes=(0, 0, 0, 0) + (None,) * 8)
         sel = jnp.asarray(idxs, I32)
         parts.append(jax.vmap(  # over this group's parmsets
-            lambda *p: lane(feat, nxt, *p)
+            lambda *p: lane(feat, nxt, t_lp_virtual, s_first_check, *p)
         )(pa.pkww_rise[sel], pa.min_peak[sel], pa.agc_alpha[sel],
           pa.agc_window[sel], pa.clk_window[sel], pa.clk_alpha[sel],
           pa.clk_factor[sel], pa.pulse_adj[sel]))
     inv = jnp.asarray(np.argsort(order), I32)
     finals = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0)[inv], *parts)
+
+    # cross-track all-idle point per parmset (pe_end_of_block,
+    # decoder.c:868-877): insert each track's trailing idle entry into its
+    # interval stream, then find the first simultaneous idle
+    iota_cap = jnp.arange(pe_mod.IDLE_CAP, dtype=I32)
+
+    def one_lane_tau(fin):
+        n_ie = jnp.minimum(fin["n_ie"], pe_mod.IDLE_CAP)        # [T]
+        e = jax.vmap(lambda e_, n_, tr_: e_.at[n_].set(tr_, mode="drop"))(
+            fin["ie_e"], n_ie, fin["ie_trail"])
+        w = fin["ie_w"]                       # fill is BIG_TAU: open wake
+        valid = iota_cap[None, :] <= n_ie[:, None]
+        tau = pe_mod.pe_idle_tau(e, w, valid)
+        overflow = jnp.any(fin["n_ie"] > pe_mod.IDLE_CAP)
+        # gaveup: the fire point may exist beyond the tested candidate
+        # horizon -- tau=BIG here means "unknown", not "never idled"
+        gaveup = overflow | (jnp.any(fin["n_ie"] > pe_mod.IDLE_ECAP)
+                             & (tau >= pe_mod.BIG_TAU))
+        return jnp.where(overflow, pe_mod.BIG_TAU, tau), gaveup
+
+    tau, tau_gaveup = jax.vmap(one_lane_tau)(finals)             # [P]
+    truncated = jax.vmap(
+        lambda f, t_: pe_mod.pe_apply_tau(f, maxb, nsteps, t_))(finals, tau)
     res = jax.vmap(lambda f: pe_mod.pe_finish(
-        f, T, expected_parity, revparity, maxb))(finals)
+        f, T, expected_parity, revparity, maxb))(truncated)
     res["event_overflow"] = jnp.any(finals["incomplete"])
+    # multi-block support: where the block ended (the all-idle sample) and
+    # how many admitted transitions the truncation discarded (the host
+    # re-dispatches the remainder, mirroring readtape.c:1720-1882's
+    # per-block loop); cand_after anchors the host's empty-hop
+    # fast-forward (first loose candidate at/after tau+1)
+    res["end_s"] = jnp.minimum(tau, seg_len).astype(I32)
+    res["tau_gaveup"] = tau_gaveup
+    res["scan_incomplete"] = jnp.any(finals["incomplete"], axis=1)
+    res["consumed"] = jnp.sum(truncated["n_consumed"], axis=1)
+    res["unconsumed"] = jnp.sum(
+        truncated["n_total"] - truncated["n_consumed"], axis=1)
+    start = jnp.clip(tau + 1, 0, S)
+    res["cand_after"] = jnp.min(nxt_first[:, start], axis=0)
+    # first candidate that could have RACED the virtual idle horizon (its
+    # detection landing after tau): the host re-anchors a zero-admission
+    # hop so these peaks stay fully visible (see the PE chain)
+    start2 = jnp.clip(tau - max(Ws), 0, S)
+    res["cand_race"] = jnp.min(nxt_first[:, start2], axis=0)
     return res
 
 
@@ -420,29 +484,67 @@ def _gcr_segment_device(v_i16, seg_len, lead_len, maxvolts, invert_sign,
                             trans["dt"], *p)
         )(pa.clk_window, pa.clk_alpha, pa.z1pt, pa.z2pt, pa.pulse_adj)
     else:
-        nxt = _mask_jump_table(
-            _union_jump_table(v, Ws, rise_floor, min_floor),
-            seg_len, lead_len, S)
+        nxt_union = _union_jump_table(v, Ws, rise_floor, min_floor)
+        trk = jnp.arange(T, dtype=I32)
+        s_first_check = lead_len + trk + 1
         order, parts = [], []
+        nxt_first = None
         for Wd in sorted(set(Ws)):
             idxs = [i for i, w in enumerate(Ws) if w == Wd]
             order += idxs
+            # per-track candidate floor: the reference's moving window
+            # re-fills after init_trackstate (see _pe_segment_device)
+            nxt = _mask_jump_table(nxt_union, seg_len,
+                                   lead_len + trk + Wd - 1, S)
+            if nxt_first is None:
+                nxt_first = nxt
             feat = trackscan.precompute_window_features(v, Wd, nxt)
             lane = jax.vmap(   # over tracks
-                lambda ft, nx, *p, _W=Wd: gcr_mod.gcr_track_scan(
+                lambda ft, nx, sf, *p, _W=Wd: gcr_mod.gcr_track_scan(
                     ft, nx, _W, S, nsteps, *p, spb_f, maxb,
                     stat_leftbin, stat_binwidth,
-                    clk_ring=clk_ring, agc_ring=agc_ring, pre=True),
-                in_axes=(0, 0) + (None,) * 9)
+                    clk_ring=clk_ring, agc_ring=agc_ring, pre=True,
+                    idle_out=True, s_first_check=sf),
+                in_axes=(0, 0, 0) + (None,) * 9)
             sel = jnp.asarray(idxs, I32)
             parts.append(jax.vmap(  # over this group's parmsets
-                lambda *p: lane(feat, nxt, *p)
+                lambda *p: lane(feat, nxt, s_first_check, *p)
             )(pa.pkww_rise[sel], pa.min_peak[sel], pa.agc_alpha[sel],
               pa.agc_window[sel], pa.clk_window[sel], pa.clk_alpha[sel],
               pa.z1pt[sel], pa.z2pt[sel], pa.pulse_adj[sel]))
         inv = jnp.asarray(np.argsort(order), I32)
         finals = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0)[inv], *parts)
+
+        # cross-track all-idle point per parmset (gcr_end_of_block,
+        # decoder.c:879-888); same machinery as PE
+        iota_cap = jnp.arange(pe_mod.IDLE_CAP, dtype=I32)
+
+        def one_lane_tau(fin):
+            n_ie = jnp.minimum(fin["n_ie"], pe_mod.IDLE_CAP)
+            e = jax.vmap(
+                lambda e_, n_, tr_: e_.at[n_].set(tr_, mode="drop"))(
+                    fin["ie_e"], n_ie, fin["ie_trail"])
+            w = fin["ie_w"]
+            valid = iota_cap[None, :] <= n_ie[:, None]
+            tau = pe_mod.pe_idle_tau(e, w, valid)
+            overflow_ = jnp.any(fin["n_ie"] > pe_mod.IDLE_CAP)
+            return jnp.where(overflow_, pe_mod.BIG_TAU, tau)
+
+        tau = jax.vmap(one_lane_tau)(finals)
+        truncated = jax.vmap(
+            lambda f, t_: gcr_mod.gcr_apply_tau(f, maxb, t_))(finals, tau)
+        res = jax.vmap(lambda f: gcr_mod.gcr_finish(
+            f, T, expected_parity, revparity, do_correct, maxb,
+            do_correct2=do_correct2))(truncated)
+        res["event_overflow"] = jnp.any(finals["incomplete"])
+        res["end_s"] = jnp.minimum(tau, seg_len).astype(I32)
+        res["consumed"] = jnp.sum(truncated["n_consumed"], axis=1)
+        res["unconsumed"] = jnp.sum(
+            truncated["n_total"] - truncated["n_consumed"], axis=1)
+        start = jnp.clip(tau + 1, 0, S)
+        res["cand_after"] = jnp.min(nxt_first[:, start], axis=0)
+        return res
 
     res = jax.vmap(lambda f: gcr_mod.gcr_finish(
         f, T, expected_parity, revparity, do_correct, maxb,
@@ -2372,10 +2474,26 @@ def _decode_tape_nrzi_like(samples, opts, log, decoder=None):
     # device work than decoding every parmset everywhere.
     results = [None] * len(segs)
 
-    def stopper(res):
+    def stopper(i):
+        res = results[i]
+        mb = int(res["minbits"][0])
+        if opts.mode == tb.MODE_PE and "end_s" in res and mb == 0:
+            # an unreliable parmset-0 scan (never terminated / caps hit)
+            # reporting minbits 0 must not trip PE's dead-track stopping
+            # rule: its reference counterpart is a giant merged scan with
+            # data on every track (see the PE walk below)
+            a_, b_ = segs[i]
+            sl = b_ - max(a_ - SEG_WARMUP, 0)
+            if ((int(res["end_s"][0]) >= sl
+                 or bool(res["tau_gaveup"][0])
+                 or bool(res["scan_incomplete"][0]))
+                    and int(res["blktype"][0]) in (nrzi_mod.BS_BLOCK,
+                                                   nrzi_mod.BS_BADBLOCK)
+                    and int(res["errcount"][0]) > 0):
+                mb = 1
         return is_stopping_decode(
             int(res["blktype"][0]), int(res["errcount"][0]),
-            int(res["warncount"][0]), int(res["minbits"][0]), opts.mode)
+            int(res["warncount"][0]), mb, opts.mode)
 
     def rescue_bailed(idxs):
         """Fused-kernel ring-pressure bail (pathological segments only):
@@ -2402,7 +2520,7 @@ def _decode_tape_nrzi_like(samples, opts, log, decoder=None):
         _tlog(f"phase1({len(idxs)} segs) dispatch {t1-t0:.2f}s "
               f"collect {t2-t1:.2f}s")
         if opts.multiple_tries and dec.P > 1:
-            retry = [i for i in idxs if not stopper(results[i])]
+            retry = [i for i in idxs if not stopper(i)]
             collect(dispatch(retry, dec.P), results)
             rescue_bailed(retry)
             _tlog(f"retry({len(retry)} segs) {_time.perf_counter()-t2:.2f}s")
@@ -2586,6 +2704,238 @@ def _decode_tape_nrzi_like(samples, opts, log, decoder=None):
             cur = nxt
     else:
         decode_indices(order[:])
+
+    # Multi-block segments (PE): the reference ends a PE block the moment
+    # ALL tracks go idle (pe_end_of_block, decoder.c:868-877) and restarts
+    # the scan with FRESH track state right after (noise/tapemark: next
+    # sample; data block: after PE_IBG_SECS of interblock blanking).
+    # Through a noisy gap it therefore hops micro noise-blocks, resetting
+    # AGC/clock state every ~2.5 bit times -- which is how it keeps gap
+    # noise from polluting the next real block's decode (the heavy-noise
+    # regime README.txt:63-66 is about). The per-lane all-idle point tau
+    # is computed in-device (end_s); segments whose winner left admitted
+    # transitions or loose candidates beyond tau re-dispatch the
+    # remainder, exactly readtape.c:1720-1882's per-block loop. Hops with
+    # no peaks advance deterministically (fresh state, no admissions), so
+    # quiet stretches fast-forward arithmetically to the next candidate
+    # instead of dispatching a decode per 2.5-bit hop.
+    # An UNFINISHED lane (end_s == seg_len: its tracks never all idled
+    # inside the window) is semantically "the reference would have kept
+    # scanning": its scan merges across our activity segments until the
+    # tracks do all idle (possibly at the very end of the tape -- observed
+    # in the reference's own DEBUG trace: a parmset-0 scan of a noisy
+    # tapemark region ran 4000+ bits into the following blocks and came
+    # back BS_BLOCK-with-errors, which is what kept the retry loop alive
+    # long enough for parmset 1 to detect the tapemark). So the chain
+    # walks segments in tape order, WIDENING any decode whose tried
+    # prefix contains an unfinished lane to the next segment's horizon
+    # (ultimately the tape end, where an unfinished scan is the
+    # reference's EOF BS_NONE, readtape.c:1771). On clean tapes every
+    # lane self-terminates and this walk dispatches nothing.
+    if opts.mode == tb.MODE_PE:
+        ibg_blank = int(cm.PE_IBG_SECS / opts.deltat)
+        # re-anchor margin: a scan started ANCHOR samples before a peak
+        # sees it with a full moving window on every track (stagger + W)
+        # while its detection still lands inside the virtual idle horizon
+        # -- the phase-free equivalent of the reference's fill-mode window
+        # catching a peak right at a noise-hop boundary
+        maxW = max(cm.pkww_width_for(ps.pkww_bitfrac, opts.bpi, opts.ips,
+                                     opts.deltat)
+                   for ps in opts.parmsets.sets)
+        anchor = maxW + opts.ntrks - 2
+        n_total = dec.n_samples
+        orig_ends = sorted(b for _, b in (segs[i] for i in order))
+        walk = order[:]
+        consumed_until = -1
+        endfile = False
+
+        def tried_prefix(res, P_):
+            """Lanes the sequential retry would have consumed, via the
+            stopping rule (pick_best's `tried`)."""
+            if not opts.multiple_tries:
+                return 1
+            for j in range(P_):
+                if is_stopping_decode(int(res["blktype"][j]),
+                                      int(res["errcount"][j]),
+                                      int(res["warncount"][j]),
+                                      int(res["minbits"][j]), opts.mode):
+                    return j + 1
+            return P_
+
+        for i0 in walk:
+            if endfile or segs[i0][0] < consumed_until:
+                if i0 in order:
+                    order.remove(i0)     # consumed by an earlier chain
+                continue
+            cur = i0
+            for _hop in range(65536):
+                if results[cur] is None:
+                    decode_indices([cur])
+                res = results[cur]
+                if res is None or "unconsumed" not in res:
+                    break
+                a_c, b_c = segs[cur]
+                a0_ = max(a_c - SEG_WARMUP, 0)
+                seg_len_c = b_c - a0_
+                P_ = len(res["blktype"])
+                # Lanes whose scan never terminated in this window, gave
+                # up on tau (idle-entry cap) or ran out of scan budget
+                # have UNRELIABLE content. Their reference counterpart is
+                # a giant merged scan whose every track accumulates data
+                # (minbits > 0), i.e. a NON-stopping BS_BLOCK-with-errors
+                # that keeps the retry loop alive -- whereas our capped
+                # artifact can report minbits == 0, which would wrongly
+                # trip PE's dead-track stopping rule (readtape.c:1782)
+                # and abort the retries. Lift those to minbits = 1.
+                unrel = [j for j in range(P_)
+                         if (int(res["end_s"][j]) >= seg_len_c
+                             or bool(res["tau_gaveup"][j])
+                             or bool(res["scan_incomplete"][j]))
+                         and int(res["blktype"][j]) in (
+                             nrzi_mod.BS_BLOCK, nrzi_mod.BS_BADBLOCK)
+                         and int(res["minbits"][j]) == 0
+                         and int(res["errcount"][j]) > 0]
+                if unrel:
+                    res = {k2: (np.array(v, copy=True)
+                                if getattr(v, "ndim", 0) >= 1 else v)
+                           for k2, v in res.items()}
+                    for j in unrel:
+                        res["minbits"][j] = 1
+                    results[cur] = res
+                tp = tried_prefix(res, P_)
+                # gaveup lanes have an UNKNOWN tau (idle-entry cap
+                # exceeded) and incomplete lanes ran out of scan budget
+                # (noise-dense spans): neither is a proven never-idle, so
+                # treat them as finished at the segment end (the
+                # pre-chain behavior) rather than cascading a widen to
+                # the tape end.
+                unfinished = [j for j in range(tp)
+                              if int(res["end_s"][j]) >= seg_len_c
+                              and not bool(res["tau_gaveup"][j])
+                              and not bool(res["scan_incomplete"][j])]
+                if unfinished and b_c < n_total - 4:
+                    # widen to the next activity horizon (readblock keeps
+                    # scanning); the chain consumes anything it overlaps
+                    nxt_b = next((e for e in orig_ends if e > b_c),
+                                 n_total)
+                    nxt_b = max(nxt_b, min(2 * b_c - a_c, n_total))
+                    _tlog(f"pe-walk widen ({a_c},{b_c})->{nxt_b} "
+                          f"unfinished={unfinished}")
+                    segs[cur] = (a_c, nxt_b)
+                    buckets[cur] = seg.bucket_length(nxt_b - a0_)
+                    results[cur] = None
+                    continue
+                p, _t = pick_best(res, P_, opts.multiple_tries, opts.mode)
+                if unfinished and p in unfinished:
+                    # tape end reached and even the best decode never all-
+                    # idled: the reference's readblock hits EOF and
+                    # returns BS_NONE (readtape.c:1771 -> endfile, the
+                    # partial block dropped and nothing after decoded).
+                    # When the winner is a FINISHED lane we emit it -- the
+                    # unfinished lanes played their reference role of
+                    # keeping the retry loop alive (their giant merged
+                    # scans are non-stopping BS_BLOCKs with errors).
+                    _tlog(f"pe-walk EOF at seg ({a_c},{b_c}): "
+                          f"winner lane {p} unfinished at tape end")
+                    if cur in order:
+                        order.remove(cur)   # EOF: block dropped
+                    endfile = True
+                    break
+                bt = int(res["blktype"][p])
+                end_s = int(res["end_s"][p])
+                consumed = int(res["consumed"][p])
+                cand = int(res["cand_after"][p])
+                cand_abs = a0_ + cand if cand < seg_len_c else None
+                if consumed == 0 and bt == nrzi_mod.BS_NOISE:
+                    # zero-admission hop: every candidate before tau was
+                    # rejected with fresh state; candidates whose
+                    # detection would have landed past tau (the raced
+                    # ones) restart fully visible
+                    race = int(res["cand_race"][p])
+                    race_abs = a0_ + race if race < seg_len_c else None
+                    if race_abs is None:
+                        break
+                    nxt_start = max(a_c + 1, race_abs - anchor)
+                else:
+                    # next scan start: BS_BLOCK sets interblock_counter
+                    # (decode_pe.c:95); noise/tapemarks return immediately
+                    step = (ibg_blank if bt in (nrzi_mod.BS_BLOCK,
+                                                nrzi_mod.BS_BADBLOCK)
+                            else 1)
+                    nxt_start = a0_ + end_s + step
+                    if cand_abs is None:
+                        break           # nothing beyond tau at all
+                    # skip empty hops: re-anchor at the next candidate
+                    # (blank-skipped candidates keep the plain step)
+                    nxt_start = max(nxt_start, cand_abs - anchor)
+                if not (a_c < nxt_start < b_c - 4):
+                    break
+                # bound the hop to the next activity horizon: most hops
+                # terminate (all-idle) well inside it, and the widening
+                # above grows any that genuinely merge further
+                b_hop = next((e for e in orig_ends
+                              if e > nxt_start + 4), b_c)
+                b_hop = min(max(b_hop, nxt_start + 5), b_c)
+                j = len(segs)
+                segs.append((nxt_start, b_hop))
+                buckets.append(
+                    maxbkt if unified else
+                    seg.bucket_length(
+                        b_hop - max(nxt_start - SEG_WARMUP, 0)))
+                results.append(None)
+                order.insert(order.index(cur) + 1, j)
+                cur = j
+            consumed_until = max(consumed_until, segs[cur][1])
+
+    # Multi-block segments (GCR): same all-idle machinery as PE
+    # (gcr_end_of_block fires when every track's datablock has dropped,
+    # decoder.c:879-888). A GCR track only goes idle after it HAS data,
+    # so a zero-admission hop can never fire tau -- no race re-anchor
+    # needed; only gcr_postprocess (clean blocks) sets the interblock
+    # counter (decode_gcr.c:673).
+    if opts.mode == tb.MODE_GCR and not opts.find_zeros:
+        ibg_blank = int(cm.GCR_IBG_SECS / opts.deltat)
+        maxW = max(cm.pkww_width_for(ps.pkww_bitfrac, opts.bpi, opts.ips,
+                                     opts.deltat)
+                   for ps in opts.parmsets.sets)
+        anchor = maxW + opts.ntrks - 2
+        frontier = order[:]
+        for _round in range(65536):
+            spawned = []
+            for i in frontier:
+                a, b = segs[i]
+                res = results[i]
+                if res is None or "unconsumed" not in res:
+                    continue
+                p, _ = pick_best(res, len(res["blktype"]),
+                                 opts.multiple_tries, opts.mode)
+                bt = int(res["blktype"][p])
+                a0_ = max(a - SEG_WARMUP, 0)
+                seg_len_i = b - a0_
+                end_s = int(res["end_s"][p])
+                if end_s >= seg_len_i or bt == nrzi_mod.BS_NONE:
+                    continue
+                cand = int(res["cand_after"][p])
+                cand_abs = a0_ + cand if cand < seg_len_i else None
+                if cand_abs is None:
+                    continue
+                step = ibg_blank if bt == nrzi_mod.BS_BLOCK else 1
+                nxt_start = a0_ + end_s + step
+                nxt_start = max(nxt_start, cand_abs - anchor)
+                if not (a < nxt_start < b - 4):
+                    continue
+                j = len(segs)
+                segs.append((nxt_start, b))
+                buckets.append(
+                    maxbkt if unified else
+                    seg.bucket_length(b - max(nxt_start - SEG_WARMUP, 0)))
+                results.append(None)
+                order.insert(order.index(i) + 1, j)
+                spawned.append(j)
+            if not spawned:
+                break
+            decode_indices(spawned)
+            frontier = spawned
 
     # Multi-block segments (NRZI): the slot scan self-terminates at the
     # block's postamble idle; if admitted transitions remain past that
