@@ -231,6 +231,55 @@ def test_fused_production_wiring(fresh_caches, monkeypatch):
                                   stats_ref["peak_hist"])
 
 
+def test_fused_bail_rescue(fresh_caches, monkeypatch):
+    """A pathological mid-block noise burst admits transitions faster than
+    the slot machine consumes them; the fused kernel's transition ring
+    (RING=256 per track) would overwrite unconsumed entries, so it sets
+    the bail flag and the pipeline re-decodes the segment through the
+    exact XLA path (pipeline.rescue_bailed). This exercises the rescue
+    end-to-end: the bail must fire AND the rescued output must be byte-
+    identical to a pure-XLA decode."""
+    from readtape_tpu.decode import pipeline as pl
+    rng = np.random.default_rng(3)
+    spec = default_spec(tb.MODE_NRZI, ibg_secs=0.004, start_gap_secs=0.004)
+    payload = bytes(rng.integers(0, 256, 320, dtype=np.uint8))
+    hdr, samples = synthesize_tape(spec, [("block", payload)])
+    samples = np.asarray(samples).copy()
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (800 * 50 * deltat)
+    # dense period-4 square burst (a peak every 2 samples on every track)
+    # across bit cells 100..260 of the block: admission outpaces the
+    # <=8-per-track-per-slot consume capacity while the machine is live
+    a = int(0.004 / deltat + 100 * spb)
+    b = int(0.004 / deltat + 260 * spb)
+    amp = np.int16(2.0 / hdr.maxvolts * 32767)
+    tt = np.arange(b - a)
+    sq = np.where((tt // 2) % 2 == 0, amp, -amp).astype(np.int16)
+    samples[a:b, :] = sq[:, None]
+
+    opts = pl.DecodeOptions(mode=tb.MODE_NRZI, ntrks=9, bpi=800, ips=50,
+                            deltat=deltat, maxvolts=hdr.maxvolts)
+    monkeypatch.setenv("READTAPE_PALLAS", "0")
+    out_ref, stats_ref = pl.decode_tape(samples, opts)
+
+    monkeypatch.setenv("READTAPE_PALLAS", "1")
+    monkeypatch.setenv("READTAPE_FUSED", "1")
+    calls = []
+    orig = pl.TapeDecoder.decode_segment_batch
+
+    def spy(self, *args, **kw):
+        calls.append(bool(kw.get("force_xla", False)))
+        return orig(self, *args, **kw)
+
+    monkeypatch.setattr(pl.TapeDecoder, "decode_segment_batch", spy)
+    out_f, stats_f = pl.decode_tape(samples, opts)
+    assert calls, "decode_segment_batch never dispatched"
+    assert True in calls, "rescue (force_xla) never triggered"
+    assert [b_.data for b_ in out_f] == [b_.data for b_ in out_ref]
+    assert [b_.kind for b_ in out_f] == [b_.kind for b_ in out_ref]
+    assert stats_f["nerrblocks"] == stats_ref["nerrblocks"]
+
+
 # ---------------------------------------------------------------------------
 # PE fused kernel
 # ---------------------------------------------------------------------------
