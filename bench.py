@@ -357,7 +357,7 @@ def _bench_modes_subprocess():
     WW ~1.6 Msamples/s."""
     out = {}
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_MODES_BUDGET", "1200"))
+        os.environ.get("BENCH_MODES_BUDGET", "1800"))
     for name in ("pe", "gcr", "ww"):
         remaining = deadline - time.monotonic()
         if remaining <= 30:
@@ -393,7 +393,10 @@ def mode_main(name):
                                               decode_tape)
 
     mode = {"pe": tb.MODE_PE, "gcr": tb.MODE_GCR, "ww": tb.MODE_WW}[name]
-    nblk = {"pe": 60, "gcr": 40, "ww": 40}[name]
+    # WW runs at 100 BPI (66.7 samples/bit): 12x400-word blocks is already
+    # a ~2.6M-sample tape (the reference's 6trk example is 1.57M) and the
+    # Python-side synthesis of bigger ones eats the mode budget
+    nblk = {"pe": 60, "gcr": 40, "ww": 12}[name]
     os.environ["READTAPE_GRANULES"] = "0"
     try:
         spec = default_spec(mode, ibg_secs=0.005, start_gap_secs=0.005)
@@ -406,7 +409,7 @@ def mode_main(name):
             kw = dict(mode=mode, ntrks=spec.ntrks, bpi=spec.bpi,
                       ips=spec.ips)
             if mode == tb.MODE_WW:
-                words = [[int(w) for w in rng.integers(0, 65536, 600)]
+                words = [[int(w) for w in rng.integers(0, 65536, 400)]
                          for _ in range(nblk)]
                 items = [("block", w) for w in words]
                 blocks = [b"".join(bytes([w >> 8, w & 0xFF])
