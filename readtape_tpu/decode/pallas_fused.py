@@ -204,6 +204,99 @@ def _row_features(vprev, vcur, vnext0_row, W: int, *, first_row,
                 l_bot=l_bot, prevmin=prevmin, nextmin=nextmin)
 
 
+def _rows_features_interleaved(rows, W: int, *, col0_row, lane, lanef):
+    """_row_features for a whole grid step's RB rows at once, with the
+    doubling-chain LEVEL loop outside the row loop.
+
+    The math (and therefore the results, bit for bit) is identical to
+    calling _row_features per row; only the op ORDER changes. That order
+    is the point: each row's chain is a serial dependency chain whose
+    per-op latency (~60-100 ns measured on v5e) cannot be hidden within
+    the chain, but the RB rows' chains are mutually independent, and
+    interleaving their ops in program order lets the VPU overlap them
+    (measured: two interleaved chains run ~1.5x faster than the same ops
+    as one serial chain). Features depend only on volts, never on
+    admission state, so hoisting them off the serial admission path is
+    free.
+
+    rows: list of dicts with vprev, vcur, nxt0 (lane-replicated first
+    sample of the next row), first_row (traced bool), seg_end (bool
+    mask). Returns a list of feature dicts, one per row."""
+    zf = jnp.zeros((16, 128), F32)
+    posc = lanef
+    posp = lanef - 128.0
+
+    def pair_shift(prev, cur, d):
+        rp = pltpu.roll(prev, d, 1)
+        rc = pltpu.roll(cur, d, 1)
+        return rp, jnp.where(lane < d, rp, rc)
+
+    # per-row prologue (rows independent -> already interleavable)
+    states = []
+    for r in rows:
+        first_row = r["first_row"]
+
+        def pick(a, b, fr=first_row):
+            return jnp.where(fr, a, b)
+
+        vprev, vcur = r["vprev"], r["vcur"]
+        vm1p, vm1c = pair_shift(vprev, vcur, 1)
+        lcur = pltpu.roll(vcur, 127, 1)
+        lprev = pltpu.roll(vprev, 127, 1)
+        cur0 = jnp.broadcast_to(
+            jnp.sum(jnp.where(lane == 0, vcur, 0.0), axis=1,
+                    keepdims=True), (16, 128))
+        vp1c = jnp.where(lane == 127, r["nxt0"], lcur)
+        vp1c = jnp.where(r["seg_end"], 0.0, vp1c)
+        vp1p = jnp.where(lane == 127, cur0, lprev)
+        acc_max = [(pick(zf + NEGF, vprev), vcur), (posp, posc),
+                   (pick(zf, vm1p), vm1c), (pick(zf, vp1p), vp1c)]
+        acc_min = [(pick(zf + POSF, vprev), vcur), (posp, posc),
+                   (pick(zf, vm1p), vm1c), (pick(zf, vp1p), vp1c)]
+        states.append([acc_max, acc_min])
+
+    def combine(acc, d, better):
+        out = []
+        shs = [pair_shift(p, c, d) for p, c in acc]
+        take_p = better(shs[0][0], acc[0][0])
+        take_c = better(shs[0][1], acc[0][1])
+        for (p, c), (sp, sc) in zip(acc, shs):
+            out.append((jnp.where(take_p, sp, p),
+                        jnp.where(take_c, sc, c)))
+        return out
+
+    ds = []
+    p = 1
+    while 2 * p <= W:
+        ds.append(p)
+        p *= 2
+    if p < W:
+        ds.append(W - p)
+
+    ge = lambda a, b: a >= b
+    le = lambda a, b: a <= b
+    for d in ds:                       # level outer, rows inner: ILP
+        for st in states:
+            st[0] = combine(st[0], d, ge)
+            st[1] = combine(st[1], d, le)
+
+    feats = []
+    for r, st in zip(rows, states):
+        wmax, k_top, prevmax, nextmax = [c for _, c in st[0]]
+        wmin, k_bot, prevmin, nextmin = [c for _, c in st[1]]
+        left_pos = posc - float(W - 1)
+        _, v_left = pair_shift(r["vprev"], r["vcur"], W - 1)
+        filling = r["first_row"] & (posc < np.float32(W - 1))
+        v_left = jnp.where(filling, col0_row, v_left)
+        left_eff = jnp.where(filling, 0.0, left_pos)
+        feats.append(dict(wmax=wmax, wmin=wmin, v_left=v_left,
+                          v_right=r["vcur"],
+                          l_top=k_top - left_eff + 1.0, prevmax=prevmax,
+                          nextmax=nextmax, l_bot=k_bot - left_eff + 1.0,
+                          prevmin=prevmin, nextmin=nextmin))
+    return feats
+
+
 def _mod(x, m: float):
     return x - m * jnp.floor(x / m)
 
@@ -212,7 +305,7 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
             st_ref, smem_ref, *, P, T, S, maxb, max_slots, MBP,
             Ws, rises, minps, aalphas, awindows,
             clk_windows, clk_alphas, pulse_adjs, midbits,
-            spb, do_correct, agc_ring, no_slots=False):
+            spb, do_correct, agc_ring, no_slots=False, no_commit=False):
     n_rblks = pl.num_programs(1)
     rblk = pl.program_id(1)
     last_blk = rblk == n_rblks - 1
@@ -531,7 +624,8 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
                 jax.lax.fori_loop(0, 8, slot_body, 0)
             return carry
 
-        jax.lax.fori_loop(0, -(-A_MAX // 8), commit_block, 0)
+        if not no_commit:         # debug: features+eligibility-only timing
+            jax.lax.fori_loop(0, -(-A_MAX // 8), commit_block, 0)
         # eligibility left after A_MAX commits: admission overflow (the
         # XLA path's `incomplete`; consumers only use any())
         st_write("overflow", jnp.where(smem_ref[SM_AWORK] > 0.0,
@@ -543,6 +637,8 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
             jnp.sum(jnp.where(lane == 0, blk, 0.0), axis=1, keepdims=True),
             (16, 128))
 
+    # phase 1: per-row inputs (and the first-row col0 capture)
+    row_inputs = []
     for rr in range(RB):
         vcur = v_ref[0, :, rr * 128:(rr + 1) * 128]
         if rr == 0:
@@ -551,7 +647,6 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
             vprev = v_ref[0, :, (rr - 1) * 128:rr * 128]
         nxt_blk = (v_ref[0, :, (rr + 1) * 128:(rr + 2) * 128]
                    if rr < RB - 1 else vnxt_ref[0, :, :])
-        nxt0_row = col0_bcast(nxt_blk)
         base = rblk * (RB * 128) + rr * 128
         first_row = (rblk == 0) & (rr == 0)
 
@@ -560,25 +655,32 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
             wrow("col0v", col0_bcast(vcur))
 
         posf = lanef + base.astype(F32)
-        seg_end_col = posf == np.float32(S - 1)
+        row_inputs.append(dict(vprev=vprev, vcur=vcur,
+                               nxt0=col0_bcast(nxt_blk),
+                               first_row=first_row,
+                               seg_end=posf == np.float32(S - 1),
+                               posf=posf))
 
-        feats = []
-        for Wd in wset:
-            f = _row_features(vprev, vcur, nxt0_row, Wd,
-                              first_row=first_row,
-                              seg_end_col=seg_end_col,
-                              col0_row=srow("col0v"),
-                              lane=lane, lanef=lanef)
-            # row-local l/k outputs -> absolute-independent; posf absolute
-            feats.append(f)
+    # phase 2: features for ALL rows, chain levels interleaved across
+    # rows so the VPU overlaps the RB independent dependency chains
+    # (features never depend on admission state)
+    col0 = srow("col0v")
+    featsW = [_rows_features_interleaved(row_inputs, Wd, col0_row=col0,
+                                         lane=lane, lanef=lanef)
+              for Wd in wset]
+
+    # phase 3: the serial part -- candidacy + admission commits per row
+    for rr in range(RB):
         if G == 1:
-            feat = feats[0]
+            feat = featsW[0][rr]
         else:
-            feat = {k: feats[0][k] for k in feats[0]}
+            feat = {k: featsW[0][rr][k] for k in featsW[0][rr]}
             for g in range(1, G):
-                feat = {k: jnp.where(grp_k == g, feats[g][k], feat[k])
-                        for k in feat}
+                feat = {k: jnp.where(grp_k == g, featsW[g][rr][k],
+                                     feat[k]) for k in feat}
 
+        vcur = row_inputs[rr]["vcur"]
+        posf = row_inputs[rr]["posf"]
         # loose candidacy (stage1.candidate_mask) + segment span mask
         wmax, wmin, v_left = feat["wmax"], feat["wmin"], feat["v_left"]
         no_mf = mf_col <= 0.0
@@ -589,8 +691,7 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
         cand_full = ((topc | botc) & active &
                      (posf >= lead_len) & (posf < seg_len))
         row_admission(feat, cand_full, posf)
-        if rr == RB - 1:
-            wrow("vmarg", vcur)
+    wrow("vmarg", row_inputs[RB - 1]["vcur"])
 
     # ======================================================================
     # 2. slot machine: start once the first transition exists, then run
@@ -997,12 +1098,13 @@ def _kernel(meta_ref, v_ref, vnxt_ref, bits_ref, hist_ref, scal_ref,
 @functools.partial(jax.jit, static_argnames=(
     "S", "T", "P", "maxb", "max_slots", "Ws", "rises", "minps", "aalphas",
     "awindows", "clk_windows", "clk_alphas", "pulse_adjs", "midbits",
-    "spb", "do_correct", "agc_ring", "interpret", "no_slots"))
+    "spb", "do_correct", "agc_ring", "interpret", "no_slots", "no_commit"))
 def nrzi_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
                     max_slots: int, Ws, rises, minps, aalphas, awindows,
                     clk_windows, clk_alphas, pulse_adjs, midbits,
                     spb: float, do_correct: bool, agc_ring: int,
-                    interpret: bool = None, no_slots: bool = False):
+                    interpret: bool = None, no_slots: bool = False,
+                    no_commit: bool = False):
     """volts: [B, 16, S] f32 (padded tracks zero); meta: [B, 16, 128] f32
     (lanes M_*). Returns (bits [B, P, 16, MBP], hist [B, P, 16, 128],
     scal [B, P, 16, 128]) -- everything nrzi_finish needs, no
@@ -1023,7 +1125,8 @@ def nrzi_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
         Ws=Ws, rises=rises, minps=minps, aalphas=aalphas,
         awindows=awindows, clk_windows=clk_windows, clk_alphas=clk_alphas,
         pulse_adjs=pulse_adjs, midbits=midbits, spb=spb,
-        do_correct=do_correct, agc_ring=agc_ring, no_slots=no_slots)
+        do_correct=do_correct, agc_ring=agc_ring, no_slots=no_slots,
+        no_commit=no_commit)
     _, n_rows = _fused_layout(agc_ring)
 
     bits, hist, scal = pl.pallas_call(
@@ -2272,3 +2375,787 @@ def gcr_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
     )(meta, volts, volts)
     return (bits.reshape(B, P, 16, MBP), hist.reshape(B, P, 16, 128),
             scal.reshape(B, P, 16, 128))
+
+
+# ===========================================================================
+# Whirlwind fused kernel: admission row sweep + the global pulse/clock/
+# blockmark machine (decode_ww.c:51-271) in ONE tape sweep.
+#
+# WW decodes the whole tape as a single pass (blocks can abut;
+# decode_ww.c:29-31) with ONE parmset (readtape.c:1987), so the kernel's
+# grid is (B=1, S/2048) and every knob is a compile-time constant. The
+# admission part is the same row formulation as the NRZI kernel (features
+# via _row_features, loose candidacy, commit loop) with WW's AGC policy:
+# cm.adjust_agc on EVERY admitted peak, v_avg_height fixed per track (from
+# the deskew pass or nominal -- ww.py:ww_track_scan.extra). Admitted
+# transitions append (s, frac, is_top) to per-track VMEM rings; after each
+# RB-row sweep the machine pops ring events in global time order (min s,
+# lower track first -- exactly merge_transitions' stable-sort tiebreak)
+# and replays ww_global_scan.step op for op, including the rolling integer
+# rebasing that keeps sub-sample clocking exact on multi-million-sample
+# captures.
+#
+# The machine is one-way coupled to admission (it only reads transitions,
+# never influences them), so lagging pops are safe: a pop budget per grid
+# step bounds worst-case work, leftovers drain on later steps, and the
+# ring-pressure bail (same rule as NRZI) guards overwrites -- the pipeline
+# re-decodes bailed tapes through the exact XLA path.
+# ===========================================================================
+
+FLUX_POS, FLUX_NEG, FLUX_AUTO = 0, 1, 2     # ww.py's flux direction codes
+REBASE_SPAN = 1 << 22                       # ww.py's rolling-base span
+
+# machine SMEM slots
+(WS_TLCS, WS_TLCE, WS_TLPCS, WS_TLACS, WS_TLPCE, WS_TLBM, WS_LASTPK,
+ WS_BASE, WS_DC, WS_BSC, WS_NBLK, WS_M1, WS_MCLK, WS_NFLUX, WS_FLUX,
+ WS_FLUXSET, WS_DBLK, WS_BAVG, WS_CHBASE, WS_BAIL, WS_AWORK) = range(21)
+WN_SM = 21
+
+WW_MAXBLK = 2048              # block-record window capacity (bail beyond)
+
+# scal_ref output lanes ([1, 16, 128]; per-track values at (row=track))
+(WL_NADM, WL_KV, WL_HSUM, WL_HCNT, WL_TRKSUM, WL_PEAKCNT, WL_MAXAGC,
+ WL_MINAGC, WL_DCNT, WL_NBLK, WL_FLUX, WL_FLUXSET, WL_NFLUX, WL_M1,
+ WL_MCLK, WL_BAIL, WL_OVF) = range(17)
+
+# meta lane for the per-track v_avg_height init (deskew pass average)
+M_WW_VAH = 7
+# alphas ride meta as TRACED values mirroring the XLA path's operand
+# shapes (agc_alpha a per-track vector like the NRZI kernel's kfv,
+# clk_alpha a scalar): compile-time Python constants let Mosaic fuse
+# a*x+(1-a)*y differently (1-ulp clock-average divergence, observed)
+M_WW_AAL, M_WW_CLKA = 8, 9
+
+
+def _ww_layout():
+    off = {}
+    n = 0
+
+    def alloc(name, rows=16):
+        nonlocal n
+        off[name] = n
+        n += rows
+
+    for f in ("blind", "v_top", "v_bot", "n_adm", "agc", "max_agc",
+              "min_agc", "v_lasttop", "v_lastbot", "peakcount", "h_sum",
+              "h_cnt", "overflow"):
+        alloc(f"adm_{f}")
+    for nm in ("elig", "rs0", "rs1", "rf0", "rf1", "rp0", "rp1", "kv",
+               "tlps", "tlpe", "tlpk", "tplk", "cw0", "cw1",
+               "b_start", "b_end", "b_type", "b_t_end", "b_t_base",
+               "b_bitspace", "b_miss1", "b_missclk", "trksum",
+               "vmarg", "col0v"):
+        alloc(nm)
+    alloc("misc", 1)
+    return off, n
+
+
+def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
+               scal_ref, st_ref, smem_ref, *, T, S, W, maxchars, MCP,
+               rise, minp, agc_alpha, clk_alpha, spb, fluxdir_req,
+               pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb):
+    n_rblks = pl.num_programs(1)
+    rblk = pl.program_id(1)
+    last_blk = rblk == n_rblks - 1
+    sub = jax.lax.broadcasted_iota(I32, (16, 128), 0)
+    lane = jax.lax.broadcasted_iota(I32, (16, 128), 1)
+    zf = jnp.zeros((16, 128), F32)
+    active = sub < T
+    lanef = lane.astype(F32)
+    OFF, _NR = _ww_layout()
+    clk_trks = [t for t in (pri_clk, alt_clk) if t >= 0]
+    lsb_trks = [t for t in (pri_lsb, alt_lsb) if t >= 0]
+
+    def srow(name):
+        o = OFF[name]
+        nrow = 1 if name == "misc" else 16
+        return st_ref[o:o + nrow, :]
+
+    def wrow(name, val):
+        o = OFF[name]
+        nrow = 1 if name == "misc" else 16
+        st_ref[o:o + nrow, :] = val
+
+    def st_read(k):
+        return srow(f"adm_{k}")
+
+    def st_write(k, val):
+        wrow(f"adm_{k}", val)
+
+    meta = meta_ref[0, :, :]
+
+    def meta_scalar(lane_idx):
+        return jnp.sum(jnp.where((sub == 0) & (lane == lane_idx), meta, 0.0))
+
+    def meta_col(lane_idx):
+        c = jnp.sum(jnp.where(lane == lane_idx, meta, 0.0), axis=1,
+                    keepdims=True)
+        return jnp.broadcast_to(c, (16, 128))
+
+    seg_len = meta_scalar(M_SEGLEN)
+    lead_len = meta_scalar(M_LEAD)
+    stat_lb = meta_scalar(M_STATLB)
+    stat_bw = meta_scalar(M_STATBW)
+    rf_col = meta_col(M_RISEF)
+    mf_col = meta_col(M_MINF)
+    vah_col = meta_col(M_WW_VAH)          # fixed per-track v_avg_height
+    aal_col = meta_col(M_WW_AAL)          # agc_alpha (vector, see M_WW_AAL)
+    clka = meta_scalar(M_WW_CLKA)         # clk_alpha (scalar)
+    # (rise_parm * scale) precomputed -- scale never changes for WW
+    rp_scale = jnp.float32(rise) * (vah_col / cm.PKWW_PEAKHEIGHT)
+    mp_scale = jnp.float32(minp) * (vah_col / cm.PKWW_PEAKHEIGHT)
+    W_f = jnp.float32(W)
+
+    @pl.when(rblk == 0)
+    def _():
+        st_write("blind", zf - 1.0)
+        st_write("v_top", zf)
+        st_write("v_bot", zf)
+        st_write("n_adm", zf)
+        st_write("agc", zf + 1.0)
+        st_write("max_agc", zf)
+        st_write("min_agc", zf + cm.FLT_MAX)
+        st_write("v_lasttop", zf)
+        st_write("v_lastbot", zf)
+        st_write("peakcount", zf)
+        st_write("h_sum", zf)
+        st_write("h_cnt", zf)
+        st_write("overflow", zf)
+        for nm in ("elig", "rs0", "rs1", "rf0", "rf1", "rp0", "rp1", "kv",
+                   "tlps", "tlpe", "tlpk", "tplk", "cw0", "cw1",
+                   "b_start", "b_end", "b_type", "b_t_end", "b_t_base",
+                   "b_bitspace", "b_miss1", "b_missclk", "trksum",
+                   "vmarg", "col0v"):
+            wrow(nm, zf)
+        for sm in range(WN_SM):
+            smem_ref[sm] = jnp.float32(0.0)
+        smem_ref[WS_BAVG] = jnp.float32(spb)
+        smem_ref[WS_FLUX] = jnp.float32(
+            FLUX_NEG if fluxdir_req == FLUX_AUTO else fluxdir_req)
+        hist_ref[0, :, :] = zf
+        for k in range(MCP // 128):
+            chars_ref[0, :, k * 128:(k + 1) * 128] = zf
+
+    # ======================================================================
+    # 1. admission row sweep (NRZI kernel structure, WW AGC policy)
+    # ======================================================================
+    A_MAX = 66
+
+    def elig_fn(cand_full, posf, wmax, wmin, v_left, v_right):
+        no_min = minp == 0.0
+
+        def elig(agc, blind):
+            rise_t = rp_scale / agc
+            rmin = mp_scale / agc
+            is_top = ((wmax > v_left + rise_t) & (wmax > v_right + rise_t) &
+                      (no_min | (wmax > rmin)))
+            is_bot = ((~is_top) & (wmin < v_left - rise_t) &
+                      (wmin < v_right - rise_t) & (no_min | (wmin < -rmin)))
+            return (is_top | is_bot) & cand_full & (posf > blind), is_top
+        return elig
+
+    def row_admission(feat, cand_full, posf):
+        (wmax, wmin, l_top, prevmax, nextmax, l_bot, prevmin, nextmin) = (
+            feat["wmax"], feat["wmin"], feat["l_top"], feat["prevmax"],
+            feat["nextmax"], feat["l_bot"], feat["prevmin"], feat["nextmin"])
+        elig = elig_fn(cand_full, posf, wmax, wmin, feat["v_left"],
+                       feat["v_right"])
+
+        def e_pack(e, is_top_row):
+            return jnp.where(e, jnp.where(is_top_row, 2.0, 1.0), 0.0)
+
+        e0, t0 = elig(st_read("agc"), st_read("blind"))
+        wrow("elig", e_pack(e0, t0))
+        smem_ref[WS_AWORK] = jnp.sum(jnp.where(e0, 1.0, 0.0))
+
+        def commit_one(j, carry):
+            @pl.when(smem_ref[WS_AWORK] > 0.0)
+            def _():
+                agc = st_read("agc")
+                erow = srow("elig")
+                e = erow > 0.5
+                top_row = erow > 1.5
+
+                li = jnp.min(jnp.where(e, lane, 9999), axis=1,
+                             keepdims=True)
+                li = jnp.broadcast_to(li, lane.shape)
+                adm = (li < 9999) & active
+                sel = (lane == li) & adm
+
+                def ext(x):
+                    v = jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                                keepdims=True)
+                    return jnp.broadcast_to(v, lane.shape)
+
+                # refine in row space -> exact frac = -((W - L) - adj)
+                L_row = jnp.where(top_row, l_top, l_bot)
+                val_row = jnp.where(top_row, wmax, wmin)
+                prev_row = jnp.where(top_row, prevmax, prevmin)
+                nxt_row = jnp.where(top_row, nextmax, nextmin)
+                thr = cm.PEAK_THRESHOLD / agc
+                ref = jnp.where(top_row, val_row - thr, val_row + thr)
+                p_close = ((top_row & (prev_row > ref)) |
+                           (~top_row & (prev_row < ref)))
+                n_close = ((top_row & (nxt_row > ref)) |
+                           (~top_row & (nxt_row < ref)))
+                adj = jnp.where(p_close & ~n_close, F32(-0.5),
+                                jnp.where(n_close & ~p_close, F32(0.5),
+                                          F32(0.0)))
+                frac_row = -((W_f - L_row) - adj)
+
+                is_top = ext(jnp.where(top_row, F32(1.0), F32(0.0))) > 0.5
+                is_top = is_top & adm
+                is_bot = adm & (~is_top)
+                L = ext(L_row)
+                val = ext(val_row)
+                s_f = ext(posf)
+                frac = ext(frac_row)
+
+                n_adm = st_read("n_adm")
+                v_top2 = jnp.where(is_top, val, st_read("v_top"))
+                v_bot2 = jnp.where(is_bot, val, st_read("v_bot"))
+
+                # WW AGC: cm.adjust_agc on every admit, exponential
+                # variant (the kernel gate requires agc_window == 0),
+                # v_avg_height fixed. lastheight reads the PRE-update
+                # v_lasttop/v_lastbot (ww.py extra: adjust_agc(st2) before
+                # the v_last* writes).
+                lastheight = st_read("v_lasttop") - st_read("v_lastbot")
+                g_exp = vah_col / jnp.maximum(lastheight, 1e-9)
+                g_exp = aal_col * g_exp + (1 - aal_col) * agc
+                g_exp = jnp.minimum(g_exp, cm.AGC_MAX_VALUE)
+                use_exp = (agc_alpha > 0) & (lastheight > 0.0)
+                agc2 = jnp.where(adm & use_exp, g_exp, agc)
+                changed = adm & use_exp
+                max_agc2 = jnp.where(changed & (agc2 > st_read("max_agc")),
+                                     agc2, st_read("max_agc"))
+                min_agc2 = jnp.where(changed & (agc2 < st_read("min_agc")),
+                                     agc2, st_read("min_agc"))
+
+                # deskew average-height measurement (pulse tops)
+                height = v_top2 - v_bot2
+                meas = is_top & (height > 0.0)
+                st_write("h_sum", st_read("h_sum") +
+                         jnp.where(meas, height, 0.0))
+                st_write("h_cnt", st_read("h_cnt") +
+                         jnp.where(meas, 1.0, 0.0))
+
+                # ---- transition-ring append (s_f, frac, is_top) ----
+                ridx = _mod(n_adm, float(RING))
+                rcol = _mod(ridx, 128.0)
+                in_b0 = ridx < 128.0
+                m0 = adm & in_b0 & (lanef == rcol)
+                m1 = adm & (~in_b0) & (lanef == rcol)
+                wrow("rs0", jnp.where(m0, s_f, srow("rs0")))
+                wrow("rs1", jnp.where(m1, s_f, srow("rs1")))
+                wrow("rf0", jnp.where(m0, frac, srow("rf0")))
+                wrow("rf1", jnp.where(m1, frac, srow("rf1")))
+                topv = jnp.where(is_top, 1.0, 0.0)
+                wrow("rp0", jnp.where(m0, topv, srow("rp0")))
+                wrow("rp1", jnp.where(m1, topv, srow("rp1")))
+                pressure = jnp.max(jnp.where(
+                    adm, n_adm - srow("kv"), -1.0)) >= float(RING)
+                smem_ref[WS_BAIL] = jnp.where(pressure, 1.0,
+                                              smem_ref[WS_BAIL])
+
+                blind2 = jnp.where(adm, s_f + L, st_read("blind"))
+                st_write("blind", blind2)
+                st_write("v_top", v_top2)
+                st_write("v_bot", v_bot2)
+                st_write("n_adm", n_adm + jnp.where(adm, 1.0, 0.0))
+                st_write("agc", agc2)
+                st_write("max_agc", max_agc2)
+                st_write("min_agc", min_agc2)
+                st_write("v_lasttop", jnp.where(is_top, val,
+                                                st_read("v_lasttop")))
+                st_write("v_lastbot", jnp.where(is_bot, val,
+                                                st_read("v_lastbot")))
+                st_write("peakcount", st_read("peakcount") +
+                         jnp.where(adm, 1.0, 0.0))
+
+                e2, t2 = elig(agc2, blind2)
+                wrow("elig", e_pack(e2, t2))
+                smem_ref[WS_AWORK] = jnp.sum(jnp.where(e2, 1.0, 0.0))
+            return carry
+
+        def commit_block(o, carry):
+            @pl.when(smem_ref[WS_AWORK] > 0.0)
+            def _():
+                jax.lax.fori_loop(0, 8, commit_one, 0)
+            return carry
+
+        jax.lax.fori_loop(0, -(-A_MAX // 8), commit_block, 0)
+        st_write("overflow", jnp.where(smem_ref[WS_AWORK] > 0.0,
+                                       zf + 1.0, st_read("overflow")))
+
+    def col0_bcast(blk):
+        return jnp.broadcast_to(
+            jnp.sum(jnp.where(lane == 0, blk, 0.0), axis=1, keepdims=True),
+            (16, 128))
+
+    for rr in range(RB):
+        vcur = v_ref[0, :, rr * 128:(rr + 1) * 128]
+        if rr == 0:
+            vprev = srow("vmarg")
+        else:
+            vprev = v_ref[0, :, (rr - 1) * 128:rr * 128]
+        nxt_blk = (v_ref[0, :, (rr + 1) * 128:(rr + 2) * 128]
+                   if rr < RB - 1 else vnxt_ref[0, :, :])
+        nxt0_row = col0_bcast(nxt_blk)
+        base = rblk * (RB * 128) + rr * 128
+        first_row = (rblk == 0) & (rr == 0)
+
+        @pl.when(first_row)
+        def _(vcur=vcur):
+            wrow("col0v", col0_bcast(vcur))
+
+        posf = lanef + base.astype(F32)
+        seg_end_col = posf == np.float32(S - 1)
+        feat = _row_features(vprev, vcur, nxt0_row, W,
+                             first_row=first_row, seg_end_col=seg_end_col,
+                             col0_row=srow("col0v"), lane=lane, lanef=lanef)
+        wmax, wmin, v_left = feat["wmax"], feat["wmin"], feat["v_left"]
+        no_mf = mf_col <= 0.0
+        topc = ((wmax > v_left + rf_col) & (wmax > vcur + rf_col) &
+                (no_mf | (wmax > mf_col)))
+        botc = ((wmin < v_left - rf_col) & (wmin < vcur - rf_col) &
+                (no_mf | (wmin < -mf_col)))
+        cand_full = ((topc | botc) & active &
+                     (posf >= lead_len) & (posf < seg_len))
+        row_admission(feat, cand_full, posf)
+        if rr == RB - 1:
+            wrow("vmarg", vcur)
+
+    # ======================================================================
+    # 2. the global machine: pop ring events in time order, replay
+    #    ww_global_scan.step exactly
+    # ======================================================================
+    cnt_col = st_read("n_adm")
+
+    def emit_block(btype, end_t, cond):
+        """ww_end_of_block / ww_blockmark when cond (scalar f32 bool)."""
+        i = smem_ref[WS_NBLK]
+        smem_ref[WS_BAIL] = jnp.where((cond > 0.0) &
+                                      (i >= float(WW_MAXBLK)), 1.0,
+                                      smem_ref[WS_BAIL])
+        wm = ((cond > 0.0) & (sub == (i / 128.0).astype(I32)) &
+              (lanef == _mod(i, 128.0)) & (i < float(WW_MAXBLK)))
+        b0 = smem_ref[WS_BAVG]
+        for name, val in (("b_start", smem_ref[WS_BSC]),
+                          ("b_end", smem_ref[WS_DC]),
+                          ("b_type", jnp.float32(btype)),
+                          ("b_t_end", end_t),
+                          ("b_t_base", smem_ref[WS_BASE]),
+                          ("b_bitspace", b0),
+                          ("b_miss1", smem_ref[WS_M1]),
+                          ("b_missclk", smem_ref[WS_MCLK])):
+            wrow(name, jnp.where(wm, val, srow(name)))
+        smem_ref[WS_NBLK] = i + jnp.where(cond > 0.0, 1.0, 0.0)
+        smem_ref[WS_BSC] = jnp.where(cond > 0.0, smem_ref[WS_DC],
+                                     smem_ref[WS_BSC])
+        smem_ref[WS_M1] = jnp.where(cond > 0.0, 0.0, smem_ref[WS_M1])
+        smem_ref[WS_MCLK] = jnp.where(cond > 0.0, 0.0, smem_ref[WS_MCLK])
+        # ww_init_blockstate: clock + per-track peak memory reset
+        smem_ref[WS_BAVG] = jnp.where(cond > 0.0, jnp.float32(spb), b0)
+        for sm in (WS_TLCS, WS_TLCE, WS_TLPCE, WS_TLPCS, WS_TLACS):
+            smem_ref[sm] = jnp.where(cond > 0.0, 0.0, smem_ref[sm])
+        smem_ref[WS_DBLK] = jnp.where(cond > 0.0, 0.0, smem_ref[WS_DBLK])
+        cm16 = (cond > 0.0) & active
+        wrow("tlpk", jnp.where(cm16, 0.0, srow("tlpk")))
+        wrow("tplk", jnp.where(cm16, 0.0, srow("tplk")))
+
+    def chk_databits(clkend, cond):
+        """ww_chk_databits (decode_ww.c:51-92) when cond; reads the FRESH
+        bitspace average (st at call time, like the XLA version)."""
+        bfr = smem_ref[WS_BAVG]
+        tlps = srow("tlps")
+        hits = (tlps > clkend - bfr) & (tlps < clkend)
+        l0 = lane == 0
+        hv = jnp.sum(
+            jnp.where(hits & l0 & (sub == pri_msb), 1.0, 0.0) +
+            (jnp.where(hits & l0 & (sub == alt_msb), 2.0, 0.0)
+             if alt_msb >= 0 else 0.0) +
+            jnp.where(hits & l0 & (sub == pri_lsb), 4.0, 0.0) +
+            (jnp.where(hits & l0 & (sub == alt_lsb), 8.0, 0.0)
+             if alt_lsb >= 0 else 0.0))
+        h_pm = _mod(hv, 2.0) >= 1.0
+        h_am = _mod(jnp.floor(hv / 2.0), 2.0) >= 1.0
+        h_pl = _mod(jnp.floor(hv / 4.0), 2.0) >= 1.0
+        h_al = _mod(jnp.floor(hv / 8.0), 2.0) >= 1.0
+        msb = h_pm | (h_am if alt_msb >= 0 else False)
+        lsb = h_pl | (h_al if alt_lsb >= 0 else False)
+        # miss: (r_pri | r_alt) == 3 -- only possible when both tracks
+        # exist and exactly one of them hit (ww.py chk_databits)
+        miss = jnp.float32(0.0)
+        if alt_msb >= 0:
+            miss = miss + jnp.where(h_pm ^ h_am, 1.0, 0.0)
+        if alt_lsb >= 0:
+            miss = miss + jnp.where(h_pl ^ h_al, 1.0, 0.0)
+        ch = jnp.where(msb, 2.0, 0.0) + jnp.where(lsb, 1.0, 0.0)
+        i = jnp.minimum(smem_ref[WS_DC], float(maxchars - 1))
+        rel = i - smem_ref[WS_CHBASE]
+        in0 = (rel >= 0.0) & (rel < 2048.0)
+        in1 = (rel >= 2048.0) & (rel < 4096.0)
+        r0 = rel
+        r1 = rel - 2048.0
+        m0 = (cond & in0 & (sub == (r0 / 128.0).astype(I32)) &
+              (lanef == _mod(r0, 128.0)))
+        m1 = (cond & in1 & (sub == (r1 / 128.0).astype(I32)) &
+              (lanef == _mod(r1, 128.0)))
+        wrow("cw0", jnp.where(m0, ch, srow("cw0")))
+        wrow("cw1", jnp.where(m1, ch, srow("cw1")))
+        smem_ref[WS_BAIL] = jnp.where(cond & ~(in0 | in1), 1.0,
+                                      smem_ref[WS_BAIL])
+        smem_ref[WS_DC] = jnp.where(
+            cond, jnp.minimum(smem_ref[WS_DC] + 1.0, float(maxchars)),
+            smem_ref[WS_DC])
+        smem_ref[WS_M1] = smem_ref[WS_M1] + jnp.where(cond, miss, 0.0)
+
+    def pop_event(it, carry):
+        kv = srow("kv")
+        kvm = _mod(kv, float(RING))
+        h0 = (lanef == kvm) & (kvm < 128.0)
+        h1 = (lanef == kvm - 128.0) & (kvm >= 128.0)
+        has = active & (kv < cnt_col)
+        s_head = jnp.broadcast_to(jnp.sum(
+            jnp.where(h0, srow("rs0"), 0.0) +
+            jnp.where(h1, srow("rs1"), 0.0), axis=1, keepdims=True),
+            (16, 128))
+        s_head = jnp.where(has, s_head, BIG_S)
+        s_min = jnp.min(s_head)
+        run = s_min < BIG_S / 2.0
+
+        @pl.when(run)
+        def _():
+            cand = has & (s_head == s_min)
+            trk_sel = jnp.min(jnp.where(cand, sub, 99))
+            onehot = sub == trk_sel
+            sel0 = onehot & h0
+            sel1 = onehot & h1
+            frac = jnp.sum(jnp.where(sel0, srow("rf0"), 0.0) +
+                           jnp.where(sel1, srow("rf1"), 0.0))
+            is_top = jnp.sum(jnp.where(sel0, srow("rp0"), 0.0) +
+                             jnp.where(sel1, srow("rp1"), 0.0)) > 0.5
+            wrow("kv", kv + jnp.where(onehot, 1.0, 0.0))
+
+            b_top = smem_ref[WS_BAVG]      # stale binding, like step()'s b
+            s_ev = s_min
+
+            # ---- rolling rebase ----
+            ds = s_ev - smem_ref[WS_BASE]
+            reb = ds > float(REBASE_SPAN)
+
+            @pl.when(reb)
+            def _():
+                for sm in (WS_TLCS, WS_TLCE, WS_TLPCS, WS_TLACS, WS_TLPCE,
+                           WS_TLBM, WS_LASTPK):
+                    v = smem_ref[sm]
+                    smem_ref[sm] = jnp.where(v == 0.0, 0.0, v - ds)
+                for nm in ("tlps", "tlpe", "tlpk", "tplk"):
+                    r = srow(nm)
+                    wrow(nm, jnp.where(r == 0.0, 0.0, r - ds))
+                smem_ref[WS_BASE] = s_ev
+
+            s_rel = s_ev - smem_ref[WS_BASE]
+            t = s_rel + frac
+
+            # ---- block end between events (clock stopped) ----
+            ended = ((smem_ref[WS_DBLK] > 0.0) &
+                     (smem_ref[WS_TLCE] > 0.0) &
+                     (s_rel - smem_ref[WS_TLCE] >
+                      b_top * cm.WW_CLKSTOP_BITS))
+            tlpe_r = srow("tlpe")
+            strag_m = zf > 1.0
+            for lt in lsb_trks:
+                strag_m = strag_m | ((sub == lt) & (lane == 0) &
+                                     (tlpe_r - smem_ref[WS_TLCE] >
+                                      b_top * cm.WW_PEAKSCLOSE_BITS))
+            lsb_strag = jnp.sum(jnp.where(strag_m, 1.0, 0.0)) > 0.0
+            emit_block(4, t, jnp.where(ended, 1.0, 0.0))        # BS_BLOCK
+            emit_mark = ended & lsb_strag
+            emit_block(1, t, jnp.where(emit_mark, 1.0, 0.0))    # BS_TAPEMARK
+            smem_ref[WS_TLBM] = jnp.where(emit_mark, t,
+                                          smem_ref[WS_TLBM])
+
+            # ---- flux direction ----
+            if fluxdir_req == FLUX_AUTO:
+                faraway = (t - smem_ref[WS_LASTPK]) > \
+                    b_top * cm.WW_PEAKSFAR_BITS
+                newdir = jnp.where(is_top, jnp.float32(FLUX_POS),
+                                   jnp.float32(FLUX_NEG))
+                changed = (faraway & (smem_ref[WS_FLUXSET] > 0.0) &
+                           (newdir != smem_ref[WS_FLUX]))
+                smem_ref[WS_NFLUX] = smem_ref[WS_NFLUX] + \
+                    jnp.where(changed, 1.0, 0.0)
+                smem_ref[WS_FLUX] = jnp.where(faraway, newdir,
+                                              smem_ref[WS_FLUX])
+                smem_ref[WS_FLUXSET] = jnp.where(faraway, 1.0,
+                                                 smem_ref[WS_FLUXSET])
+                flux = smem_ref[WS_FLUX]
+            else:
+                flux = jnp.float32(fluxdir_req)
+            smem_ref[WS_LASTPK] = t
+
+            is_start = is_top == (flux == float(FLUX_POS))
+            is_end = jnp.logical_not(is_start)
+            is_clk = jnp.zeros((), bool)
+            for ct in clk_trks:
+                is_clk = is_clk | (trk_sel == ct)
+            is_pri_clk = (trk_sel == pri_clk) if pri_clk >= 0 else False
+            is_alt_clk = (trk_sel == alt_clk) if alt_clk >= 0 else False
+            is_lsb = jnp.zeros((), bool)
+            for lt in lsb_trks:
+                is_lsb = is_lsb | (trk_sel == lt)
+
+            # ---- pulse start ----
+            ps = is_start
+            wrow("tlps", jnp.where(onehot & ps, t, srow("tlps")))
+            start_clk = ps & is_clk
+            smem_ref[WS_DBLK] = jnp.where(start_clk, 1.0,
+                                          smem_ref[WS_DBLK])
+            prevpeak = jnp.sum(jnp.where(onehot & (lane == 0),
+                                         srow("tplk"), 0.0))
+            clk_close = (t - prevpeak) < b_top * cm.WW_PEAKSFAR_BITS
+            delta_c = t - prevpeak
+            bfr = smem_ref[WS_BAVG]
+            if clk_alpha > 0.0:
+                avg_e = clka * delta_c + (1.0 - clka) * bfr
+            else:
+                avg_e = jnp.float32(spb)
+            smem_ref[WS_BAVG] = jnp.where(start_clk & clk_close, avg_e,
+                                          bfr)
+            smem_ref[WS_TLCS] = jnp.where(start_clk, t, smem_ref[WS_TLCS])
+            smem_ref[WS_TLPCS] = jnp.where(ps & is_pri_clk, t,
+                                           smem_ref[WS_TLPCS])
+            smem_ref[WS_TLACS] = jnp.where(ps & is_alt_clk, t,
+                                           smem_ref[WS_TLACS])
+
+            # ---- pulse end ----
+            pe = is_end
+            wrow("tlpe", jnp.where(onehot & pe, t, srow("tlpe")))
+            delta = t - smem_ref[WS_TLPCE]
+            near = (pe & (smem_ref[WS_TLPCE] > 0.0) &
+                    (delta > -b_top * 1.5) & (delta < b_top * 1.5))
+            delta2 = jnp.where(delta <= 0.0, delta + b_top,
+                               jnp.where(delta < b_top * 0.5,
+                                         delta + b_top, delta))
+            bkt = ((delta2 - stat_lb) / stat_bw).astype(I32)
+            bkt_c = jnp.clip(bkt, 0, 49)
+            hist_ref[0, :, :] = hist_ref[0, :, :] + jnp.where(
+                onehot & near & (lane == bkt_c), 1.0, 0.0)
+            wrow("trksum", srow("trksum") + jnp.where(
+                onehot & near & (bkt >= 0) & (bkt <= 49) & (lane == 0),
+                1.0, 0.0))
+            end_clk = pe & is_clk
+            do_chk = end_clk & ((t - smem_ref[WS_TLCE]) >
+                                b_top * cm.WW_PEAKSCLOSE_BITS)
+            chk_databits(t, do_chk)
+            smem_ref[WS_TLCE] = jnp.where(end_clk, t, smem_ref[WS_TLCE])
+            end_pri = pe & is_pri_clk
+            miss_alt = (end_pri & (smem_ref[WS_TLACS] > 0.0) &
+                        (smem_ref[WS_TLACS] < t - b_top))
+            end_alt = pe & is_alt_clk
+            miss_pri = (end_alt & (smem_ref[WS_TLPCS] > 0.0) &
+                        (smem_ref[WS_TLPCS] < t - b_top))
+            smem_ref[WS_MCLK] = smem_ref[WS_MCLK] + \
+                jnp.where(miss_alt, 1.0, 0.0) + \
+                jnp.where(miss_pri, 1.0, 0.0)
+            smem_ref[WS_TLPCE] = jnp.where(end_pri, t, smem_ref[WS_TLPCE])
+            bm = (pe & is_lsb & (smem_ref[WS_TLCS] == 0.0) &
+                  (t - smem_ref[WS_TLBM] > b_top))
+            emit_block(1, t, jnp.where(bm, 1.0, 0.0))           # blockmark
+            smem_ref[WS_TLBM] = jnp.where(bm, t, smem_ref[WS_TLBM])
+
+            # ---- per-track peak history ----
+            old_last = jnp.sum(jnp.where(onehot & (lane == 0),
+                                         srow("tlpk"), 0.0))
+            wrow("tplk", jnp.where(onehot, old_last, srow("tplk")))
+            wrow("tlpk", jnp.where(onehot, t, srow("tlpk")))
+        return carry
+
+    POPCAP = 512
+
+    def pop_block(o, carry):
+        # cheap work-remains probe: any track with unconsumed entries
+        @pl.when(jnp.max(jnp.where(active, cnt_col - srow("kv"), 0.0))
+                 > 0.0)
+        def _():
+            jax.lax.fori_loop(0, 8, pop_event, 0)
+        return carry
+
+    jax.lax.fori_loop(0, POPCAP // 8, pop_block, 0)
+
+    # final drain + flush at the last grid step
+    @pl.when(last_blk)
+    def _():
+        jax.lax.fori_loop(0, (T * RING) // 8 + 1, pop_block, 0)
+        # leftovers after the full drain = ring pressure we never caught
+        smem_ref[WS_BAIL] = jnp.where(
+            jnp.max(jnp.where(active, cnt_col - srow("kv"), 0.0)) > 0.0,
+            1.0, smem_ref[WS_BAIL])
+
+        # trailing-block flush (ww_global_scan flush=True): uses the FINAL
+        # bitspace average
+        bfin = smem_ref[WS_BAVG]
+        tlpe_r = srow("tlpe")
+        strag_m = zf > 1.0
+        for lt in lsb_trks:
+            strag_m = strag_m | ((sub == lt) & (lane == 0) &
+                                 (tlpe_r - smem_ref[WS_TLCE] >
+                                  bfin * cm.WW_PEAKSCLOSE_BITS))
+        lsb_strag = jnp.sum(jnp.where(strag_m, 1.0, 0.0)) > 0.0
+        ended = (smem_ref[WS_DBLK] > 0.0) & (smem_ref[WS_TLCE] > 0.0)
+        t_end = smem_ref[WS_TLCE]
+        emit_block(4, t_end, jnp.where(ended, 1.0, 0.0))
+        emit_block(1, t_end, jnp.where(ended & lsb_strag, 1.0, 0.0))
+
+        # flush the chars windows
+        cb = smem_ref[WS_CHBASE]
+        ci = (cb / 2048.0).astype(I32)
+
+        @pl.when(cb < float(maxchars))
+        def _():
+            chars_ref[0, :, pl.ds(ci * 128, 128)] = srow("cw0")
+
+        @pl.when(cb + 2048.0 < float(maxchars))
+        def _():
+            chars_ref[0, :, pl.ds(ci * 128 + 128, 128)] = srow("cw1")
+
+        # block-record fields
+        for k, nm in enumerate(("b_start", "b_end", "b_type", "b_t_end",
+                                "b_t_base", "b_bitspace", "b_miss1",
+                                "b_missclk")):
+            blk_ref[0, :, k * 128:(k + 1) * 128] = srow(nm)
+
+        vals = zf
+        for ln, col in ((WL_NADM, st_read("n_adm")),
+                        (WL_KV, srow("kv")),
+                        (WL_HSUM, st_read("h_sum")),
+                        (WL_HCNT, st_read("h_cnt")),
+                        (WL_TRKSUM, jnp.broadcast_to(
+                            jnp.sum(jnp.where(lane == 0, srow("trksum"),
+                                              0.0), axis=1, keepdims=True),
+                            (16, 128))),
+                        (WL_PEAKCNT, st_read("peakcount")),
+                        (WL_MAXAGC, st_read("max_agc")),
+                        (WL_MINAGC, st_read("min_agc")),
+                        (WL_OVF, st_read("overflow"))):
+            vals = jnp.where(lane == ln, col, vals)
+        for ln, sm in ((WL_DCNT, WS_DC), (WL_NBLK, WS_NBLK),
+                       (WL_FLUX, WS_FLUX), (WL_FLUXSET, WS_FLUXSET),
+                       (WL_NFLUX, WS_NFLUX), (WL_M1, WS_M1),
+                       (WL_MCLK, WS_MCLK), (WL_BAIL, WS_BAIL)):
+            vals = jnp.where(lane == ln, smem_ref[sm], vals)
+        scal_ref[0, :, :] = vals
+
+    # chars-window roll: the stream index only grows ~RB*128/spb per grid
+    # step, far below the 2048-slack, so one check per step suffices
+    @pl.when((smem_ref[WS_DC] - smem_ref[WS_CHBASE] >= 2048.0) &
+             (smem_ref[WS_CHBASE] + 2048.0 < float(maxchars)) &
+             jnp.logical_not(last_blk))
+    def _():
+        ci = (smem_ref[WS_CHBASE] / 2048.0).astype(I32)
+        chars_ref[0, :, pl.ds(ci * 128, 128)] = srow("cw0")
+        wrow("cw0", srow("cw1"))
+        wrow("cw1", zf)
+        smem_ref[WS_CHBASE] = smem_ref[WS_CHBASE] + 2048.0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "T", "W", "maxchars", "rise", "minp", "agc_alpha", "clk_alpha",
+    "spb", "fluxdir_req", "pri_clk", "pri_lsb", "pri_msb", "alt_clk",
+    "alt_lsb", "alt_msb", "interpret"))
+def ww_fused_scan(volts, meta, *, S: int, T: int, W: int, maxchars: int,
+                  rise: float, minp: float, agc_alpha: float,
+                  clk_alpha: float, spb: float, fluxdir_req: int,
+                  pri_clk: int, pri_lsb: int, pri_msb: int, alt_clk: int,
+                  alt_lsb: int, alt_msb: int, interpret: bool = None):
+    """volts: [1, 16, S] f32; meta: [1, 16, 128]. Returns (chars, blk,
+    hist, scal) raw kernel planes; decode with ww_fused_state."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    assert volts.shape == (1, 16, S) and S % (RB * 128) == 0
+    n_rblks = S // (RB * 128)
+    R = S // 128
+    MCP = -(-maxchars // 2048) * 128
+
+    kern = functools.partial(
+        _ww_kernel, T=T, S=S, W=W, maxchars=maxchars, MCP=MCP, rise=rise,
+        minp=minp, agc_alpha=agc_alpha, clk_alpha=clk_alpha, spb=spb,
+        fluxdir_req=fluxdir_req, pri_clk=pri_clk, pri_lsb=pri_lsb,
+        pri_msb=pri_msb, alt_clk=alt_clk, alt_lsb=alt_lsb, alt_msb=alt_msb)
+    _, n_rows = _ww_layout()
+
+    chars, blk, hist, scal = pl.pallas_call(
+        kern,
+        grid=(1, n_rblks),
+        in_specs=[
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, RB * 128), lambda i, r: (i, 0, r)),
+            pl.BlockSpec((1, 16, 128),
+                         lambda i, r, R=R:
+                         (i, 0, jnp.minimum(r * RB + RB, R - 1))),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 16, MCP), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 8 * 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 16, MCP), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16, 8 * 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, 128), jnp.float32),
+            pltpu.SMEM((WN_SM,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, volts, volts)
+    return chars, blk, hist, scal
+
+
+def ww_fused_state(chars, blk, hist, scal, *, T: int, maxchars: int):
+    """Decode the WW kernel's output planes into the ww_global_scan result
+    dict consumed by assemble_ww_blocks / the stats block."""
+    chars = np.asarray(chars[0])
+    blk = np.asarray(blk[0])
+    hist = np.asarray(hist[0])
+    ss = np.asarray(scal[0])
+    nch = chars.shape[1] // 128
+    flat = chars.reshape(16, nch, 128).transpose(1, 0, 2).reshape(-1)
+    fields = {}
+    for k, nm in enumerate(("b_start", "b_end", "b_type", "b_t_end",
+                            "b_t_base", "b_bitspace", "b_miss1",
+                            "b_missclk")):
+        fields[nm] = blk[:, k * 128:(k + 1) * 128].reshape(-1)
+    nblocks = int(ss[0, WL_NBLK])
+    res = dict(
+        chars=flat[:maxchars].astype(np.int8),
+        datacount=np.int32(ss[0, WL_DCNT]),
+        nblocks=np.int32(nblocks),
+        b_start=fields["b_start"].astype(np.int32),
+        b_end=fields["b_end"].astype(np.int32),
+        b_type=fields["b_type"].astype(np.int32),
+        b_t_end=fields["b_t_end"].astype(np.float32),
+        b_t_base=fields["b_t_base"].astype(np.int32),
+        b_bitspace=fields["b_bitspace"].astype(np.float32),
+        b_leadclk=np.zeros(WW_MAXBLK, np.int32),
+        b_missing1=fields["b_miss1"].astype(np.int32),
+        b_missingclk=fields["b_missclk"].astype(np.int32),
+        hist=hist[:T, :50].astype(np.int64),
+        trksums=ss[:T, WL_TRKSUM].astype(np.int64),
+        num_flux_changes=np.int32(ss[0, WL_NFLUX]),
+        flux=np.int32(ss[0, WL_FLUX]),
+        flux_set=bool(ss[0, WL_FLUXSET] > 0.5),
+        w_missing_onebit=np.int32(ss[0, WL_M1]),
+        w_missing_clock=np.int32(ss[0, WL_MCLK]),
+        bail=bool(ss[0, WL_BAIL] > 0.5) or bool(
+            ss[:T, WL_OVF].max() > 0.5),
+        h_sum=ss[:T, WL_HSUM].astype(np.float32),
+        h_cnt=ss[:T, WL_HCNT].astype(np.int32),
+        n_admitted=ss[:T, WL_NADM].astype(np.int64),
+    )
+    return res

@@ -2146,7 +2146,65 @@ def _decode_tape_ww(samples, opts, log):
         finals = dict(h_sum=fin_np["h_sum"], h_cnt=fin_np["h_cnt"])
         return jax.tree.map(np.asarray, res), finals
 
-    run_pass = run_pass_chunked if chunked else run_pass_single
+    # Fused WW Mosaic kernel (pallas_fused._ww_kernel): admission row
+    # sweep + the whole pulse/clock/blockmark machine in one device
+    # sweep, bit-exact vs the XLA scans (tests/test_pallas_fused.py).
+    # Gated to the builtin-parmset shape (exponential AGC + exponential
+    # clock); ring-pressure/overflow bails fall back to the XLA path.
+    fused_ww_ok = (_pallas_enabled()
+                   and os.environ.get("READTAPE_FUSED", "1") == "1"
+                   and not chunked and S % 2048 == 0 and S <= 1 << 24
+                   and T <= 16 and W <= 128
+                   and p0.agc_window == 0 and p0.clk_window == 0)
+
+    def run_pass_fused(skew_arr, v_avg_init):
+        import numpy as _np
+        from . import pallas_fused as pfu
+        v = _prep_volts(v_i16, jnp.float32(opts.maxvolts),
+                        jnp.float32(-1.0 if opts.invert else 1.0),
+                        jnp.asarray(skew_arr, I32), S=S, T=T,
+                        differentiate=opts.differentiate, spb_int=int(spb))
+        rise_floor, min_floor = _floors()
+        volts = jnp.pad(v, ((0, 16 - T), (0, 0)))[None]
+        meta = _np.zeros((1, 16, 128), _np.float32)
+        meta[0, :, pfu.M_SEGLEN] = S
+        meta[0, :, pfu.M_STATLB] = lb / opts.deltat
+        meta[0, :, pfu.M_STATBW] = bw / opts.deltat
+        meta[0, :T, pfu.M_RISEF] = _np.asarray(rise_floor)
+        meta[0, :T, pfu.M_MINF] = _np.asarray(min_floor)
+        meta[0, :T, pfu.M_WW_VAH] = _np.asarray(v_avg_init,
+                                                _np.float32)
+        meta[0, :, pfu.M_WW_AAL] = p0.agc_alpha
+        meta[0, :, pfu.M_WW_CLKA] = p0.clk_alpha
+        maxchars = int(N / spb) + 256
+        fluxdir = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
+                   "auto": ww_mod.FLUX_AUTO}[opts.fluxdir]
+        chars, blkp, hist, scal = pfu.ww_fused_scan(
+            volts, jnp.asarray(meta), S=S, T=T, W=W, maxchars=maxchars,
+            rise=float(p0.pkww_rise), minp=float(p0.min_peak),
+            agc_alpha=float(p0.agc_alpha), clk_alpha=float(p0.clk_alpha),
+            spb=float(spb), fluxdir_req=fluxdir,
+            pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+            pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+            pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+            alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+            alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+            alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB])
+        res = pfu.ww_fused_state(chars, blkp, hist, scal, T=T,
+                                 maxchars=maxchars)
+        if res["bail"]:
+            return None
+        finals = dict(h_sum=res["h_sum"], h_cnt=res["h_cnt"])
+        return res, finals
+
+    def run_pass(skew_arr, v_avg_init):
+        if fused_ww_ok:
+            out = run_pass_fused(skew_arr, v_avg_init)
+            if out is not None:
+                return out
+            _tlog("ww fused bail: falling back to the XLA scans")
+        return (run_pass_chunked if chunked
+                else run_pass_single)(skew_arr, v_avg_init)
 
     v_avg_init = np.full(T, cm.PKWW_PEAKHEIGHT, np.float32)
     deskew_done = False

@@ -533,3 +533,179 @@ def test_gcr_fused_production_wiring(fresh_caches, monkeypatch):
     assert stats_f["nblocks"] == 3
     np.testing.assert_array_equal(stats_f["peak_hist"],
                                   stats_ref["peak_hist"])
+
+
+# ---------------------------------------------------------------------------
+# Whirlwind fused kernel
+# ---------------------------------------------------------------------------
+
+def _ww_xla_reference(v, spb, p0, S, T, W, maxchars, lb, bw, vah_init,
+                      fluxdir_req, type_to_trk):
+    from readtape_tpu.decode import ww as ww_mod
+    nxt = _mask_jump_table(
+        ts.loose_jump_table(v, W, jnp.full(T, 0.04, np.float32),
+                            jnp.full(T, 0.2, np.float32)),
+        jnp.int32(S), jnp.int32(0), S)
+    K = int(S / spb * 6.0) + 64
+    nsteps = int(S / spb * 12.0) + 64
+    feat = ts.precompute_window_features(v, W, nxt)
+    lane = jax.vmap(lambda ft, nx, vh: ww_mod.ww_track_scan(
+        ft, nx, W, S, nsteps, K, p0.pkww_rise, p0.min_peak,
+        p0.agc_alpha, p0.agc_window, vh, pre=True))
+    finals = lane(feat, nxt, jnp.asarray(vah_init, np.float32))
+    counts = finals["n_admitted"]
+    keep = np.arange(K) < np.asarray(counts)[..., None]
+    trans = dict(
+        s_det=jnp.where(keep, finals["tr_s"], ts.BIG_S),
+        t_peak=jnp.where(keep, finals["tr_t"], 0.0),
+        t_frac=jnp.where(keep, finals["tr_frac"], 0.0),
+        is_top=jnp.where(keep, finals["tr_top"], False))
+    Mcap = min(int(T * K), int(np.sum(np.asarray(counts))) + 16)
+    merged = ww_mod.merge_transitions(trans, T, Mcap)
+    res = jax.tree.map(np.asarray, ww_mod.ww_global_scan(
+        merged["trk"], merged["t_peak"], merged["s_det"],
+        merged["is_top"], merged["valid"],
+        jnp.int32(p0.clk_window), jnp.float32(p0.clk_alpha),
+        jnp.float32(spb), jnp.float32(lb), jnp.float32(bw),
+        pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+        pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+        pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+        alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+        alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+        alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB],
+        T=T, maxchars=maxchars, maxblocks=4096,
+        fluxdir_req=fluxdir_req, m_frac=merged["t_frac"]))
+    return res, finals
+
+
+@pytest.mark.parametrize("seed,nblocks,noise,fluxdir,tapemark",
+                         [(3, 1, 0.0, "neg", False),
+                          (5, 2, 0.05, "auto", False),
+                          (6, 2, 0.0, "neg", True)])
+def test_ww_fused_matches_xla(seed, nblocks, noise, fluxdir, tapemark):
+    """The fused WW kernel (admission + the global pulse/clock/blockmark
+    machine in one sweep) must reproduce ww_track_scan + merge +
+    ww_global_scan exactly: chars, block records, peak hist, flux state,
+    deskew height averages."""
+    from readtape_tpu.decode import ww as ww_mod
+    from readtape_tpu.decode.pipeline import _peakstat_bins
+    rng = np.random.default_rng(seed)
+    spec = default_spec(tb.MODE_WW, ibg_secs=0.003, start_gap_secs=0.002)
+    items = []
+    for i in range(nblocks):
+        items.append(("block", [int(w) for w in
+                                rng.integers(0, 65536, 8)]))
+        if tapemark and i == 0:
+            items.append(("tapemark",))
+    hdr, samples = synthesize_tape(spec, items)
+    T = 6
+    S = 4096
+    while S < samples.shape[0]:
+        S *= 2
+    v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
+    v = np.pad(v, ((0, 0), (0, S - v.shape[1])))
+    if noise:
+        v = v + rng.normal(0.0, noise, v.shape).astype(np.float32)
+    v = jnp.asarray(v)
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (spec.bpi * spec.ips * deltat)
+    p0 = builtin_parmsets(tb.MODE_WW).sets[0]
+    W = cm.pkww_width_for(p0.pkww_bitfrac, spec.bpi, spec.ips, deltat)
+    lb, bw = _peakstat_bins(tb.MODE_WW, 1.0 / (spec.bpi * spec.ips))
+    lb, bw = lb / deltat, bw / deltat
+    type_to_trk, _, _n = ww_mod.parse_ww_order(spec.ww_order)
+    vah_init = np.full(T, cm.PKWW_PEAKHEIGHT, np.float32)
+    fluxdir_req = {"pos": ww_mod.FLUX_POS, "neg": ww_mod.FLUX_NEG,
+                   "auto": ww_mod.FLUX_AUTO}[fluxdir]
+    maxchars = int(S / spb) + 256
+
+    res, finals = _ww_xla_reference(v, spb, p0, S, T, W, maxchars, lb, bw,
+                                    vah_init, fluxdir_req, type_to_trk)
+
+    volts = jnp.pad(v, ((0, 16 - T), (0, 0)))[None]
+    meta = np.zeros((1, 16, 128), np.float32)
+    meta[0, :, pf.M_SEGLEN] = S
+    meta[0, :, pf.M_STATLB] = lb
+    meta[0, :, pf.M_STATBW] = bw
+    meta[0, :T, pf.M_RISEF] = 0.04
+    meta[0, :T, pf.M_MINF] = 0.2
+    meta[0, :T, pf.M_WW_VAH] = vah_init
+    meta[0, :, pf.M_WW_AAL] = p0.agc_alpha
+    meta[0, :, pf.M_WW_CLKA] = p0.clk_alpha
+    chars, blk, hist, scal = pf.ww_fused_scan(
+        volts, jnp.asarray(meta), S=S, T=T, W=W, maxchars=maxchars,
+        rise=float(p0.pkww_rise), minp=float(p0.min_peak),
+        agc_alpha=float(p0.agc_alpha), clk_alpha=float(p0.clk_alpha),
+        spb=float(spb), fluxdir_req=fluxdir_req,
+        pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+        pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+        pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+        alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+        alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+        alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB], interpret=True)
+    got = pf.ww_fused_state(chars, blk, hist, scal, T=T,
+                            maxchars=maxchars)
+
+    assert not got["bail"]
+    np.testing.assert_array_equal(got["n_admitted"],
+                                  np.asarray(finals["n_admitted"]))
+    nb = int(res["nblocks"])
+    dc = int(res["datacount"])
+    assert int(got["nblocks"]) == nb
+    assert int(got["datacount"]) == dc
+    np.testing.assert_array_equal(got["chars"][:dc], res["chars"][:dc])
+    for f in ("b_start", "b_end", "b_type", "b_t_base", "b_missing1",
+              "b_missingclk"):
+        np.testing.assert_array_equal(
+            got[f][:nb].astype(np.int64),
+            np.asarray(res[f][:nb]).astype(np.int64), err_msg=f)
+    np.testing.assert_allclose(got["b_t_end"][:nb], res["b_t_end"][:nb],
+                               rtol=0, atol=0, err_msg="b_t_end")
+    # the clock average's exponential update a*d + (1-a)*b gets FMA-
+    # contracted differently per compiled graph (XLA:CPU does it for the
+    # scan and for the interpreted kernel independently; the C reference
+    # itself builds with gcc's default -ffp-contract) -- a pure-IEEE
+    # numpy replay matches NEITHER side on all blocks. Everything the
+    # average feeds (chars, hit windows, block times) is compared
+    # bit-exactly above; the average itself gets a few-ulp tolerance.
+    np.testing.assert_allclose(got["b_bitspace"][:nb],
+                               res["b_bitspace"][:nb], rtol=1e-6,
+                               err_msg="b_bitspace")
+    np.testing.assert_array_equal(got["hist"], res["hist"])
+    np.testing.assert_array_equal(got["trksums"], res["trksums"])
+    assert int(got["num_flux_changes"]) == int(res["num_flux_changes"])
+    assert int(got["flux"]) == int(res["flux"])
+    np.testing.assert_allclose(got["h_sum"], np.asarray(finals["h_sum"]),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(got["h_cnt"],
+                                  np.asarray(finals["h_cnt"]))
+    assert dc > 0 and nb >= nblocks
+
+
+def test_ww_fused_production_wiring(fresh_caches, monkeypatch):
+    """decode_tape for WW through the fused kernel must produce exactly
+    the XLA path's blocks/stats (incl. -deskew's two-pass flow)."""
+    from readtape_tpu.decode import pipeline as pl
+    rng = np.random.default_rng(11)
+    spec = default_spec(tb.MODE_WW, ibg_secs=0.004, start_gap_secs=0.003)
+    words = [[int(w) for w in rng.integers(0, 65536, 10)]
+             for _ in range(3)]
+    items = [("block", w) for w in words]
+    items.insert(2, ("tapemark",))
+    hdr, samples = synthesize_tape(spec, items)
+    opts = pl.DecodeOptions(mode=tb.MODE_WW, ntrks=6, bpi=spec.bpi,
+                            ips=spec.ips, deltat=hdr.tdelta_ns * 1e-9,
+                            maxvolts=hdr.maxvolts, fluxdir="neg",
+                            ww_order=spec.ww_order, multiple_tries=False,
+                            deskew=True)
+    monkeypatch.setenv("READTAPE_PALLAS", "0")
+    out_ref, stats_ref = pl.decode_tape(samples, opts)
+    monkeypatch.setenv("READTAPE_PALLAS", "1")
+    monkeypatch.setenv("READTAPE_FUSED", "1")
+    out_f, stats_f = pl.decode_tape(samples, opts)
+    assert [b.data for b in out_f] == [b.data for b in out_ref]
+    assert [b.kind for b in out_f] == [b.kind for b in out_ref]
+    assert stats_f["nblocks"] == 3 and stats_f["ntapemarks"] >= 1
+    np.testing.assert_array_equal(stats_f["peak_hist"],
+                                  stats_ref["peak_hist"])
+    assert stats_f["skew"] == stats_ref["skew"]
