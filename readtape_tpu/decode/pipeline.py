@@ -1961,12 +1961,28 @@ def _decode_tape_ww(samples, opts, log):
     chunked = N > WW_SINGLE_MAX
     WW_CH = int(os.environ.get("READTAPE_WW_CHUNK", str(1 << 22)))
     WW_PAD = 192                      # > max window width + max skew delay
-    S = seg.bucket_length(N)
+    # eighth-granularity buckets instead of powers of two: WW sweeps the
+    # WHOLE padded tape in one program, so a 2x bucket costs up to 2x
+    # decode time (a 2.6M-sample tape padded to 4.2M wasted 63%); the
+    # finer rounding caps waste at 12.5% for ~3x the distinct shapes
+    p2 = seg.bucket_length(N)
+    gran = max(p2 // 8, 2048)
+    S = -(-N // gran) * gran
     if chunked:
         S = (-(-N // WW_CH)) * WW_CH + WW_PAD
-    v_i16, h_est, _ = seg.tape_activity(     # device-side (slow host vCPU)
-        jnp.asarray(samples), jnp.float32(opts.maxvolts),
-        step=max(1, (N * T) // 2_000_000))
+    step = max(1, (N * T) // 2_000_000)
+    packed = None
+    if (samples.dtype == np.int16
+            and os.environ.get("READTAPE_PACK12", "1") == "1"):
+        from .. import native
+        packed = native.pack12_delta(samples)
+    if packed is not None:           # 12-bit delta-packed upload (25% less
+        v_i16, h_est, _ = seg.tape_activity_packed(     # over the relay)
+            jnp.asarray(packed), jnp.float32(opts.maxvolts),
+            step=step, n=N, t=T)
+    else:
+        v_i16, h_est, _ = seg.tape_activity(
+            jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
     h_est = float(h_est)
     if v_i16.shape[1] < S:
         v_i16 = jnp.pad(v_i16, ((0, 0), (0, S - v_i16.shape[1])))
