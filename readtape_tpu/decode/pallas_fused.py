@@ -2405,11 +2405,17 @@ def gcr_fused_scan(volts, meta, *, S: int, T: int, P: int, maxb: int,
 FLUX_POS, FLUX_NEG, FLUX_AUTO = 0, 1, 2     # ww.py's flux direction codes
 REBASE_SPAN = 1 << 22                       # ww.py's rolling-base span
 
-# machine SMEM slots
+# machine SMEM slots. WS_PB is the POSITION base: unbounded captures keep
+# every position-valued quantity (posf, blind, ring s, machine base, the
+# seg_len/lead limits) relative to it, shifting by a grid-step-aligned
+# amount (a multiple of 2048, so every shifted integer stays f32-exact)
+# whenever the step offset exceeds the span -- the old 2^24 f32 position
+# cap is gone and any capture decodes in ONE kernel sweep.
 (WS_TLCS, WS_TLCE, WS_TLPCS, WS_TLACS, WS_TLPCE, WS_TLBM, WS_LASTPK,
  WS_BASE, WS_DC, WS_BSC, WS_NBLK, WS_M1, WS_MCLK, WS_NFLUX, WS_FLUX,
- WS_FLUXSET, WS_DBLK, WS_BAVG, WS_CHBASE, WS_BAIL, WS_AWORK) = range(21)
-WN_SM = 21
+ WS_FLUXSET, WS_DBLK, WS_BAVG, WS_CHBASE, WS_BAIL, WS_AWORK,
+ WS_PB, WS_SEGL, WS_LEAD) = range(24)
+WN_SM = 24
 
 WW_MAXBLK = 2048              # block-record window capacity (bail beyond)
 
@@ -2443,7 +2449,7 @@ def _ww_layout():
     for nm in ("elig", "rs0", "rs1", "rf0", "rf1", "rp0", "rp1", "kv",
                "tlps", "tlpe", "tlpk", "tplk", "cw0", "cw1",
                "b_start", "b_end", "b_type", "b_t_end", "b_t_base",
-               "b_bitspace", "b_miss1", "b_missclk", "trksum",
+               "b_t_bhi", "b_bitspace", "b_miss1", "b_missclk", "trksum",
                "vmarg", "col0v"):
         alloc(nm)
     alloc("misc", 1)
@@ -2453,7 +2459,8 @@ def _ww_layout():
 def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
                scal_ref, st_ref, smem_ref, *, T, S, W, maxchars, MCP,
                rise, minp, agc_alpha, clk_alpha, spb, fluxdir_req,
-               pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb):
+               pri_clk, pri_lsb, pri_msb, alt_clk, alt_lsb, alt_msb,
+               span=REBASE_SPAN):
     n_rblks = pl.num_programs(1)
     rblk = pl.program_id(1)
     last_blk = rblk == n_rblks - 1
@@ -2524,17 +2531,46 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
         for nm in ("elig", "rs0", "rs1", "rf0", "rf1", "rp0", "rp1", "kv",
                    "tlps", "tlpe", "tlpk", "tplk", "cw0", "cw1",
                    "b_start", "b_end", "b_type", "b_t_end", "b_t_base",
-                   "b_bitspace", "b_miss1", "b_missclk", "trksum",
-                   "vmarg", "col0v"):
+                   "b_t_bhi", "b_bitspace", "b_miss1", "b_missclk",
+                   "trksum", "vmarg", "col0v"):
             wrow(nm, zf)
         for sm in range(WN_SM):
             smem_ref[sm] = jnp.float32(0.0)
         smem_ref[WS_BAVG] = jnp.float32(spb)
         smem_ref[WS_FLUX] = jnp.float32(
             FLUX_NEG if fluxdir_req == FLUX_AUTO else fluxdir_req)
+        smem_ref[WS_SEGL] = seg_len
+        smem_ref[WS_LEAD] = lead_len
         hist_ref[0, :, :] = zf
         for k in range(MCP // 128):
             chars_ref[0, :, k * 128:(k + 1) * 128] = zf
+
+    # ---- position rebase (see WS_PB): keep row positions, blind
+    # frontiers, ring s entries, the machine base and the span limits
+    # relative to a grid-step-aligned base so every stored position stays
+    # an f32-exact integer at ANY capture length. ds is a multiple of
+    # RB*128, so shifted multiples-of-2048 (WS_SEGL init included) and
+    # shifted small ints remain exact; sentinel semantics survive because
+    # every comparison shifts both sides.
+    off0 = (rblk * (RB * 128)).astype(F32) - smem_ref[WS_PB]
+
+    @pl.when(off0 > float(span))
+    def _():
+        ds = off0
+        smem_ref[WS_PB] = smem_ref[WS_PB] + ds
+        smem_ref[WS_SEGL] = smem_ref[WS_SEGL] - ds
+        smem_ref[WS_LEAD] = smem_ref[WS_LEAD] - ds
+        smem_ref[WS_BASE] = smem_ref[WS_BASE] - ds
+        st_write("blind", st_read("blind") - ds)
+        wrow("rs0", srow("rs0") - ds)
+        wrow("rs1", srow("rs1") - ds)
+
+    pos_base = (rblk * (RB * 128)).astype(F32) - smem_ref[WS_PB]
+    seg_len_r = smem_ref[WS_SEGL]
+    lead_len_r = smem_ref[WS_LEAD]
+    # the tape-end column for the vnext fill, in relative coordinates
+    # (exact whenever it can actually coincide with a swept row)
+    send = jnp.float32(S) - smem_ref[WS_PB] - 1.0
 
     # ======================================================================
     # 1. admission row sweep (NRZI kernel structure, WW AGC policy)
@@ -2702,15 +2738,14 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
         nxt_blk = (v_ref[0, :, (rr + 1) * 128:(rr + 2) * 128]
                    if rr < RB - 1 else vnxt_ref[0, :, :])
         nxt0_row = col0_bcast(nxt_blk)
-        base = rblk * (RB * 128) + rr * 128
         first_row = (rblk == 0) & (rr == 0)
 
         @pl.when(first_row)
         def _(vcur=vcur):
             wrow("col0v", col0_bcast(vcur))
 
-        posf = lanef + base.astype(F32)
-        seg_end_col = posf == np.float32(S - 1)
+        posf = lanef + (pos_base + np.float32(rr * 128))
+        seg_end_col = posf == send
         feat = _row_features(vprev, vcur, nxt0_row, W,
                              first_row=first_row, seg_end_col=seg_end_col,
                              col0_row=srow("col0v"), lane=lane, lanef=lanef)
@@ -2721,7 +2756,7 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
         botc = ((wmin < v_left - rf_col) & (wmin < vcur - rf_col) &
                 (no_mf | (wmin < -mf_col)))
         cand_full = ((topc | botc) & active &
-                     (posf >= lead_len) & (posf < seg_len))
+                     (posf >= lead_len_r) & (posf < seg_len_r))
         row_admission(feat, cand_full, posf)
         if rr == RB - 1:
             wrow("vmarg", vcur)
@@ -2746,6 +2781,7 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
                           ("b_type", jnp.float32(btype)),
                           ("b_t_end", end_t),
                           ("b_t_base", smem_ref[WS_BASE]),
+                          ("b_t_bhi", smem_ref[WS_PB]),
                           ("b_bitspace", b0),
                           ("b_miss1", smem_ref[WS_M1]),
                           ("b_missclk", smem_ref[WS_MCLK])):
@@ -2843,7 +2879,7 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
 
             # ---- rolling rebase ----
             ds = s_ev - smem_ref[WS_BASE]
-            reb = ds > float(REBASE_SPAN)
+            reb = ds > float(span)
 
             @pl.when(reb)
             def _():
@@ -3023,8 +3059,8 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
 
         # block-record fields
         for k, nm in enumerate(("b_start", "b_end", "b_type", "b_t_end",
-                                "b_t_base", "b_bitspace", "b_miss1",
-                                "b_missclk")):
+                                "b_t_base", "b_t_bhi", "b_bitspace",
+                                "b_miss1", "b_missclk")):
             blk_ref[0, :, k * 128:(k + 1) * 128] = srow(nm)
 
         vals = zf
@@ -3064,12 +3100,13 @@ def _ww_kernel(meta_ref, v_ref, vnxt_ref, chars_ref, blk_ref, hist_ref,
 @functools.partial(jax.jit, static_argnames=(
     "S", "T", "W", "maxchars", "rise", "minp", "agc_alpha", "clk_alpha",
     "spb", "fluxdir_req", "pri_clk", "pri_lsb", "pri_msb", "alt_clk",
-    "alt_lsb", "alt_msb", "interpret"))
+    "alt_lsb", "alt_msb", "interpret", "span"))
 def ww_fused_scan(volts, meta, *, S: int, T: int, W: int, maxchars: int,
                   rise: float, minp: float, agc_alpha: float,
                   clk_alpha: float, spb: float, fluxdir_req: int,
                   pri_clk: int, pri_lsb: int, pri_msb: int, alt_clk: int,
-                  alt_lsb: int, alt_msb: int, interpret: bool = None):
+                  alt_lsb: int, alt_msb: int, interpret: bool = None,
+                  span: int = REBASE_SPAN):
     """volts: [1, 16, S] f32; meta: [1, 16, 128]. Returns (chars, blk,
     hist, scal) raw kernel planes; decode with ww_fused_state."""
     if interpret is None:
@@ -3083,7 +3120,8 @@ def ww_fused_scan(volts, meta, *, S: int, T: int, W: int, maxchars: int,
         _ww_kernel, T=T, S=S, W=W, maxchars=maxchars, MCP=MCP, rise=rise,
         minp=minp, agc_alpha=agc_alpha, clk_alpha=clk_alpha, spb=spb,
         fluxdir_req=fluxdir_req, pri_clk=pri_clk, pri_lsb=pri_lsb,
-        pri_msb=pri_msb, alt_clk=alt_clk, alt_lsb=alt_lsb, alt_msb=alt_msb)
+        pri_msb=pri_msb, alt_clk=alt_clk, alt_lsb=alt_lsb, alt_msb=alt_msb,
+        span=span)
     _, n_rows = _ww_layout()
 
     chars, blk, hist, scal = pl.pallas_call(
@@ -3098,13 +3136,13 @@ def ww_fused_scan(volts, meta, *, S: int, T: int, W: int, maxchars: int,
         ],
         out_specs=[
             pl.BlockSpec((1, 16, MCP), lambda i, r: (i, 0, 0)),
-            pl.BlockSpec((1, 16, 8 * 128), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 9 * 128), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, 16, 128), lambda i, r: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, 16, MCP), jnp.float32),
-            jax.ShapeDtypeStruct((1, 16, 8 * 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16, 9 * 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 16, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 16, 128), jnp.float32),
         ],
@@ -3128,8 +3166,8 @@ def ww_fused_state(chars, blk, hist, scal, *, T: int, maxchars: int):
     flat = chars.reshape(16, nch, 128).transpose(1, 0, 2).reshape(-1)
     fields = {}
     for k, nm in enumerate(("b_start", "b_end", "b_type", "b_t_end",
-                            "b_t_base", "b_bitspace", "b_miss1",
-                            "b_missclk")):
+                            "b_t_base", "b_t_bhi", "b_bitspace",
+                            "b_miss1", "b_missclk")):
         fields[nm] = blk[:, k * 128:(k + 1) * 128].reshape(-1)
     nblocks = int(ss[0, WL_NBLK])
     res = dict(
@@ -3140,7 +3178,8 @@ def ww_fused_state(chars, blk, hist, scal, *, T: int, maxchars: int):
         b_end=fields["b_end"].astype(np.int32),
         b_type=fields["b_type"].astype(np.int32),
         b_t_end=fields["b_t_end"].astype(np.float32),
-        b_t_base=fields["b_t_base"].astype(np.int32),
+        b_t_base=(fields["b_t_base"].astype(np.int64) +
+                  fields["b_t_bhi"].astype(np.int64)).astype(np.int64),
         b_bitspace=fields["b_bitspace"].astype(np.float32),
         b_leadclk=np.zeros(WW_MAXBLK, np.int32),
         b_missing1=fields["b_miss1"].astype(np.int32),

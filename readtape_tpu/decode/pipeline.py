@@ -1960,9 +1960,18 @@ def _decode_tape_ww(samples, opts, log, pre=None):
     # length. The old hard cap at 2^26 samples is gone.
     WW_SINGLE_MAX = int(os.environ.get("READTAPE_WW_SINGLE_MAX",
                                        str(1 << 24)))
+    # the XLA paths split at WW_SINGLE_MAX (absolute f32 positions);
+    # the fused kernel's grid-aligned position rebase has no length
+    # cap, so when it is eligible the whole capture is one sweep
     chunked = N > WW_SINGLE_MAX
     WW_CH = int(os.environ.get("READTAPE_WW_CHUNK", str(1 << 22)))
     WW_PAD = 192                      # > max window width + max skew delay
+    p0 = opts.parmsets[0]
+    W = cm.pkww_width_for(p0.pkww_bitfrac, opts.bpi, opts.ips, opts.deltat)
+    fused_ww_ok = (_pallas_enabled()
+                   and os.environ.get("READTAPE_FUSED", "1") == "1"
+                   and T <= 16 and W <= 128
+                   and p0.agc_window == 0 and p0.clk_window == 0)
     # eighth-granularity buckets instead of powers of two: WW sweeps the
     # WHOLE padded tape in one program, so a 2x bucket costs up to 2x
     # decode time (a 2.6M-sample tape padded to 4.2M wasted 63%); the
@@ -1970,7 +1979,7 @@ def _decode_tape_ww(samples, opts, log, pre=None):
     p2 = seg.bucket_length(N)
     gran = max(p2 // 8, 2048)
     S = -(-N // gran) * gran
-    if chunked:
+    if chunked and not fused_ww_ok:
         S = (-(-N // WW_CH)) * WW_CH + WW_PAD
     step = max(1, (N * T) // 2_000_000)
     if pre is not None:
@@ -1997,8 +2006,6 @@ def _decode_tape_ww(samples, opts, log, pre=None):
         skew[:len(opts.skew)] = opts.skew
 
     spb = opts.spb
-    p0 = opts.parmsets[0]
-    W = cm.pkww_width_for(p0.pkww_bitfrac, opts.bpi, opts.ips, opts.deltat)
     nsteps = int(S / spb * 3.2) + 64
     lb, bw = _peakstat_bins(opts.mode, 1.0 / (opts.bpi * opts.ips))
 
@@ -2072,6 +2079,12 @@ def _decode_tape_ww(samples, opts, log, pre=None):
         K_c = int(WW_CH / spb * 3.0) + 128
         nst = int(WW_CH / spb * 6.0) + 256
         nchunks = -(-N // WW_CH)
+        # when the fused kernel bailed, the resident tape was padded to
+        # the (shorter) fused bucket; extend it to the chunk grid
+        S_need = nchunks * WW_CH + WW_PAD
+        nonlocal v_i16
+        if v_i16.shape[1] < S_need:
+            v_i16 = jnp.pad(v_i16, ((0, 0), (0, S_need - v_i16.shape[1])))
         rise_floor, min_floor = _floors()
         carry = ww_mod.ww_carry_init(T, W, v_avg_init)
         carry_keys = list(carry.keys())
@@ -2170,15 +2183,10 @@ def _decode_tape_ww(samples, opts, log, pre=None):
 
     # Fused WW Mosaic kernel (pallas_fused._ww_kernel): admission row
     # sweep + the whole pulse/clock/blockmark machine in one device
-    # sweep, bit-exact vs the XLA scans (tests/test_pallas_fused.py).
-    # Gated to the builtin-parmset shape (exponential AGC + exponential
-    # clock); ring-pressure/overflow bails fall back to the XLA path.
-    fused_ww_ok = (_pallas_enabled()
-                   and os.environ.get("READTAPE_FUSED", "1") == "1"
-                   and not chunked and S % 2048 == 0 and S <= 1 << 24
-                   and T <= 16 and W <= 128
-                   and p0.agc_window == 0 and p0.clk_window == 0)
-
+    # sweep, bit-exact vs the XLA scans (tests/test_pallas_fused.py);
+    # position rebasing removes any capture-length cap. Gated to the
+    # builtin-parmset shape (exponential AGC + exponential clock);
+    # ring-pressure/overflow bails fall back to the XLA paths.
     def run_pass_fused(skew_arr, v_avg_init):
         import numpy as _np
         from . import pallas_fused as pfu

@@ -709,3 +709,83 @@ def test_ww_fused_production_wiring(fresh_caches, monkeypatch):
     np.testing.assert_array_equal(stats_f["peak_hist"],
                                   stats_ref["peak_hist"])
     assert stats_f["skew"] == stats_ref["skew"]
+
+
+def test_ww_fused_rebase_matches_xla(fresh_caches, monkeypatch):
+    """The kernel's grid-aligned POSITION rebase plus the machine's event
+    rebase (unbounded-capture machinery) must be exact: with the span
+    shrunk to 8192 both mechanisms fire many times on a small tape, and
+    the result must still equal the XLA path (whose REBASE_SPAN is
+    monkeypatched to the same value; jax caches cleared by the fixture
+    so the patched constant is retraced)."""
+    from readtape_tpu.decode import ww as ww_mod
+    from readtape_tpu.decode.pipeline import _peakstat_bins
+    monkeypatch.setattr(ww_mod, "REBASE_SPAN", 8192)
+    rng = np.random.default_rng(17)
+    spec = default_spec(tb.MODE_WW, ibg_secs=0.003, start_gap_secs=0.002)
+    items = [("block", [int(w) for w in rng.integers(0, 65536, 10)])
+             for _ in range(3)]
+    hdr, samples = synthesize_tape(spec, items)
+    T = 6
+    S = 4096
+    while S < samples.shape[0]:
+        S *= 2
+    v = samples.T.astype(np.float32) * (hdr.maxvolts / 32767.0)
+    v = jnp.asarray(np.pad(v, ((0, 0), (0, S - v.shape[1]))))
+    deltat = hdr.tdelta_ns * 1e-9
+    spb = 1.0 / (spec.bpi * spec.ips * deltat)
+    p0 = builtin_parmsets(tb.MODE_WW).sets[0]
+    W = cm.pkww_width_for(p0.pkww_bitfrac, spec.bpi, spec.ips, deltat)
+    lb, bw = _peakstat_bins(tb.MODE_WW, 1.0 / (spec.bpi * spec.ips))
+    lb, bw = lb / deltat, bw / deltat
+    type_to_trk, _, _n = ww_mod.parse_ww_order(spec.ww_order)
+    vah_init = np.full(T, cm.PKWW_PEAKHEIGHT, np.float32)
+    maxchars = int(S / spb) + 256
+
+    res, finals = _ww_xla_reference(v, spb, p0, S, T, W, maxchars, lb, bw,
+                                    vah_init, ww_mod.FLUX_NEG, type_to_trk)
+
+    volts = jnp.pad(v, ((0, 16 - T), (0, 0)))[None]
+    meta = np.zeros((1, 16, 128), np.float32)
+    meta[0, :, pf.M_SEGLEN] = S
+    meta[0, :, pf.M_STATLB] = lb
+    meta[0, :, pf.M_STATBW] = bw
+    meta[0, :T, pf.M_RISEF] = 0.04
+    meta[0, :T, pf.M_MINF] = 0.2
+    meta[0, :T, pf.M_WW_VAH] = vah_init
+    meta[0, :, pf.M_WW_AAL] = p0.agc_alpha
+    meta[0, :, pf.M_WW_CLKA] = p0.clk_alpha
+    chars, blk, hist, scal = pf.ww_fused_scan(
+        volts, jnp.asarray(meta), S=S, T=T, W=W, maxchars=maxchars,
+        rise=float(p0.pkww_rise), minp=float(p0.min_peak),
+        agc_alpha=float(p0.agc_alpha), clk_alpha=float(p0.clk_alpha),
+        spb=float(spb), fluxdir_req=ww_mod.FLUX_NEG,
+        pri_clk=type_to_trk[ww_mod.WWTRK_PRICLK],
+        pri_lsb=type_to_trk[ww_mod.WWTRK_PRILSB],
+        pri_msb=type_to_trk[ww_mod.WWTRK_PRIMSB],
+        alt_clk=type_to_trk[ww_mod.WWTRK_ALTCLK],
+        alt_lsb=type_to_trk[ww_mod.WWTRK_ALTLSB],
+        alt_msb=type_to_trk[ww_mod.WWTRK_ALTMSB], interpret=True,
+        span=8192)
+    got = pf.ww_fused_state(chars, blk, hist, scal, T=T,
+                            maxchars=maxchars)
+
+    assert not got["bail"]
+    np.testing.assert_array_equal(got["n_admitted"],
+                                  np.asarray(finals["n_admitted"]))
+    nb = int(res["nblocks"])
+    dc = int(res["datacount"])
+    assert int(got["nblocks"]) == nb == 3
+    assert int(got["datacount"]) == dc
+    np.testing.assert_array_equal(got["chars"][:dc], res["chars"][:dc])
+    for f in ("b_start", "b_end", "b_type", "b_missing1", "b_missingclk"):
+        np.testing.assert_array_equal(
+            got[f][:nb].astype(np.int64),
+            np.asarray(res[f][:nb]).astype(np.int64), err_msg=f)
+    # absolute bases: kernel hi+lo must equal the XLA rolling base, and
+    # the block end times (base-relative) must match bit for bit
+    np.testing.assert_array_equal(got["b_t_base"][:nb],
+                                  np.asarray(res["b_t_base"][:nb]))
+    np.testing.assert_allclose(got["b_t_end"][:nb], res["b_t_end"][:nb],
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(got["hist"], res["hist"])
