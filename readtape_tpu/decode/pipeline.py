@@ -1986,7 +1986,11 @@ def _decode_tape_ww(samples, opts, log, pre=None):
         v_i16, h_est = pre
     else:
         packed = None
-        if (samples.dtype == np.int16
+        # the one-shot packed unpack materializes pathologically tiled
+        # intermediates beyond granule scale (a 19M-sample tape asked
+        # XLA for a 29 GB s32 buffer); keep 12-bit upload to the sizes
+        # it was built for and ship huge captures raw
+        if (samples.dtype == np.int16 and N * T <= 64 << 20
                 and os.environ.get("READTAPE_PACK12", "1") == "1"):
             from .. import native
             packed = native.pack12_delta(samples)
